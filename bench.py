@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], warm (best of 2
+runs, shared SparkSession, AQE on), and prints exactly one JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured as a full collect of the query result — the same
+thing the driver's correctness pass does — so scan + shuffle + agg all
+count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q_agg_q1",
+    "q_join_multiway",
+    "q_agg_grouping_sets",
+    "q_win_topk_group",
+    "q_stream_session",
+    "q_text_wordcount",
+    "q_text_tfidf",
+    "q_dedup_minhash",
+    "q_sim_cosine_topk",
+    "q_json_funcs",
+]
+
+RUNS_PER_QUERY = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from jsmr_spark.registry import all_specs
+    from jsmr_spark.session import get_spark
+
+    spark = get_spark("jsmr_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    names = [n for n in HEADLINE if n in specs] or list(specs)[:5]
+
+    # Warm the JVM + parquet footers once; not counted.
+    specs["q_agg_q1"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

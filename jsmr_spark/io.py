@@ -1,0 +1,68 @@
+"""Fixture table loader (SURVEY.md §1.2, FIXTURES.md).
+
+Every query accesses tables only through :func:`load_table` so that
+source-level normalization lives in exactly one place:
+
+  * ``events.ts`` is parquet TIMESTAMP(NANOS). With
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as long
+    nanoseconds; we normalize with ``timestamp_micros(ts DIV 1000)``
+    (integer division — float division loses precision at ~1.7e18 ns),
+    which reproduces DuckDB's µs truncation exactly (verified in
+    SURVEY.md §1.2).
+
+Scale note: loaders return plain ``spark.read.parquet`` scans — no
+caching, no repartition — so Catalyst keeps full pushdown/pruning
+freedom and the same code works when a path points at a 100 TB
+partitioned dataset instead of one file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, applying source normalization."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts scanned as long ns (nanosAsLong) -> µs timestamp, exact
+        # DuckDB parity. DIV = integer division.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,33 @@
+"""Declared operator inventory (SURVEY.md §2.B).
+
+Importing this package registers every query key. Modules map to the
+inventory sections:
+
+    scans.py       scans / sources / sinks
+    filters.py     projections / filters / predicates
+    joins.py       joins (equi/outer/semi/anti/theta/range/asof/...)
+    aggregates.py  aggregations (incl. flagship q_agg_q1)
+    windows.py     window functions
+    sorts_setops.py sorts / limits / top-k / set operations
+    scalar_funcs.py string / date / math / array / map / json functions
+    streaming_batch.py batch equivalents of the streaming operators
+    text.py        text analysis (wordcount, tf-idf, lang stats, ...)
+    dedup.py       exact + near-duplicate detection
+    similarity.py  vector similarity / knn / multimodal join
+    udfs.py        UDF / pandas UDF / grouped map / UDTF surface
+"""
+
+from jsmr_spark.queries import (  # noqa: F401
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    scalar_funcs,
+    scans,
+    similarity,
+    sorts_setops,
+    streaming_batch,
+    text,
+    udfs,
+    windows,
+)

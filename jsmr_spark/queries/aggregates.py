@@ -1,0 +1,351 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+Reference parity: these re-express the JsMr reduce phase (SURVEY.md
+§2.A A4-A6 — map-side combine, shuffle by key, per-key reduce) as
+Catalyst hash aggregates, which give partial (map-side) aggregation,
+spillable hash maps, and whole-stage codegen for free.
+
+Exactness policy: money-scale SUMs use the scaled-integer technique
+from jsmr_spark.compat (order-independent, bit-identical across
+engines). Division of an exact integer sum by a power-of-ten double is
+a single correctly-rounded IEEE op on both engines, so those outputs
+need no rounding at all. Order-dependent statistics (stddev/corr)
+keep round(,4).
+
+Scale notes (100 TB): group-by keys here are low-cardinality
+(returnflag×linestatus etc.), so partial aggregation collapses each
+map partition to a handful of rows before the shuffle — the exchange
+moves KBs regardless of input size. Long sums overflow past ~sf100 for
+the charge expression; the wide-scale variant swaps in DECIMAL(38,4)
+sums (same plan shape, still exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, pct, r4, sql_cents, sql_pct
+from jsmr_spark.queries.common import sql, t
+from jsmr_spark.registry import query
+
+_PRICE_C = sql_cents("l_extendedprice")
+_DISC_P = sql_pct("l_discount")
+_TAX_P = sql_pct("l_tax")
+
+Q1_CUTOFF = "1998-09-02"
+
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum({_PRICE_C}) / 100.0::DOUBLE AS sum_base_price,
+  sum({_PRICE_C} * (100 - {_DISC_P})) / 10000.0::DOUBLE AS sum_disc_price,
+  sum({_PRICE_C} * (100 - {_DISC_P}) * (100 + {_TAX_P})) / 1000000.0::DOUBLE AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  sum({_PRICE_C}) / (100.0::DOUBLE * count(*)) AS avg_price,
+  sum({_DISC_P}) / (100.0::DOUBLE * count(*)) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        pct(F.col("l_discount")).alias("disc_p"),
+        pct(F.col("l_tax")).alias("tax_p"),
+    )
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum("price_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_p"))) / 10000.0).alias("sum_disc_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_p")) * (100 + F.col("tax_p"))) / 1000000.0).alias(
+            "sum_charge"
+        ),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        (F.sum("price_c") / (100.0 * n)).alias("avg_price"),
+        (F.sum("disc_p") / (100.0 * n)).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+query("q_agg_q1", Q1_ORACLE)(q1)
+q1.__doc__ = """Flagship: TPC-H-Q1-shape pricing summary (SURVEY.md §2.B).
+
+The canonical "reduce" of the reference's MR kernel, expressed as one
+hash aggregate. entry() runs this at sf0.001."""
+
+
+@query(
+    "q_agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS nd_cust,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_multi_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS nd_part,
+           count(DISTINCT l_suppkey) AS nd_supp,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DISTINCT aggregates + a plain aggregate in one pass (Expand plan)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_part"),
+            F.countDistinct("l_suppkey").alias("nd_supp"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_agg_minmax",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           min(l_linestatus) AS min_status,
+           max(l_linestatus) AS max_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over doubles, timestamps, and strings (order-independent, no rounding needed)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.min("l_linestatus").alias("min_status"),
+            F.max("l_linestatus").alias("max_status"),
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; round(,4) absorbs algorithmic drift between engines."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            r4(F.var_samp("l_quantity")).alias("var_qty"),
+            r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            r4(F.covar_samp("l_quantity", "l_discount")).alias("covar_qty_disc"),
+        )
+    )
+
+
+@query(
+    "q_agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+           round(quantile_cont(l_quantity, 0.90), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark percentile == DuckDB quantile_cont:
+    both interpolate at rank (n-1)*q)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.percentile("l_quantity", F.lit(0.5))).alias("med_qty"),
+            r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
+            r4(F.percentile("l_quantity", F.lit(0.90))).alias("p90_qty"),
+        )
+    )
+
+
+@query("q_agg_approx_distinct", None)  # estimates are impl-specific => rows-only by design
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate — the 100 TB path for cardinality
+    (single pass, fixed memory, no exact-distinct shuffle expansion)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_nd_part"))
+    )
+
+
+_GSETS_AGGS_SQL = f"sum({_PRICE_C}) / 100.0::DOUBLE AS sum_price, count(*) AS n"
+
+
+@query(
+    "q_agg_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           {_GSETS_AGGS_SQL}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers (Expand-based plan)."""
+    return sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               {_GSETS_AGGS_SQL}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+@query(
+    "q_agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_GSETS_AGGS_SQL}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("price_c"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_GSETS_AGGS_SQL}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("price_c"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_agg_having",
+    f"""
+    SELECT o_custkey, count(*) AS n_orders, sum({sql_cents("o_totalprice")}) / 100.0::DOUBLE AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", cents(F.col("o_totalprice")).alias("price_c"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), (F.sum("price_c") / 100.0).alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "q_agg_collect",
+    """
+    SELECT l_orderkey,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-group list (collect_list + sort_array), serialized to a
+    string because array hashing is not portable across engines."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+            ).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.10) AS all_small_disc,
+           bool_or(l_quantity > 45) AS any_big_qty,
+           bool_and(l_extendedprice > 50000) AS all_pricey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates bool_and / bool_or."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_discount") <= 0.10).alias("all_small_disc"),
+            F.bool_or(F.col("l_quantity") > 45).alias("any_big_qty"),
+            F.bool_and(F.col("l_extendedprice") > 50000).alias("all_pricey"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators over the documents corpus (SURVEY.md §2.B
+"LLM-data-pipeline operators").
+
+q_text_wordcount doubles as the Tier-A parity proof: it is the
+canonical JsMr map/shuffle/reduce job (SURVEY.md §2.A A3+A5+A6)
+expressed as explode + hash aggregate. jsmr_spark.mr runs the same
+computation through the MR-compat API and tests assert equivalence.
+
+Scale notes: tokenization is narrow (per-row, whole-stage codegen);
+only the final aggregates shuffle, keyed on token / (doc_id, token),
+both high-cardinality and well-distributed — no skew treatment needed.
+TF-IDF joins the per-token document frequency back to term frequencies;
+the df side is |vocabulary| rows (small), so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import r4
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+
+def tokens(df: DataFrame) -> DataFrame:
+    """documents -> one row per (doc_id, token). The 'map' of wordcount."""
+    return df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@query(
+    "q_text_wordcount",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count — the canonical MapReduce job as explode + hash agg."""
+    return tokens(t(spark, sf_dir, "documents")).groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS nd_tokens,
+           round(CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics via array higher-order functions —
+    no explode, no shuffle: a purely narrow pipeline."""
+    toks = F.split(F.col("text"), " ")
+    total_len = F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("nd_tokens"),
+        r4(total_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, score, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+          FROM scored) s
+    WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Ranking uses the *rounded* score (plus token tiebreak) so that
+    sub-ulp libm differences between engines cannot reorder ties.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tf = tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", r4(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+@query(
+    "q_text_lang_dist",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language x source."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

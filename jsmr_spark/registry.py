@@ -1,0 +1,71 @@
+"""Query registry — the single source of truth behind __spark_entry__.py.
+
+Each operator key from SURVEY.md §2.B registers here once, pairing the
+Spark implementation with its DuckDB oracle SQL (or ``None`` for the
+declared rows-only keys: side-effect sinks, approximate aggregates,
+MAP hashing, watermark semantics, the generic MR API — SURVEY.md §2.B
+inventory notes).
+
+Contract reminders enforced by convention here (SURVEY.md §7.1):
+  * every computed column is aliased identically in both Spark and SQL;
+  * every double-valued aggregate/similarity is round(x, 4) both sides;
+  * output order is never semantic — rank columns encode order when
+    order matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None => rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query implementation plus its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    # Import side effect populates the registry exactly once.
+    import jsmr_spark.queries  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {k: spec.fn for k, spec in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {k: spec.oracle for k, spec in sorted(_REGISTRY.items()) if spec.oracle is not None}
+
+
+def get_query(name: str) -> QuerySpec:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(sorted(_REGISTRY.items()))

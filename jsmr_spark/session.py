@@ -1,0 +1,76 @@
+"""SparkSession factory with the configs this engine requires.
+
+Two usage modes:
+  * Tests / bench / standalone: ``get_spark()`` builds a local session.
+  * Driver mode: the driver owns the session and passes it to
+    ``entry(spark)`` / ``queries()[k](spark, sf_dir)``; we cannot rebuild
+    it, so ``ensure_engine_confs(spark)`` applies the runtime-settable
+    subset (all engine-required confs are SQLConf entries, hence
+    session-settable).
+
+Required confs and why (SURVEY.md §7.1):
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events``
+    fixture carries parquet TIMESTAMP(NANOS), which Spark 4.x rejects
+    with PARQUET_TYPE_ILLEGAL otherwise. With the flag, ``ts`` arrives
+    as long nanoseconds and io.py normalizes to µs timestamps.
+  * ``spark.sql.session.timeZone=UTC`` — deterministic timestamp
+    rendering, matching DuckDB's naive-µs reading of the fixtures.
+  * AQE on (default in 4.x, set explicitly) — runtime coalescing and
+    skew-join handling; this is the 100 TB skew story (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set on a live session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "jsmr_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a local SparkSession sized to this machine.
+
+    ``shuffle_partitions`` defaults to the core count: at local/bench
+    scale more partitions only add scheduling overhead; on a real
+    cluster this is tuned to ~2-3× total cores (SURVEY.md §7.4).
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_engine_confs(spark)
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Immutable in this deployment; reads must cope (io.py has a
+            # fallback path for events if nanosAsLong can't be set).
+            pass
+    return spark

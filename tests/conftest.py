@@ -1,0 +1,115 @@
+"""Shared fixtures: one SparkSession, one DuckDB oracle connection, and
+the canonical result comparison used by the differential harness
+(SURVEY.md §5.2 tier 2 — mimics the driver's protocol locally)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+os.environ.setdefault("TZ", "UTC")
+
+SF_DIR = os.environ.get("JSMR_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jsmr_spark.session import get_spark
+
+    s = get_spark("jsmr_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, decimal.Decimal):
+        # Defensive only — oracle SQL should cast to DOUBLE so the
+        # driver sees matching types; the harness still flags these.
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def canon_rows(col_names, rows):
+    """Order-insensitive canonical form: sort columns by name, normalize
+    values, sort rows — mirrors the driver's order-insensitive hash."""
+    order = sorted(range(len(col_names)), key=lambda i: col_names[i])
+    out = [tuple(_canon_value(row[i]) for i in order) for row in rows]
+    out.sort(key=repr)
+    return [col_names[i] for i in order], out
+
+
+def run_spark(spark, name: str, sf_dir: str = SF_DIR):
+    from jsmr_spark.registry import get_query
+
+    df = get_query(name).fn(spark, sf_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def run_oracle(duck, name: str):
+    from jsmr_spark.registry import get_query
+
+    spec = get_query(name)
+    assert spec.oracle is not None, f"{name} has no oracle"
+    cur = duck.execute(spec.oracle)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def assert_query_matches(spark, duck, name: str):
+    s_cols, s_rows = run_spark(spark, name)
+    o_cols, o_rows = run_oracle(duck, name)
+    s_cols_c, s_canon = canon_rows(s_cols, s_rows)
+    o_cols_c, o_canon = canon_rows(o_cols, o_rows)
+    assert s_cols_c == o_cols_c, f"{name}: column mismatch spark={s_cols_c} oracle={o_cols_c}"
+    assert len(s_canon) == len(o_canon), (
+        f"{name}: row count spark={len(s_canon)} oracle={len(o_canon)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, o_canon)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row diffs; first 3: {mismatches[:3]}"
