@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Scans / sources / sinks (SURVEY.md §2.B).
+
+Reference parity: JsMr's input scan + chunk split (SURVEY.md §2.A
+A1-A2) become parquet scans with Spark-managed input splits; the
+output writer (A7) becomes df.write.
+
+Scale notes: q_scan_project exists to pin the pushdown contract — the
+physical plan must show ReadSchema with only the projected columns and
+PushedFilters for the predicate (asserted in tests/test_plans.py).
+That property is what makes a 100 TB scan read only the bytes it needs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+
+@query(
+    "q_scan_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate that must reach the parquet reader
+    (column pruning + filter pushdown)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query("q_scan_count", "SELECT count(*) AS n_rows FROM lineitem")
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table count — answered from parquet row-group metadata,
+    no data pages read."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_scan_events_ts",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    """,
+)
+def q_scan_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan exercising the ns->us normalization (io.load_table)
+    plus a timestamp-range predicate on the normalized column."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        )
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+@query(
+    "q_source_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) % 10 = 3
+    """,
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured source: extract from the JSON-in-string props
+    column, typed and untyped, and filter on the parsed value."""
+    k = F.get_json_object(F.col("props"), "$.k")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            k.alias("k_str"),
+            k.cast("int").alias("k_int"),
+        )
+        .filter(F.col("k_int") % 10 == 3)
+    )
+
+
+def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write a derived result with df.write.<fmt>, re-read it, and report
+    written/re-read row counts (side-effect op => rows-only check)."""
+    out_dir = os.path.join(tempfile.gettempdir(), f"jsmr_sink_{fmt}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_written = src.count()
+    writer = src.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+    else:
+        writer.option("header", "true").csv(out_dir)
+        back = spark.read.option("header", "true").csv(out_dir)
+    n_back = back.count()
+    return spark.createDataFrame(
+        [(fmt, n_written, n_back, n_written == n_back)],
+        "format string, n_written long, n_reread long, roundtrip_ok boolean",
+    )
+
+
+@query("sink_parquet", None)  # side-effect sink => rows-only by design
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip (JsMr output writer, SURVEY.md §2.A A7)."""
+    return _sink_roundtrip(spark, sf_dir, "parquet")
+
+
+@query("sink_csv", None)  # side-effect sink => rows-only by design
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink round-trip with header schema recovery."""
+    return _sink_roundtrip(spark, sf_dir, "csv")
