@@ -1,0 +1,90 @@
+"""JsMr-style MapReduce-compat API (SURVEY.md §2.A Tier A).
+
+The reference's whole programming model is: a job = (input, map fn,
+reduce fn, config); map(key, value, emit) produces (k, v) pairs, the
+framework shuffles by key, reduce(key, values, emit) produces output
+records (SURVEY.md §2.A A3-A6, §3.1). This module reproduces that
+surface 1:1 on Spark so a JsMr user can port a job verbatim:
+
+    out = job(df,
+              map_fn=lambda row: [(tok, 1) for tok in row.text.split()],
+              reduce_fn=lambda key, values: [(key, sum(values))],
+              output_schema="token string, cnt long")
+
+Execution notes (Spark-first, not a coordinator port):
+  * map    -> RDD.flatMap        (JsMr: browser-executed user JS, A3)
+  * shuffle-> groupByKey/reduceByKey (JsMr: server-side partitioner, A5)
+  * reduce -> flatMap over groups (JsMr: browser reduce, A6)
+  * combine: pass an associative `combine_fn` and the job runs as
+    map-side-combined reduceByKey — the scalable path (JsMr A4).
+  * chaining (A8) is function composition: feed job() output to job().
+  * scheduling/fault-tolerance/status (A9-A10) are Spark's scheduler,
+    speculation and listeners — nothing to reimplement.
+
+This API is the compatibility layer, NOT the fast path: user Python
+runs per record. Every relational operator in jsmr_spark.queries is
+the DataFrame re-expression that Catalyst can optimize; tests assert
+the MR wordcount equals the DataFrame wordcount (q_text_wordcount).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+MapFn = Callable[[Row], Iterable[tuple[Any, Any]]]
+ReduceFn = Callable[[Any, list[Any]], Iterable[tuple]]
+CombineFn = Callable[[Any, Any], Any]
+
+
+def job(
+    df: DataFrame,
+    map_fn: MapFn,
+    reduce_fn: ReduceFn | None = None,
+    combine_fn: CombineFn | None = None,
+    output_schema: str | None = None,
+    num_reducers: int | None = None,
+) -> DataFrame:
+    """Run a JsMr-style MapReduce job over a DataFrame.
+
+    Args:
+        df: input records (one Row per JsMr input record).
+        map_fn: Row -> iterable of (key, value) pairs.
+        reduce_fn: (key, list(values)) -> iterable of output tuples.
+            Defaults to emitting (key, values-as-list).
+        combine_fn: optional associative (v, v) -> v; when given, the
+            shuffle uses reduceByKey with map-side combine and
+            reduce_fn receives the single combined value in a 1-list.
+        output_schema: DDL schema of the output rows, e.g.
+            "token string, cnt long".
+        num_reducers: shuffle partition count (JsMr's #reducers knob);
+            defaults to Spark's setting.
+    """
+    if reduce_fn is None:
+        reduce_fn = lambda key, values: [(key, list(values))]  # noqa: E731
+
+    spark = df.sparkSession
+    parts = num_reducers or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = df.rdd.flatMap(map_fn)
+    if combine_fn is not None:
+        grouped = pairs.reduceByKey(combine_fn, numPartitions=parts).mapValues(lambda v: [v])
+    else:
+        grouped = pairs.groupByKey(numPartitions=parts).mapValues(list)
+    out = grouped.flatMap(lambda kv: reduce_fn(kv[0], kv[1]))
+    if output_schema is None:
+        return spark.createDataFrame(out)
+    return spark.createDataFrame(out, output_schema)
+
+
+def wordcount(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The canonical JsMr example job, via the compat API with map-side
+    combine. Oracle-checked twin: queries/text.py::q_text_wordcount."""
+    return job(
+        df,
+        map_fn=lambda row: [(tok, 1) for tok in row[text_col].split(" ")],
+        reduce_fn=lambda key, values: [(key, values[0])],
+        combine_fn=lambda a, b: a + b,
+        output_schema="token string, cnt long",
+    )

@@ -1,1 +1,215 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Deduplication operators (SURVEY.md §2.B LLM-pipeline tier).
+
+Exact dedup is a hash group-by; near-dup is the full MinHash-LSH
+pipeline: 3-token shingles -> portable 48-bit hash -> 16 permutation
+min-hashes -> 4 bands of 4 -> band-bucket self-join for candidates ->
+exact Jaccard verification. The SAME deterministic algorithm runs on
+both engines, so the oracle matches bit-for-bit including LSH's
+probabilistic recall (the randomness is all in the fixed seeds).
+
+Portability choices (SURVEY.md §7.3.3):
+  * Engine-native hash() differs between Spark (murmur3) and DuckDB —
+    instead H(s) = first 12 hex chars of md5(s) as an integer, computed
+    with the same instr/substring arithmetic on both sides.
+  * Permutations h_k(x) = (a_k * x + b_k) mod 1e9+7 with small fixed
+    odd a_k — products stay < 2^63.
+  * Jaccard is emitted as a bare bigint/bigint division (identical
+    doubles on both engines); round() would reintroduce tie risk at
+    exactly-representable ratios like 5/32.
+
+Scale notes (100 TB): every stage is a narrow map or a keyed shuffle
+(shingle explode -> hash-agg by doc; band self-join keyed on the band
+bucket). No driver state, no all-pairs scan: candidate generation is
+O(sum of bucket sizes squared) which LSH keeps near-linear. Band-key
+hot buckets (boilerplate text) are the known skew risk — AQE skew join
+plus an optional bucket-size cap handle it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+P = 1_000_000_007
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SEEDS = [(2 * k + 3, 104_729 * k + 12_345) for k in range(N_HASHES)]
+JACCARD_THRESHOLD = 0.8
+
+
+def hex12_sql(col: str) -> str:
+    """SQL computing int(first 12 hex chars of `col`) — identical text
+    runs on Spark SQL and DuckDB (instr/substring agree)."""
+    # CAST the power to BIGINT: small powers would otherwise stay INT32
+    # and overflow under Spark's ANSI arithmetic.
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({col}, {j}, 1)) - 1) * CAST({16 ** (12 - j)} AS BIGINT)"
+        for j in range(1, 13)
+    )
+    return f"({terms})"
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate accounting per corpus slice (hash group-by on the
+    full text; at scale the md5 replaces shuffling raw documents)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "source", F.md5(F.col("text")).alias("h"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        )
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> distinct (doc_id, shingle, hash value) rows."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    shingle_expr = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(shingle_expr)).alias("sg"))
+        .distinct()
+        .withColumn("hv", F.expr(hex12_sql("md5(sg)")))
+    )
+
+
+def _minhash_cols():
+    return [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P).alias(f"m{k}")
+        for k, (a, b) in enumerate(SEEDS)
+    ]
+
+
+_ORACLE_MINHASH_COLS = ",\n           ".join(
+    f"min(({a} * hv + {b}) % {P}) AS m{k}" for k, (a, b) in enumerate(SEEDS)
+)
+_ORACLE_BANDS = "\n      UNION ALL\n      ".join(
+    "SELECT doc_id, {band} AS band, concat_ws(',', {cols}) AS bkey FROM mh".format(
+        band=band,
+        cols=", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for band in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
+    mh AS (
+      SELECT doc_id,
+           {_ORACLE_MINHASH_COLS}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {_ORACLE_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.sg = x.sg
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("q_dedup_minhash", _MINHASH_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH (16 hashes, 4 bands x 4),
+    verified with exact shingle-set Jaccard >= 0.8."""
+    sh = _shingles(spark, sf_dir).cache()
+    mh = sh.groupBy("doc_id").agg(*_minhash_cols())
+
+    band_frames = [
+        mh.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("bkey"),
+        )
+        for band in range(N_BANDS)
+    ]
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sx = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sy = sh.select(F.col("doc_id").alias("sy_doc"), F.col("sg").alias("sg_b"))
+    inter = (
+        cand.join(sx, "doc_a")
+        .join(sy, (F.col("doc_b") == F.col("sy_doc")) & (F.col("sg_b") == F.col("sg_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )

@@ -1,1 +1,400 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Join operators (SURVEY.md §2.B "Joins").
+
+Reference parity: JsMr has no join operator — joins are hand-written
+map/reduce jobs (tag records by source in map(), merge per key in
+reduce(); SURVEY.md §2.A capability argument). Here every join is a
+declarative Catalyst join so the planner picks broadcast vs shuffle vs
+sort-merge, with explicit hints where the inventory key pins a
+physical strategy (asserted in tests/test_plans.py).
+
+Scale notes (100 TB):
+  * dims (region/nation/supplier at any SF, customer at small SF)
+    broadcast — zero shuffle of the fact side;
+  * fact-fact joins shuffle on the join key; AQE skew-join splits hot
+    keys at runtime (enabled in session.py);
+  * the range/as-of joins are keyed on user_id first, so the window /
+    interval logic runs within a user's partition — the shuffle is one
+    hash exchange regardless of time span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, pct, sql_cents, sql_pct
+from jsmr_spark.queries.common import sql, t
+from jsmr_spark.registry import query
+
+
+@query(
+    "q_join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders x customer."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    """
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension chain with explicit broadcast() — the fact side never
+    shuffles (plan asserts BroadcastHashJoin)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_smj",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join forced to sort-merge via hint — the strategy of
+    choice when both sides are huge and neither fits in memory."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").hint("merge")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderdate"
+    )
+
+
+@query(
+    "q_join_shuffle_hash",
+    """
+    SELECT l.l_orderkey, l.l_partkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size > 40
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join (no sort) — wins over SMJ when one side is
+    much smaller per partition but too big to broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") > 40).hint("shuffle_hash")
+    return li.join(p, li.l_partkey == p.p_partkey).select("l_orderkey", "l_partkey", "p_brand")
+
+
+_URGENT = "o_orderpriority = '1-URGENT' AND o_totalprice > 150000"
+
+
+@query(
+    "q_join_left",
+    f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE {_URGENT}) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with genuinely unmatched left rows (NULL columns)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    f"""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey
+    FROM (SELECT * FROM orders WHERE {_URGENT}) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of q_join_left)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey"
+    )
+
+
+@query(
+    "q_join_full",
+    """
+    SELECT c.c_custkey, c.c_nationkey AS cust_nation, s.s_suppkey, s.s_nationkey AS supp_nation
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT * FROM supplier WHERE s_acctbal > 5000) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("cust_nation"),
+        F.col("s_suppkey"),
+        F.col("s_nationkey").alias("supp_nation"),
+    )
+
+
+@query(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with at least one urgent order."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (small sides only — 5 x 25)."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    """
+    SELECT s.s_suppkey, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 50 AND s.s_acctbal + 50
+    WHERE s.s_acctbal > 0
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join (BroadcastNestedLoop on the small side)."""
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    c = t(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(F.col("s_acctbal") - 50, F.col("s_acctbal") + 50)
+    return s.join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "q_join_range",
+    """
+    SELECT v.event_id AS view_id, k.event_id AS click_id, v.user_id,
+           CAST(date_diff('microsecond', v.ts, k.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') k
+      ON v.user_id = k.user_id
+     AND k.ts > v.ts AND k.ts <= v.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: click within 5 minutes after a view by the
+    same user. Equi key (user_id) drives the shuffle; the time predicate
+    evaluates inside each hash partition."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    k = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("k_user"), F.col("ts").alias("k_ts")
+    )
+    joined = v.join(
+        k,
+        (F.col("user_id") == F.col("k_user"))
+        & (F.col("k_ts") > F.col("v_ts"))
+        & (F.col("k_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros(F.col("k_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
+    )
+
+
+@query(
+    "q_join_asof",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest view at-or-before
+    it, per user. Spark has no native as-of join; implemented with the
+    union-tag + running last(ignorenulls) pattern — one shuffle on
+    user_id, one sort within partitions, no self-join blowup.
+
+    Tie rule: at identical timestamps the view sorts before the purchase
+    (tag 0 < 1), making the match inclusive — same as DuckDB ASOF's
+    p.ts >= v.ts."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("v_ts"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("prior_view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+    )
+
+
+@query(
+    "q_join_multiway",
+    f"""
+    WITH agg AS (
+      SELECT l.l_orderkey,
+             sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")})) / 10000.0::DOUBLE
+               AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk FROM agg) x
+    WHERE rnk <= 10
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, aggregate, global top-10 by revenue
+    (rank emitted as a column so the hash stays order-insensitive).
+    Revenue summed in exact cents x basis-points — cross-engine safe."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount")))) / 10000.0
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk")
+    )
+
+
+@query(
+    "q_exists_corr",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND c.c_acctbal > 0
+    """,
+)
+def q_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through spark.sql — Catalyst decorrelates it to
+    a left semi join (RewritePredicateSubquery)."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND c.c_acctbal > 0
+        """,
+    )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(round(o_totalprice*100,0) AS BIGINT) * (SELECT count(*) FROM orders)
+          > (SELECT sum(CAST(round(o_totalprice*100,0) AS BIGINT)) FROM orders)
+    """
+
+
+@query("q_scalar_subq", _SCALAR_SUBQ_SQL)
+def q_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders above the global mean price.
+    The comparison is done in exact integers (price*count > sum) so the
+    threshold itself carries no float summation drift."""
+    return sql(spark, sf_dir, _SCALAR_SUBQ_SQL)

@@ -1,1 +1,206 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Vector similarity search / kNN / multimodal join (SURVEY.md §2.B
+LLM-pipeline tier).
+
+Cosine similarity is computed explicitly as dot/(|a||b|) over
+double-cast float32 elements with sequential summation — DuckDB's
+built-in list_cosine_similarity accumulates in float32 (verified) and
+is NOT parity-safe, so both engines run the same elementwise formula:
+Spark zip_with/aggregate HOFs, DuckDB indexed-lambda list_transform.
+Similarities are rounded to 4dp BEFORE ranking so sub-ulp summation
+drift can never reorder ties; ties break on vec_id.
+
+Scale notes (100 TB):
+  * q_sim_cosine_topk broadcasts the probe — a narrow map over the
+    corpus plus a TakeOrdered; embarrassingly parallel.
+  * q_sim_threshold_pairs is the O(n^2) exact baseline, fine at bench
+    scale; the scale path is the MinHash/LSH prefilter (see dedup.py)
+    or an IVF partition-by-centroid variant — candidates only, then
+    this exact kernel re-ranks.
+  * q_knn_label is top-k then a tiny vote aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import r4
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+PROBE_ID = 0
+TOP_K = 10
+KNN_K = 5
+PAIR_THRESHOLD = 0.40
+
+# DuckDB fragments (indexed lambdas; i is 1-based).
+_DOT_DD = (
+    "list_aggregate(list_transform(a.embedding, (x, i) -> "
+    "CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+)
+_NORM_DD = "sqrt(list_aggregate(list_transform({v}.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+
+_SIM_CTE_DD = f"""
+    sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+             round({_DOT_DD} / ({_NORM_DD.format(v="a")} * {_NORM_DD.format(v="b")}), 4) AS sim
+      FROM embeddings a, embeddings b
+    )
+"""
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def _pairwise_sims(spark: SparkSession, sf_dir: str, probe_only: bool) -> DataFrame:
+    """(vec_a, vec_b, label_b, sim) for all pairs, or probe x all."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    if probe_only:
+        a = a.filter(F.col("vec_a") == PROBE_ID)
+        a = F.broadcast(a)
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = r4(_dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))))
+    joined = a.crossJoin(b) if probe_only else b.crossJoin(F.broadcast(a))
+    return joined.select("vec_a", "vec_b", "label_a", "label_b", sim.alias("sim"))
+
+
+@query(
+    "q_sim_cosine_topk",
+    f"""
+    WITH {_SIM_CTE_DD}
+    SELECT vec_b, label_b, sim, rnk
+    FROM (SELECT vec_b, label_b, sim,
+                 row_number() OVER (ORDER BY sim DESC, vec_b) AS rnk
+          FROM sims WHERE vec_a = {PROBE_ID} AND vec_b <> {PROBE_ID}) x
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of the probe vector (brute-force exact
+    baseline; probe broadcast, corpus never shuffled)."""
+    sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_b"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("vec_b", "label_b", "sim", "rnk")
+    )
+
+
+@query(
+    "q_sim_threshold_pairs",
+    f"""
+    WITH {_SIM_CTE_DD}
+    SELECT vec_a, vec_b, sim
+    FROM sims
+    WHERE vec_a < vec_b AND sim >= {PAIR_THRESHOLD}
+    """,
+)
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs similarity join at sim >= 0.40 (exact O(n^2) kernel —
+    the V-SMART-Join shape; LSH-prefiltered at scale)."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = r4(_dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= PAIR_THRESHOLD)
+    )
+
+
+@query(
+    "q_knn_label",
+    f"""
+    WITH {_SIM_CTE_DD},
+    neigh AS (
+      SELECT vec_b, label_b, sim,
+             row_number() OVER (ORDER BY sim DESC, vec_b) AS rnk
+      FROM sims WHERE vec_a = {PROBE_ID} AND vec_b <> {PROBE_ID}
+    ),
+    votes AS (
+      SELECT label_b AS label, count(*) AS votes
+      FROM neigh WHERE rnk <= {KNN_K}
+      GROUP BY label_b
+    )
+    SELECT {PROBE_ID} AS probe_id, label AS predicted_label, votes
+    FROM (SELECT *, row_number() OVER (ORDER BY votes DESC, label) AS vr FROM votes) v
+    WHERE vr = 1
+    """,
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification of the probe: majority label among the 5
+    nearest neighbors (ties broken by label)."""
+    sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_b"))
+    votes = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy(F.col("label_b").alias("label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.lit(PROBE_ID).cast("int").alias("probe_id"),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
+@query(
+    "q_multimodal_join",
+    """
+    SELECT d.lang, e.label,
+           count(*) AS n,
+           sum(d.n_chars) AS sum_chars,
+           round(avg(d.n_chars), 4) AS avg_chars,
+           min(d.doc_id) AS min_doc,
+           max(d.doc_id) AS max_doc
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal join: text table x vector table on doc_id=vec_id,
+    aggregated by language x embedding label."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,1 +1,215 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Batch-mode equivalents of the streaming operators (SURVEY.md §2.B
+"Streaming operators").
+
+The reference has no streaming at all (SURVEY.md §1.1) — these are the
+mandated extension surface. Each stateful operator is validated here in
+batch form against the DuckDB oracle; jsmr_spark/streaming/core.py runs
+the same logic under Structured Streaming (file source, watermarks,
+micro-batch replay) and tests assert batch/stream equivalence.
+
+Semantics pinned:
+  * tumbling/sliding windows are epoch-aligned (Spark window() and
+    DuckDB time_bucket agree for sub-day widths);
+  * session windows use gap=10min, end = last_event + gap (Spark
+    session_window semantics; oracle reproduces it gaps-and-islands);
+  * event values are fixed 2dp (verified) — sums use exact cents.
+
+Scale notes: all keys shuffle on (window/user) — high cardinality,
+unskewed. Sessionization is the same one-exchange-one-sort shape as
+the window module; in streaming the state store holds only open
+sessions per user and the watermark bounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+_VAL_C = sql_cents("value")
+
+
+@query(
+    "q_stream_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start,
+           time_bucket(INTERVAL 1 hour, ts) + INTERVAL 1 hour AS window_end,
+           event_type,
+           count(*) AS n,
+           sum({_VAL_C}) / 100.0::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts/sums per event type."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 minutes, ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 minutes, ts) - INTERVAL 30 minutes AS ws, event_type, value
+      FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 hour AS window_end, event_type,
+           count(*) AS n, sum({_VAL_C}) / 100.0::DOUBLE AS sum_value
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event lands in two
+    windows; the oracle reproduces Spark's expansion with two shifted
+    tumbling assignments)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 10 minutes
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 minutes AS session_end,
+           count(*) AS n_events,
+           sum({_VAL_C}) / 100.0::DOUBLE AS session_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap
+    (session_window; oracle = gaps-and-islands). Session end is
+    last_event + gap, matching Spark's definition."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, ts
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id over a doubled (at-least-once) input —
+    the batch twin of withWatermark + dropDuplicates."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.unionByName(ev)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "q_stream_funnel",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view_ts,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts,
+           (min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+            AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+            AND min(CASE WHEN event_type = 'view' THEN ts END)
+                < min(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase funnel per user via conditional aggregation."""
+    is_view = F.when(F.col("event_type") == "view", F.lit(1))
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(is_view).alias("n_views"),
+            F.count(F.when(F.col("event_type") == "click", F.lit(1))).alias("n_clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias("n_purchases"),
+            first_view.alias("first_view_ts"),
+            first_purchase.alias("first_purchase_ts"),
+            (
+                first_view.isNotNull()
+                & first_purchase.isNotNull()
+                & (first_view < first_purchase)
+            ).alias("converted"),
+        )
+    )
+
+
+@query("stream_watermark_late", None)  # watermark drop is not batch-expressible => rows-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run: replay events through a file
+    source in timestamp order with a deliberately late tail, 10-minute
+    watermark + 1-hour tumbling counts; late rows beyond the watermark
+    are dropped by the state store. See jsmr_spark/streaming/core.py."""
+    from jsmr_spark.streaming.core import run_watermark_late_replay
+
+    return run_watermark_late_replay(spark, sf_dir)

@@ -1,1 +1,176 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B).
+
+Reference parity: JsMr's entire programming model is arbitrary user
+code per record / per group (SURVEY.md §2.A A11). This module is the
+capability proof on Spark's four user-code paths, each with the same
+"built-ins first" caveat documented:
+
+  * q_udf_scalar   — row-at-a-time Python UDF (the slow path; here to
+                     prove the surface, not to recommend it);
+  * q_pandas_udf   — Arrow-vectorized scalar UDF (10-100x the row UDF);
+  * q_grouped_map  — applyInPandas per-group transform (UDAF-style);
+  * q_udtf         — Spark 4 Python UDTF with a LATERAL join.
+
+Cross-engine exactness: the grouped z-score is computed from exact
+integer cent moments (sum, sum-of-squares) with a fixed scalar
+evaluation order, so pandas and DuckDB produce identical doubles —
+numpy's pairwise mean/std would NOT match SQL aggregation and is
+deliberately avoided.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.functions import udtf
+
+from jsmr_spark.compat import r4
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+
+@query(
+    "q_udf_scalar",
+    """
+    SELECT c_custkey,
+           round(greatest(least((c_acctbal - 1000) / 100.0::DOUBLE, 50.0), 0.0), 4) AS score
+    FROM customer
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF: clamped score. Python floats are IEEE
+    doubles, so the arithmetic matches the SQL mirror exactly."""
+
+    @udf("double")
+    def clamp_score(acctbal: float) -> float:
+        return max(0.0, min((acctbal - 1000) / 100.0, 50.0))
+
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", r4(clamp_score(F.col("c_acctbal"))).alias("score")
+    )
+
+
+@query(
+    "q_pandas_udf",
+    """
+    SELECT event_id,
+           round(ln(1.0 + value), 4) AS log_value
+    FROM events
+    """,
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF — same per-row math as q_udf_scalar's
+    family but batched through numpy (the production-speed Python path)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def log_value(v: pd.Series) -> pd.Series:
+        return pd.Series(np.log(1.0 + v.to_numpy()))
+
+    return t(spark, sf_dir, "events").select(
+        "event_id", r4(log_value(F.col("value"))).alias("log_value")
+    )
+
+
+_ZSCORE_ORACLE = """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderkey, o_custkey, pc,
+             sum(pc) OVER w AS sum_c,
+             sum(pc * pc) OVER w AS sum_c2,
+             count(*) OVER w AS n
+      FROM c
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN n > 1
+                     AND (CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * (CAST(sum_c AS DOUBLE) / n)) / (n - 1) > 0
+                THEN round((pc - CAST(sum_c AS DOUBLE) / n)
+                           / sqrt((CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * (CAST(sum_c AS DOUBLE) / n)) / (n - 1)), 4)
+                ELSE NULL END AS z
+    FROM m
+"""
+
+
+@query("q_grouped_map", _ZSCORE_ORACLE)
+def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score of order value via applyInPandas.
+
+    Moments are exact integer sums over cents; the scalar combination
+    (mean, variance, z) follows the exact same operation order as the
+    oracle SQL, so both engines emit identical doubles. Rounding happens
+    JVM-side (F.round) to keep a single rounding implementation."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pc = pdf["pc"]
+        n = len(pc)
+        sum_c = int(pc.sum())
+        sum_c2 = int((pc * pc).sum())
+        if n > 1:
+            mean = float(sum_c) / n
+            var = (float(sum_c2) - float(sum_c) * mean) / (n - 1)
+            z = (pc - mean) / (var**0.5) if var > 0 else pd.Series([None] * n, index=pc.index)
+        else:
+            z = pd.Series([None] * n, index=pc.index)
+        return pd.DataFrame(
+            {"o_orderkey": pdf["o_orderkey"], "o_custkey": pdf["o_custkey"], "z": z}
+        )
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pc"),
+    )
+    out = src.groupBy("o_custkey").applyInPandas(
+        zscore, "o_orderkey long, o_custkey long, z double"
+    )
+    return out.select("o_orderkey", "o_custkey", r4(F.col("z")).alias("z"))
+
+
+@query(
+    "q_udtf",
+    """
+    SELECT doc_id, pos, token
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ) u
+    WHERE doc_id % 10 = 0
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode text into (pos, token) rows via a
+    LATERAL join — the table-function flavor of the MR map phase."""
+
+    @udtf(returnType="pos int, token string")
+    class TokenExplode:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+    spark.udtf.register("token_explode", TokenExplode)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, te.pos, te.token FROM udtf_docs d, LATERAL token_explode(d.text) te"
+    )
+
+
+@query("mr_api", None)  # generic user-code API => rows-only by design
+def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsMr-compat job() API running wordcount (map -> shuffle ->
+    combine -> reduce). Equivalence with the DataFrame wordcount
+    (q_text_wordcount) is asserted in tests/test_mr.py."""
+    from jsmr_spark.mr import wordcount
+
+    return wordcount(t(spark, sf_dir, "documents"))

@@ -1,1 +1,244 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7.2)."""
+"""Window functions (SURVEY.md §2.B "Window functions").
+
+Reference parity: JsMr expresses any per-key ordered computation as a
+reduce over the key's full value list (SURVEY.md §2.A A6) — ranking,
+running totals and lag/lead all require the user to sort inside
+reduce(). Here they are WindowExec: one hash exchange on the partition
+key, one in-partition sort, streaming frame evaluation — no per-key
+materialization of value lists.
+
+Every ORDER BY carries a unique tiebreak column (SURVEY.md §7.1.6) so
+rank/lag results are deterministic, and every frame is written out
+explicitly because engines disagree on default frames.
+
+Scale notes: all windows partition by a high-cardinality key
+(customer, user) — state per partition is one customer's orders, never
+global. The only global window (q_topk's rank) runs AFTER a limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+_O_PRICE_C = sql_cents("o_totalprice")
+
+
+@query(
+    "q_win_rank",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "q_win_percent",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 4) AS pct_rnk,
+           round(cume_dist() OVER w, 4) AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile (ratios of small ints — both
+    engines divide the same exact integers)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    """
+    SELECT event_id, user_id, ts,
+           lag(event_type, 1, 'none') OVER w AS prev_type,
+           lead(event_type, 1, 'none') OVER w AS next_type,
+           lag(event_id, 2) OVER w AS prev2_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead with defaults over per-user event timelines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+        F.lead("event_type", 1, "none").over(w).alias("next_type"),
+        F.lag("event_id", 2).over(w).alias("prev2_id"),
+    )
+
+
+@query(
+    "q_win_running",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           sum({_O_PRICE_C}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0::DOUBLE AS running_spend,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_orders
+    FROM orders
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals (exact cents sums — identical in any accumulation
+    order)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = t(spark, sf_dir, "orders").withColumn("price_c", cents(F.col("o_totalprice")))
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.sum("price_c").over(w) / 100.0).alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_orders"),
+    )
+
+
+@query(
+    "q_win_moving",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           sum({_O_PRICE_C}) OVER w / (100.0::DOUBLE * count(*) OVER w) AS moving_avg_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average, computed as exact-cents sum / count so the
+    engines cannot drift."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    df = t(spark, sf_dir, "orders").withColumn("price_c", cents(F.col("o_totalprice")))
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.sum("price_c").over(w) / (100.0 * F.count(F.lit(1)).over(w))).alias("moving_avg_price"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_10,
+           sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS qty_within_10
+    FROM lineitem
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering column — peers included by
+    value, so no tiebreak is needed for determinism."""
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_quantity"))
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within_10"),
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("qty_within_10"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    """
+    SELECT event_id, user_id, ts,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_user_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with an explicit full-partition frame
+    (default frames differ across engines — SURVEY.md §2.B)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_user_events"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) x
+    WHERE rnk <= 3
+    """,
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the grouped top-k pattern (rank +
+    filter). At scale this is the shuffle-once alternative to a
+    self-join top-k."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

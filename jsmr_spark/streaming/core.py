@@ -1,0 +1,160 @@
+"""Structured Streaming execution of the stream operators.
+
+The batch keys in queries/streaming_batch.py define the semantics and
+are oracle-checked; this module runs the SAME transformations under
+MicroBatchExecution with a file source, so that watermarks, state
+stores, and late-data policy are exercised for real:
+
+  * events are staged to a temp directory as K ordered parquet chunk
+    files (a deterministic replay of the stream, one file per trigger
+    via maxFilesPerTrigger=1);
+  * stateful aggregations run with withWatermark(); in append mode a
+    window only emits once the watermark passes its end;
+  * run_watermark_late_replay() appends a final chunk of deliberately
+    old rows — the state store drops them, which is the watermark
+    late-data contract (not expressible in batch; rows-only key).
+
+At production scale the file source becomes Kafka and the memory sink
+becomes a parquet/Delta sink — the query graph is unchanged. State
+size is bounded by (watermark horizon x active keys), not stream
+length.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.io import load_table
+
+
+def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bool) -> tuple[str, str]:
+    """Write events as ordered parquet chunks simulating arrival order.
+
+    Chunks 0..n-2 cover the stream in ascending ts order. If late_tail,
+    the final chunk replays the OLDEST rows again (severely late data);
+    otherwise it is just the last time-slice.
+    """
+    base = os.path.join(tempfile.gettempdir(), f"jsmr_stream_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()  # bounded replay harness (test fixture sizes only)
+    n_main = n_chunks - 1 if late_tail else n_chunks
+    per = max(1, len(rows) // n_main)
+    schema = ev.schema
+    for i in range(n_main):
+        chunk = rows[i * per : (i + 1) * per if i < n_main - 1 else len(rows)]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"chunk_{i:03d}")
+        )
+    if late_tail:
+        # Replay the oldest 50 rows after the watermark has advanced far
+        # beyond them -> guaranteed drop.
+        spark.createDataFrame(rows[:50], schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"chunk_{n_main:03d}")
+        )
+    return base, src_dir
+
+
+def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str) -> DataFrame:
+    """Run a file-source stream through `transform` into a memory sink,
+    one staged chunk per micro-batch, and return the final table."""
+    schema = spark.read.parquet(os.path.join(src_dir, "chunk_000")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "chunk_*"))
+    )
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_tumbling (append mode, watermark-gated
+    emission). With a closed input, emitted windows = batch windows for
+    every window whose end precedes the final watermark."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type",
+                    "n",
+                )
+            )
+
+        name = f"tumbling_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_dedup: withWatermark + dropDuplicates
+    over a replay where every chunk is delivered twice (at-least-once)."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
+    try:
+        # duplicate each chunk to simulate redelivery
+        for d in sorted(os.listdir(src)):
+            shutil.copytree(os.path.join(src, d), os.path.join(src, d + "_redeliver"))
+
+        def transform(stream: DataFrame) -> DataFrame:
+            return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+                "event_id", "user_id", "event_type", "ts"
+            )
+
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data policy demonstration (rows-only key): tumbling counts
+    with a 10-minute watermark over a replay whose final chunk re-sends
+    the oldest rows. Those rows are beyond the watermark when they
+    arrive and are dropped; the emitted counts therefore equal the
+    batch counts of the on-time prefix."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=9, late_tail=True)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n",
+                )
+            )
+
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

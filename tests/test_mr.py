@@ -1,0 +1,52 @@
+"""MR-compat API: Tier-A parity checks (SURVEY.md §2.A)."""
+
+from pyspark.sql import functions as F
+
+from jsmr_spark.io import load_table
+from jsmr_spark.mr import job, wordcount
+from tests.conftest import SF_DIR
+
+
+def test_mr_wordcount_equals_dataframe_wordcount(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    mr = {(r.token, r.cnt) for r in wordcount(docs).collect()}
+    df = {
+        (r.token, r.cnt)
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert mr == df and len(mr) > 0
+
+
+def test_mr_job_without_combiner(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = job(
+        docs,
+        map_fn=lambda row: [(row.lang, row.n_chars)],
+        reduce_fn=lambda key, values: [(key, len(values), sum(values))],
+        output_schema="lang string, n_docs long, total_chars long",
+    )
+    expect = {
+        (r.lang, r.n_docs, r.total_chars)
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    assert {(r.lang, r.n_docs, r.total_chars) for r in out.collect()} == expect
+
+
+def test_mr_job_chaining(spark):
+    """A8: output of job N is input of job N+1."""
+    docs = load_table(spark, SF_DIR, "documents")
+    counts = wordcount(docs)
+    by_len = job(
+        counts,
+        map_fn=lambda row: [(len(row.token), row.cnt)],
+        reduce_fn=lambda key, values: [(key, sum(values))],
+        combine_fn=lambda a, b: a + b,
+        output_schema="token_len long, total long",
+    )
+    rows = {(r.token_len, r.total) for r in by_len.collect()}
+    assert rows and all(l > 0 for l, _ in rows)

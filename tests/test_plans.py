@@ -1,0 +1,55 @@
+"""Physical-plan assertions (SURVEY.md §2.B notes, §7.4).
+
+Correctness says the operator works; these say it would still be the
+RIGHT plan at 100 TB: filters reach the parquet scan, projections
+prune columns, dimension joins broadcast, hinted strategies stick, and
+top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+from jsmr_spark.registry import get_query
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = get_query(name).fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q_scan_project")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan, plan
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in read and "l_shipdate" not in read, read
+
+
+def test_broadcast_join_strategy(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_smj_hint_sticks(spark):
+    assert "SortMergeJoin" in _plan(spark, "q_join_smj")
+
+
+def test_shuffle_hash_hint_sticks(spark):
+    plan = _plan(spark, "q_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_partial_aggregation(spark):
+    """Q1 must partial-aggregate before the exchange (map-side combine)."""
+    plan = _plan(spark, "q_agg_q1")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_similarity_probe_is_broadcast(spark):
+    plan = _plan(spark, "q_sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
