@@ -19,15 +19,19 @@ inventory sections:
 
 from jsmr_spark.queries import (  # noqa: F401
     aggregates,
+    ann,
     dedup,
+    dedup_extra,
     filters,
     joins,
+    multimodal_blob,
     scalar_funcs,
     scans,
     similarity,
     sorts_setops,
     streaming_batch,
     text,
+    text_extra,
     udfs,
     windows,
 )

@@ -1,0 +1,225 @@
+"""Additional near-duplicate detectors: SimHash, blocked n-gram
+Jaccard, and embedding-cosine near-dup (driver mandate; complements
+the MinHash-LSH pipeline in dedup.py).
+
+Each detector has a different recall/cost envelope:
+  * SimHash — one 16-bit signature per doc, near-dups = small Hamming
+    distance; cheapest at scale (signature join / multi-index).
+  * Blocked n-gram Jaccard — exact Jaccard but only within
+    (lang, source) blocks: the blocking-key pattern that turns O(n^2)
+    into sum-of-block^2.
+  * Embedding cosine — semantic near-dup; threshold tuned to the
+    synthetic corpus (max pairwise cosine here is ~0.6; real corpora
+    use ~0.95).
+
+Portability: token/shingle hashes reuse dedup.hex12_sql (md5-derived,
+engine-neutral); Hamming distance is bit_count(a XOR b) on both
+engines; cosine reuses the explicit double dot product from
+similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import r4
+from jsmr_spark.queries.common import t
+from jsmr_spark.queries.dedup import hex12_sql
+from jsmr_spark.queries.similarity import _dot, _norm
+from jsmr_spark.registry import query
+
+SIMHASH_BITS = 16
+HAMMING_MAX = 3
+NGRAM_JACCARD_MIN = 0.8
+EMB_COS_MIN = 0.5
+
+# `//` is DuckDB integer division; bare `/` would be float division.
+_BITS_SQL = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (hv // CAST({1 << j} AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+    tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+    ),
+    hv AS (SELECT doc_id, token, {hex12_sql("md5(token)")} AS hv FROM tok),
+    sig AS (
+      SELECT doc_id, {_BITS_SQL} AS simhash
+      FROM hv GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q_dedup_simhash",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit majority-vote signature over token
+    hashes; pairs within Hamming distance 3. (Integer-only pipeline —
+    bit-exact across engines.)"""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    hv = tok.withColumn("hv", F.expr(hex12_sql("md5(token)")))
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.expr(f"hv DIV {1 << j}") % 2 == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << j).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sig = hv.groupBy("doc_id").agg(*bit_cols)
+    total = sig.select(
+        "doc_id", sum([F.col(f"b{j}") for j in range(SIMHASH_BITS)], F.lit(0).cast("long")).alias("simhash")
+    )
+    a = total.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = total.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+_NGRAM_CTE = """
+    docs AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    gr AS (
+      SELECT DISTINCT doc_id, lang, source, sg FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(s[1:len(s)-1], (x, i) -> concat(x, ' ', s[i+1]))) AS sg
+        FROM docs) u
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id)
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM gr a JOIN gr b
+        ON a.lang = b.lang AND a.source = b.source AND a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+           i.n_common / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {NGRAM_JACCARD_MIN}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard within (lang, source) blocks — the
+    blocking-key alternative to LSH candidate generation."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", F.split("text", " ").alias("s"))
+        .filter(F.size("s") >= 2)
+    )
+    gr = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
+                )
+            ).alias("sg"),
+        )
+        .distinct()
+    )
+    sizes = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    b = gr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("sg").alias("sg_b"),
+    )
+    inter = (
+        gr.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("sg") == F.col("sg_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT p.doc_a, p.doc_b, p.cos_sim, da.lang AS lang_a, db.lang AS lang_b
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.cos_sim >= {EMB_COS_MIN}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: embedding-cosine pairs over the threshold,
+    annotated with the documents' languages (multimodal join of the
+    dedup decision back to text metadata)."""
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
+    sim = r4(_dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= EMB_COS_MIN)
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return pairs.join(da, "doc_a").join(db, "doc_b").select(
+        "doc_a", "doc_b", "cos_sim", "lang_a", "lang_b"
+    )

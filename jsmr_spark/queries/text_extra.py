@@ -1,0 +1,248 @@
+"""Extended text-analysis operators for training-data pipelines:
+language ID, quality scoring, BPE-ish token counting, and document
+fingerprinting (driver mandate; beyond the SURVEY.md §2.B core).
+
+All heuristics are corpus-derived (no external models exist in this
+environment), fully deterministic, and expressed identically on both
+engines:
+  * language-ID scores each document against per-language top-token
+    profiles learned from the corpus itself;
+  * quality scoring combines type-token ratio, stopword ratio and
+    length signals (the usual pre-training filters);
+  * token counting uses a BPE-ish regex segmentation ([a-z]+ / digit
+    runs / single non-space) next to whitespace tokens;
+  * fingerprinting is a bottom-k sketch of shingle hashes (the
+    winnowing idea) serialized to a join-friendly string.
+
+Scale notes: profiles/stopwords are tiny aggregates (broadcast);
+everything else is narrow per-row work or a keyed aggregate. This is
+the shape that survives 100 TB: no collect, no all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.queries.common import t
+from jsmr_spark.queries.dedup import hex12_sql
+from jsmr_spark.registry import query
+
+N_PROFILE = 20  # top tokens per language profile
+N_STOP = 10  # global stopword list size
+BOTTOM_K = 4  # fingerprint sketch size
+
+_LANGID_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    profile AS (
+      SELECT lang AS p_lang, token FROM (
+        SELECT lang, token, row_number() OVER (
+          PARTITION BY lang ORDER BY count(*) DESC, token) AS rnk
+        FROM tok GROUP BY lang, token) x
+      WHERE rnk <= {N_PROFILE}
+    ),
+    scores AS (
+      SELECT tok.doc_id, profile.p_lang, count(*) AS hits
+      FROM tok JOIN profile ON tok.token = profile.token
+      GROUP BY tok.doc_id, profile.p_lang
+    ),
+    best AS (
+      SELECT doc_id, p_lang AS predicted_lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rnk
+      FROM scores
+    )
+    SELECT d.doc_id, d.lang AS actual_lang, b.predicted_lang, b.hits,
+           (d.lang = b.predicted_lang) AS correct
+    FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
+"""
+
+
+@query("q_text_langid", _LANGID_ORACLE)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language identification: score docs against
+    per-language top-20 token profiles, predict argmax."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    profile = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= N_PROFILE)
+        .select(F.col("lang").alias("p_lang"), "token")
+    )
+    scores = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("p_lang"))
+    best = (
+        scores.withColumn("rnk", F.row_number().over(w_best))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted_lang"), "hits")
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(best, "doc_id")
+        .withColumn("correct", F.col("actual_lang") == F.col("predicted_lang"))
+        .select("doc_id", "actual_lang", "predicted_lang", "hits", "correct")
+    )
+
+
+_QUALITY_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    stop AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+        FROM tok GROUP BY token) x
+      WHERE rnk <= {N_STOP}
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             count(DISTINCT t.token) AS n_distinct,
+             count(CASE WHEN s.token IS NOT NULL THEN 1 END) AS n_stop
+      FROM tok t LEFT JOIN stop s ON t.token = s.token
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, p.n_tokens, p.n_distinct, p.n_stop,
+           CAST(p.n_distinct AS DOUBLE) / p.n_tokens AS ttr,
+           CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stop_ratio,
+           CAST(d.n_chars AS DOUBLE) / p.n_tokens AS avg_token_chars,
+           (CAST(p.n_distinct AS DOUBLE) / p.n_tokens) * 0.5
+             + (CAST(p.n_stop AS DOUBLE) / p.n_tokens) * 0.3
+             + (CASE WHEN p.n_tokens >= 50 THEN 0.2 ELSE 0.0 END) AS quality_score
+    FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@query("q_text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality filters: type-token ratio, stopword ratio,
+    length prior, combined score (identical double arithmetic both
+    engines — ratios of exact ints, fixed combination order)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    w_stop = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    stop = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w_stop))
+        .filter(F.col("rnk") <= N_STOP)
+        .select("token", F.lit(1).alias("is_stop"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(stop), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+            F.count("is_stop").alias("n_stop"),
+        )
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "n_stop",
+            ttr.alias("ttr"),
+            stop_ratio.alias("stop_ratio"),
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_chars"),
+            (
+                ttr * 0.5
+                + stop_ratio * 0.3
+                + F.when(F.col("n_tokens") >= 50, 0.2).otherwise(0.0)
+            ).alias("quality_score"),
+        )
+    )
+
+
+@query(
+    "q_text_token_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_runs,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols
+    FROM documents
+    """,
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs BPE-ish regex segmentation
+    (letter runs / digit runs / single symbols) — the cheap proxy for
+    tokenizer cost estimation over a corpus."""
+    txt = F.col("text")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(txt, " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[0-9]+"), F.lit(0))).cast("long").alias("n_number_runs"),
+        F.size(F.regexp_extract_all(txt, F.lit(r"[^a-z0-9 ]"), F.lit(0))).cast("long").alias("n_symbols"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
+    ranked AS (
+      SELECT doc_id, hv,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hv, sg) AS rnk
+      FROM hv
+    ),
+    fp AS (
+      SELECT doc_id,
+             array_to_string(list(CAST(hv AS VARCHAR) ORDER BY hv), ',') AS fingerprint
+      FROM ranked WHERE rnk <= {BOTTOM_K}
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.fingerprint,
+           count(*) OVER (PARTITION BY f.fingerprint) AS n_docs_sharing
+    FROM fp f
+"""
+
+
+@query("q_text_fingerprint", _FINGERPRINT_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: bottom-4 sketch of shingle hashes joined to
+    a string key; sharing count flags near-identical documents (the
+    join-key form of MinHash dedup)."""
+    from jsmr_spark.queries.dedup import _shingles
+
+    hv = _shingles(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("hv", "sg")
+    fp = (
+        hv.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BOTTOM_K)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("hv")).cast("array<string>"), ",").alias(
+                "fingerprint"
+            )
+        )
+    )
+    return fp.withColumn(
+        "n_docs_sharing", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    )

@@ -34,6 +34,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+# Applied alongside RUNTIME_CONFS when the session is driver-owned: a
+# vanilla session defaults to 200 shuffle partitions, which at bench
+# scale is pure task-scheduling overhead (on a real cluster this is
+# instead sized to ~2-3x total executor cores).
+_ADAPTIVE_CONFS = {
+    "spark.sql.shuffle.partitions": lambda: str(default_parallelism()),
+}
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -72,5 +80,10 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Immutable in this deployment; reads must cope (io.py has a
             # fallback path for events if nanosAsLong can't be set).
+            pass
+    for k, fv in _ADAPTIVE_CONFS.items():
+        try:
+            spark.conf.set(k, fv())
+        except Exception:
             pass
     return spark

@@ -1,0 +1,61 @@
+"""Full M9 measurement: every oracle-keyed query on Spark (warm) and
+DuckDB at a given SF dir; writes BENCH.md (BASELINE.md protocol)."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from jsmr_spark.io import TABLES
+from jsmr_spark.registry import all_specs
+from jsmr_spark.session import get_spark
+
+
+def timed(fn, runs=3):
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    spark = get_spark("jsmr_bench_all")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    specs = all_specs()
+    # warm up JVM
+    specs["q_agg_q1"].fn(spark, SF_DIR).collect()
+
+    rows = []
+    for name, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        duck_s = timed(lambda: con.execute(spec.oracle).fetchall())
+        spark_s = timed(lambda: spec.fn(spark, SF_DIR).collect())
+        ratio = spark_s / duck_s if duck_s > 0 else float("inf")
+        rows.append((name, duck_s, spark_s, ratio))
+        print(f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s ratio={ratio:6.2f}", flush=True)
+
+    rows.sort(key=lambda r: -r[3])
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+        f.write(f"# BENCH — measured at {SF_DIR} (best of 3, warm shared session, local[{os.cpu_count()}])\n\n")
+        f.write("Protocol: BASELINE.md. Sorted by ratio (spark/duckdb), worst first.\n\n")
+        f.write("| key | duckdb_s | spark_s | ratio |\n|---|---|---|---|\n")
+        for name, d, s, r in rows:
+            f.write(f"| {name} | {d:.3f} | {s:.3f} | {r:.2f} |\n")
+        tot_d = sum(r[1] for r in rows); tot_s = sum(r[2] for r in rows)
+        f.write(f"| **TOTAL** | {tot_d:.3f} | {tot_s:.3f} | {tot_s/tot_d:.2f} |\n")
+    print(json.dumps({"total_duck": round(tot_d,3), "total_spark": round(tot_s,3), "n": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()
