@@ -6,8 +6,8 @@ runs, shared SparkSession, AQE on), and prints exactly one JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Execution is measured as a full collect of the query result — the same
-thing the driver's correctness pass does — so scan + shuffle + agg all
+Execution is measured as full materialization of the query result to
+the client (Arrow toPandas), so scan + shuffle + agg + transfer all
 count.
 """
 
@@ -47,14 +47,14 @@ def main() -> None:
     names = [n for n in HEADLINE if n in specs] or list(specs)[:5]
 
     # Warm the JVM + parquet footers once; not counted.
-    specs["q_agg_q1"].fn(spark, sf_dir).collect()
+    specs["q_agg_q1"].fn(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
+            specs[name].fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)

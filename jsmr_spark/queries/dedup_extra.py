@@ -3,7 +3,7 @@ Jaccard, and embedding-cosine near-dup (driver mandate; complements
 the MinHash-LSH pipeline in dedup.py).
 
 Each detector has a different recall/cost envelope:
-  * SimHash — one 16-bit signature per doc, near-dups = small Hamming
+  * SimHash — one 32-bit signature per doc, near-dups = small Hamming
     distance; cheapest at scale (signature join / multi-index).
   * Blocked n-gram Jaccard — exact Jaccard but only within
     (lang, source) blocks: the blocking-key pattern that turns O(n^2)
@@ -23,13 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jsmr_spark.compat import r4
 from jsmr_spark.queries.common import t
 from jsmr_spark.queries.dedup import hex12_sql
-from jsmr_spark.queries.similarity import _dot, _norm
 from jsmr_spark.registry import query
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 HAMMING_MAX = 3
 NGRAM_JACCARD_MIN = 0.8
 EMB_COS_MIN = 0.5
@@ -42,11 +40,18 @@ _BITS_SQL = " + ".join(
 )
 
 _SIMHASH_CTE = f"""
-    tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
     ),
-    hv AS (SELECT doc_id, token, {hex12_sql("md5(token)")} AS hv FROM tok),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
     sig AS (
       SELECT doc_id, {_BITS_SQL} AS simhash
       FROM hv GROUP BY doc_id
@@ -66,12 +71,15 @@ _SIMHASH_CTE = f"""
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit majority-vote signature over token
-    hashes; pairs within Hamming distance 3. (Integer-only pipeline —
-    bit-exact across engines.)"""
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
-    hv = tok.withColumn("hv", F.expr(hex12_sql("md5(token)")))
+    """SimHash near-dup: 32-bit majority-vote signature over 3-token
+    shingle hashes; pairs within Hamming distance 3. (Integer-only
+    pipeline — bit-exact across engines. 16-bit/token-level signatures
+    were measured too collision-prone: shared vocabulary correlates the
+    majority votes; 32 bits over shingles gives ~1e-6 random collision
+    probability at this hamming radius.)"""
+    from jsmr_spark.queries.dedup import _shingles
+
+    hv = _shingles(spark, sf_dir)
     bit_cols = [
         F.when(
             F.sum(
@@ -187,14 +195,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embedding",
     f"""
-    WITH pairs AS (
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              round(list_aggregate(list_transform(a.embedding, (x, i) ->
                        CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-               / (sqrt(list_aggregate(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                  * sqrt(list_aggregate(list_transform(b.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)
-               AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               / (a.nrm * b.nrm), 4) AS cos_sim
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
     )
     SELECT p.doc_a, p.doc_b, p.cos_sim, da.lang AS lang_a, db.lang AS lang_b
     FROM pairs p
@@ -207,16 +219,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: embedding-cosine pairs over the threshold,
     annotated with the documents' languages (multimodal join of the
     dedup decision back to text metadata)."""
+    from jsmr_spark.vectorized import block_cosine_pairs
+
     emb = t(spark, sf_dir, "embeddings")
     docs = t(spark, sf_dir, "documents")
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
-    sim = r4(_dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= EMB_COS_MIN)
+    pairs = block_cosine_pairs(emb, EMB_COS_MIN).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("sim").alias("cos_sim"),
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))

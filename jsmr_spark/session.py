@@ -64,6 +64,12 @@ def get_spark(app_name: str = "jsmr_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bench-scale files are ~10-60MB: at the 128MB default every scan
+        # is a single task and 31 cores idle until the first exchange.
+        # 8MB splits parallelize the scan; on a production cluster the
+        # default (or larger) is correct — this is local-mode sizing.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,116 @@
+"""Edge-case unit tests on tiny in-memory frames (SURVEY.md §5.2.3):
+nulls, empty inputs, ties, unicode, empty arrays — the cases the
+null-free fixtures never exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.mr import job
+
+
+def test_agg_over_empty_input(spark):
+    df = spark.createDataFrame([], "k string, v double")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.avg("v").alias("a")
+    ).collect()[0]
+    assert row.n == 0 and row.s is None and row.a is None
+
+
+def test_groupby_skips_nothing_on_empty(spark):
+    df = spark.createDataFrame([], "k string, v double")
+    assert df.groupBy("k").count().count() == 0
+
+
+def test_null_keys_group_together(spark):
+    df = spark.createDataFrame([(None, 1), (None, 2), ("a", 3)], "k string, v int")
+    rows = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert rows[None] == 3 and rows["a"] == 3
+
+
+def test_null_join_keys_never_match(spark):
+    left = spark.createDataFrame([(None, 1), ("a", 2)], "k string, v int")
+    right = spark.createDataFrame([(None, 10), ("a", 20)], "k string, w int")
+    assert left.join(right, "k").count() == 1  # only 'a'
+    assert left.join(right, "k", "left").count() == 2  # null row survives with null w
+
+
+def test_window_rank_ties(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 1), ("c", 2)], "id string, v int")
+    w = Window.orderBy("v")
+    out = {r.id: (r.rnk, r.drnk) for r in df.select(
+        "id", F.rank().over(w).alias("rnk"), F.dense_rank().over(w).alias("drnk")
+    ).collect()}
+    assert out["a"] == (1, 1) and out["b"] == (1, 1) and out["c"] == (3, 2)
+
+
+def test_unicode_strings_survive_roundtrip(spark, tmp_path):
+    data = [("héllo wörld", 1), ("中文 文本", 2), ("emoji 🙂 text", 3)]
+    df = spark.createDataFrame(data, "text string, id int")
+    path = str(tmp_path / "unicode_parquet")
+    df.write.parquet(path)
+    back = {r.text for r in spark.read.parquet(path).collect()}
+    assert back == {d[0] for d in data}
+    toks = spark.createDataFrame(data, "text string, id int").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    assert "中文" in {r.tok for r in toks.collect()}
+
+
+def test_empty_and_null_arrays(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [1.0, 2.0])], "id int, arr array<double>"
+    )
+    rows = {r.id: (r.n, r.s) for r in df.select(
+        "id",
+        F.size("arr").alias("n"),
+        F.aggregate("arr", F.lit(0.0), lambda a, x: a + x).alias("s"),
+    ).collect()}
+    assert rows[1] == (0, 0.0)
+    assert rows[2] == (None, None)  # ANSI mode: size(NULL) is NULL
+    assert rows[3] == (2, 3.0)
+
+
+def test_dropduplicates_on_true_duplicates_is_deterministic(spark):
+    df = spark.createDataFrame([(1, "x")] * 5 + [(2, "y")] * 3, "id int, v string")
+    out = sorted((r.id, r.v) for r in df.dropDuplicates(["id"]).collect())
+    assert out == [(1, "x"), (2, "y")]
+
+
+def test_mr_job_empty_input(spark):
+    df = spark.createDataFrame([], "text string")
+    out = job(
+        df,
+        map_fn=lambda row: [(row.text, 1)],
+        reduce_fn=lambda k, vs: [(k, sum(vs))],
+        output_schema="token string, cnt long",
+    )
+    assert out.count() == 0
+
+
+def test_minhash_handles_short_docs(spark):
+    """Docs with <3 tokens produce no shingles and silently drop out
+    (guarded in dedup._shingles) instead of erroring on sequence(1,0)."""
+    from jsmr_spark.queries.dedup import _shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d"), (3, "solo")], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("_short_docs")
+    # _shingles reads via load_table; emulate its core expression directly
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+            )
+        ).alias("sg"),
+    )
+    got = {(r.doc_id, r.sg) for r in sh.collect()}
+    assert got == {(2, "a b c"), (2, "b c d")}

@@ -1,0 +1,125 @@
+"""Property-based algebraic invariants (SURVEY.md §5.2.4).
+
+Hypothesis drives small random datasets through the engine; each
+property is an algebraic identity that must hold for ANY input, which
+catches operator-semantics bugs the fixture-based differential tests
+cannot (they only see one dataset).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+        st.sampled_from(["a", "b", "c", "ünï", ""]),  # tag (incl. unicode/empty)
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v int, tag string")
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_filter_conjunction_splits(spark, rows):
+    df = _df(spark, rows)
+    both = df.filter((F.col("v") > 0) & (F.col("k") < 3)).count()
+    chained = df.filter(F.col("v") > 0).filter(F.col("k") < 3).count()
+    assert both == chained
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_union_all_counts_add(spark, rows):
+    df = _df(spark, rows)
+    assert df.unionAll(df).count() == 2 * df.count()
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_semi_join_equals_filtered_distinct(spark, rows):
+    df = _df(spark, rows)
+    right = df.filter(F.col("v") > 0).select("k").distinct()
+    semi = df.join(right, "k", "left_semi").count()
+    inner_distinct = (
+        df.join(right.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk")).count()
+    )
+    assert semi == inner_distinct  # right side is distinct -> no fanout
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_anti_plus_semi_partition(spark, rows):
+    df = _df(spark, rows)
+    right = df.filter(F.col("v") % 2 == 0).select("k").distinct()
+    semi = df.join(right, "k", "left_semi").count()
+    anti = df.join(right, "k", "left_anti").count()
+    assert semi + anti == df.count()
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_groupby_sum_equals_total(spark, rows):
+    df = _df(spark, rows)
+    total = df.agg(F.coalesce(F.sum("v"), F.lit(0))).collect()[0][0]
+    by_key = df.groupBy("k").agg(F.sum("v").alias("s")).agg(
+        F.coalesce(F.sum("s"), F.lit(0))
+    ).collect()[0][0]
+    assert total == by_key
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_row_number_is_permutation(spark, rows):
+    from pyspark.sql import Window
+
+    df = _df(spark, rows)
+    w = Window.partitionBy("k").orderBy("v", "tag")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    per_key = rn.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx"))
+    assert per_key.filter(F.col("n") != F.col("mx")).count() == 0
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_exceptall_multiset_identity(spark, rows):
+    df = _df(spark, rows)
+    assert df.exceptAll(df).count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_mr_wordcount_matches_dataframe_on_random_corpora(spark, texts):
+    from jsmr_spark.mr import wordcount
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    mr = {(r.token, r.cnt) for r in wordcount(df).collect()}
+    exp = {
+        (r.token, r.cnt)
+        for r in df.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert mr == exp

@@ -39,8 +39,8 @@ def main():
     for name, spec in specs.items():
         if spec.oracle is None:
             continue
-        duck_s = timed(lambda: con.execute(spec.oracle).fetchall())
-        spark_s = timed(lambda: spec.fn(spark, SF_DIR).collect())
+        duck_s = timed(lambda: con.execute(spec.oracle).df())
+        spark_s = timed(lambda: spec.fn(spark, SF_DIR).toPandas())
         ratio = spark_s / duck_s if duck_s > 0 else float("inf")
         rows.append((name, duck_s, spark_s, ratio))
         print(f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s ratio={ratio:6.2f}", flush=True)
