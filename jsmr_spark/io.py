@@ -62,7 +62,20 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+# session id -> sf_dir whose views are currently registered; avoids
+# re-reading 10 parquet footers on every spark.sql-based query.
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views (for spark.sql paths)."""
+    """Register all fixture tables as temp views (for spark.sql paths).
+
+    Memoized per (session, sf_dir): repeated calls with the same scale
+    dir are no-ops; a different sf_dir re-registers (the driver runs
+    several scale factors through one session)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir

@@ -158,3 +158,86 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_stream(spark, src, transform, name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_session: session_window + watermark in
+    append mode — sessions emit once the watermark passes their close."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    "user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events",
+                )
+            )
+
+        name = f"session_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cumulative
+    per-user event count + exact cents spend, updated every micro-batch.
+
+    This is the escape hatch for stateful logic that session/tumbling
+    windows cannot express (JsMr parity: arbitrary user reduce state,
+    SURVEY.md §2.A A11) — user state lives in the state store, bounded
+    by active keys, emitted in update mode each batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        def update_totals(key, pdfs, state: GroupState):
+            (user_id,) = key
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().sum())
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "spend": [cents / 100.0]}
+            )
+
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.select("user_id", "ts", "value")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    update_totals,
+                    outputStructType="user_id long, n_events long, spend double",
+                    stateStructType="n long, cents long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "chunk_*"))
+        )
+        name = f"stateful_{uuid.uuid4().hex[:8]}"
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

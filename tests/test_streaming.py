@@ -57,3 +57,45 @@ def test_watermark_drops_late_replay(spark):
     assert emitted, "nothing emitted"
     for key, n in emitted.items():
         assert n <= batch[key], f"late rows double-counted in {key}"
+
+
+def test_session_stream_sessions_match_batch(spark):
+    from jsmr_spark.streaming.core import run_session_stream
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in run_session_stream(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in get_query("q_stream_session").fn(spark, SF_DIR).collect()
+    }
+    assert streamed, "no sessions emitted"
+    for key, n in streamed.items():
+        assert batch.get(key) == n, f"session {key}: stream={n} batch={batch.get(key)}"
+
+
+def test_stateful_counter_final_state_equals_batch(spark):
+    from jsmr_spark.streaming.core import run_stateful_counter_stream
+
+    out = run_stateful_counter_stream(spark, SF_DIR)
+    # update mode emits one row per user per batch; the max is the final state
+    final = {
+        r.user_id: (r.n_events, r.spend)
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("spend").alias("spend"))
+        .collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {
+        r.user_id: (r.n, round(r.c / 100.0, 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for uid, (n, spend) in final.items():
+        assert (n, round(spend, 2)) == batch[uid], f"user {uid}"
