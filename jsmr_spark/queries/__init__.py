@@ -25,6 +25,7 @@ from jsmr_spark.queries import (  # noqa: F401
     filters,
     joins,
     multimodal_blob,
+    pivot_bucket,
     scalar_funcs,
     scans,
     similarity,
