@@ -59,15 +59,36 @@ _SIMHASH_CTE = f"""
 """
 
 
+# Pigeonhole blocking (Manku et al.): with the 32-bit signature split
+# into 4 byte blocks, any pair within Hamming distance 3 shares at
+# least one identical block — candidates come from an EQUI-join on
+# (block index, block value) instead of an O(n^2) nested-loop over
+# signatures. Result set is provably unchanged.
+_N_BLOCKS = 4
+_BLOCK_BITS = SIMHASH_BITS // _N_BLOCKS
+_ORACLE_BLOCKS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, simhash, {j} AS blk, (simhash // CAST({1 << (_BLOCK_BITS * j)} AS BIGINT)) % {1 << _BLOCK_BITS} AS bval FROM sig"
+    for j in range(_N_BLOCKS)
+)
+
+
 @query(
     "q_dedup_simhash",
     f"""
-    WITH {_SIMHASH_CTE}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.simhash AS sim_a, b.simhash AS sim_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    WITH {_SIMHASH_CTE},
+    blocks AS (
+      {_ORACLE_BLOCKS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, sim_a, sim_b,
+           bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,12 +117,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sig.select(
         "doc_id", sum([F.col(f"b{j}") for j in range(SIMHASH_BITS)], F.lit(0).cast("long")).alias("simhash")
     )
-    a = total.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = total.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    # Pigeonhole blocking: equi-join candidates on one-of-4 byte blocks
+    # (see oracle comment) — no nested-loop, shuffle keyed on (blk, bval).
+    blocks = None
+    for j in range(_N_BLOCKS):
+        bf = total.select(
+            "doc_id",
+            "simhash",
+            F.lit(j).alias("blk"),
+            (F.expr(f"simhash DIV {1 << (_BLOCK_BITS * j)}") % (1 << _BLOCK_BITS)).alias("bval"),
+        )
+        blocks = bf if blocks is None else blocks.unionByName(bf)
+    b2 = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("bval").alias("bval_b"),
+    )
+    cand = (
+        blocks.join(
+            b2,
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("bval") == F.col("bval_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("simhash").alias("sim_a"),
+            "sim_b",
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming.cast("int"))
+        cand.withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
     )

@@ -1,0 +1,85 @@
+"""Audit every registered query's physical plan for scale red flags
+(the `.explain` discipline from the build mandate) and write PLANS.md.
+
+Checked per query:
+  * parquet pushdown: scans with filters must show PushedFilters;
+  * row-at-a-time Python UDF (BatchEvalPython) anywhere — only allowed
+    in the keys that exist to demonstrate that surface;
+  * CartesianProduct / BroadcastNestedLoop on non-tiny inputs — only
+    allowed where the operator is genuinely non-equi;
+  * exchange count — informational (shuffle budget of the plan).
+
+Exit code is nonzero if an unexpected red flag appears, so this can
+gate commits.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Keys whose purpose is the flagged construct.
+ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_api",
+                "q_multimodal_decode", "q_sim_threshold_pairs", "q_dedup_embedding",
+                "stream_watermark_late"}
+ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
+                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf"}
+
+
+def main() -> int:
+    from jsmr_spark.registry import all_specs
+    from jsmr_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows, bad = [], []
+    for name, spec in all_specs().items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # sinks etc. that execute eagerly still return a DF
+            rows.append((name, "-", "-", "-", f"(no static plan: {type(ex).__name__})"))
+            continue
+        n_exchange = plan.count("Exchange")
+        has_pushdown = "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan)
+        py_udf = "BatchEvalPython" in plan
+        nested = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        flags = []
+        if py_udf and name not in ALLOW_PY_UDF:
+            flags.append("UNEXPECTED row-Python")
+        if nested and name not in ALLOW_NESTED_LOOP:
+            flags.append("UNEXPECTED nested-loop")
+        if flags:
+            bad.append((name, flags))
+        rows.append(
+            (
+                name,
+                str(n_exchange),
+                "y" if has_pushdown else "-",
+                ("py" if py_udf else "") + ("+nl" if nested else ""),
+                "; ".join(flags) if flags else "ok",
+            )
+        )
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("# PLANS — physical-plan audit (tools/plan_audit.py, sf0.001)\n\n")
+        f.write("Exchanges = shuffle stages in the plan. pushdown = parquet\n")
+        f.write("PushedFilters present. flags: py = Python eval in plan, nl =\n")
+        f.write("nested-loop join (allowed only where the operator demands it).\n\n")
+        f.write("| key | exchanges | pushdown | flags | verdict |\n|---|---|---|---|---|\n")
+        for r in rows:
+            f.write("| " + " | ".join(r) + " |\n")
+    print(f"{len(rows)} plans audited, {len(bad)} unexpected flags")
+    for name, flags in bad:
+        print(f"  BAD {name}: {flags}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
