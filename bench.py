@@ -28,6 +28,7 @@ HEADLINE = [
     "q_text_tfidf",
     "q_dedup_minhash",
     "q_sim_cosine_topk",
+    "q_sim_threshold_pairs",
     "q_json_funcs",
 ]
 

@@ -141,12 +141,13 @@ _MINHASH_ORACLE = f"""
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b AND y.sg = x.sg
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND y.hv = x.hv
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b, i.n_common,
@@ -194,12 +195,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sx = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
-    sy = sh.select(F.col("doc_id").alias("sy_doc"), F.col("sg").alias("sg_b"))
+    # Set intersection runs over the 48-bit shingle hashes, not the
+    # shingle strings: the shuffle moves 8-byte keys instead of ~20-byte
+    # strings and the join compares longs. The oracle does the same, so
+    # parity is exact (md5-derived hv collisions are ~2^-48 and would
+    # hit both engines identically anyway).
+    shd = sh.select("doc_id", "hv").distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sx = shd.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("hv_a"))
+    sy = shd.select(F.col("doc_id").alias("sy_doc"), F.col("hv").alias("hv_b"))
     inter = (
         cand.join(sx, "doc_a")
-        .join(sy, (F.col("doc_b") == F.col("sy_doc")) & (F.col("sg_b") == F.col("sg_a")))
+        .join(sy, (F.col("doc_b") == F.col("sy_doc")) & (F.col("hv_b") == F.col("hv_a")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
