@@ -25,6 +25,7 @@ from jsmr_spark.queries import (  # noqa: F401
     filters,
     joins,
     multimodal_blob,
+    pipeline,
     pivot_bucket,
     scalar_funcs,
     scans,

@@ -165,21 +165,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH (16 hashes, 4 bands x 4),
     verified with exact shingle-set Jaccard >= 0.8."""
     sh = _shingles(spark, sf_dir).cache()
-    mh = sh.groupBy("doc_id").agg(*_minhash_cols())
+    # mh is cached because the band self-join references it on BOTH
+    # sides: without the cache the 16-min aggregation re-executes once
+    # per plan branch (measured 8x = ~3s of the ~4s total at sf0.1).
+    # 5000 rows x 17 longs — negligible memory at any scale where the
+    # signature table fits the cluster (it's n_docs rows, not shingles).
+    mh = sh.groupBy("doc_id").agg(*_minhash_cols()).cache()
 
-    band_frames = [
-        mh.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("bkey"),
-        )
-        for band in range(N_BANDS)
-    ]
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    # One posexplode emits all 4 band keys per doc in a single pass over
+    # mh (the 4-way union form evaluated mh once per branch).
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
 
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("bkey").alias("bkey_b")

@@ -1,0 +1,324 @@
+"""Training-data pipeline operators (round-1 addendum, SURVEY.md §2.C):
+deterministic corpus splits, stratified sampling, column profiling,
+dedup cluster formation, and partition-pruned sinks.
+
+These are the ops a 100 TB pretraining pipeline runs AFTER the
+detectors in dedup.py / dedup_extra.py: turn pair lists into clusters
+and keep/drop decisions, carve reproducible train/val/test splits,
+rebalance languages, and profile data quality — each expressed so the
+work is one or two keyed shuffles, never a driver-side pass.
+
+Portability: all randomness is the portable md5-derived hash
+(dedup.hex12_sql) over the doc_id string, so Spark and DuckDB assign
+every row to the same bucket and the "random" split/sample is
+bit-reproducible across engines, runs, and cluster sizes — exactly the
+property a training pipeline needs for held-out contamination control.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.queries.common import t
+from jsmr_spark.queries.dedup import hex12_sql
+from jsmr_spark.queries.dedup_extra import EMB_COS_MIN
+from jsmr_spark.registry import query
+
+# Split fractions (percent of the 0..99 hash space).
+TRAIN_PCT = 80
+VAL_PCT = 10  # buckets [80, 90); test gets the rest
+
+# Stratified sampling: downsample the dominant language hard, keep the
+# tail at a higher rate (the usual rebalancing move).
+MAJOR_LANG = "en"
+MAJOR_PCT = 5
+MINOR_PCT = 25
+
+
+def _bucket_sql(id_cast: str) -> str:
+    """0..99 bucket from the portable hash of the id's decimal string."""
+    return f"({hex12_sql(f'md5({id_cast})')} % 100)"
+
+
+# Spark spells the cast `string`, DuckDB spells it `varchar`; the
+# decimal text and the md5 of it are identical.
+_BUCKET_SPARK = _bucket_sql("cast(doc_id as string)")
+_BUCKET_DUCK = _bucket_sql("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_split_train",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, text, {_BUCKET_DUCK} AS bucket FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                  WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, len(string_split(text, ' ')) AS n_tokens
+      FROM b
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+    FROM s GROUP BY split
+    """,
+)
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by portable hash of
+    doc_id — reproducible across engines, runs, and cluster sizes (no
+    `rand()`: a reshuffled or rescaled rerun must not move documents
+    across the contamination boundary). Pure narrow map + one hash-agg."""
+    b = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    s = b.select(
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+        "lang",
+        "n_tokens",
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    f"""
+    WITH b AS (
+      SELECT lang, {_BUCKET_DUCK} AS bucket,
+             CASE WHEN lang = '{MAJOR_LANG}' THEN {MAJOR_PCT} ELSE {MINOR_PCT} END AS pct
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS n_sampled,
+           round(CAST(sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS sample_rate
+    FROM b GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (downsample the dominant language, keep the tail) via the same
+    portable hash bucket as q_split_train. One narrow map + hash-agg;
+    at 100 TB the sample materializes with a `bucket < pct` filter that
+    is pushed into the scan when the bucket is a persisted column."""
+    b = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.when(F.col("lang") == MAJOR_LANG, MAJOR_PCT).otherwise(MINOR_PCT).alias("pct"),
+    )
+    sampled = F.sum(F.when(F.col("bucket") < F.col("pct"), 1).otherwise(0))
+    return b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        sampled.alias("n_sampled"),
+        F.round(sampled.cast("double") / F.count(F.lit(1)), 4).alias("sample_rate"),
+    )
+
+
+# --- column profiling --------------------------------------------------
+
+# (name, spark min/max text form, duckdb min/max text form). Doubles are
+# deliberately absent: double->string rendering differs across engines;
+# a real profiler reports numerics in typed columns instead.
+_PROFILE_COLS = [
+    ("o_orderkey", "cast({m} as string)", "CAST({m} AS VARCHAR)"),
+    ("o_custkey", "cast({m} as string)", "CAST({m} AS VARCHAR)"),
+    ("o_orderstatus", "{m}", "{m}"),
+    ("o_orderpriority", "{m}", "{m}"),
+    ("o_orderdate", "date_format({m}, 'yyyy-MM-dd HH:mm:ss')", "strftime({m}, '%Y-%m-%d %H:%M:%S')"),
+    # Manufactured-null variant: profiling must count nulls, fixtures
+    # are null-free, so nullif() one value away.
+    ("o_orderpriority_nullable", "{m}", "{m}"),
+]
+
+_DUCK_PROFILE_SELECTS = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{name}' AS col_name, count(*) AS n_rows,
+           count(*) - count({expr}) AS n_nulls,
+           count(DISTINCT {expr}) AS n_distinct,
+           {fmt.format(m=f'min({expr})')} AS min_val,
+           {fmt.format(m=f'max({expr})')} AS max_val
+    FROM src"""
+    for (name, _, fmt), expr in (
+        ((c, s, d), ("nullif(o_orderpriority, '1-URGENT')" if c == "o_orderpriority_nullable" else c))
+        for c, s, d in _PROFILE_COLS
+    )
+)
+
+
+@query(
+    "q_profile_columns",
+    f"""
+    WITH src AS (SELECT * FROM orders)
+    {_DUCK_PROFILE_SELECTS}
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of `orders` (row/null/distinct
+    counts, min/max as text) computed in ONE pass: a single aggregate
+    produces every metric, then an explode unpivots to one row per
+    column — never one scan per column. At 100 TB swap the exact
+    count(DISTINCT) Expand for approx_count_distinct (same plan shape,
+    no Expand multiplier)."""
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "o_orderpriority_nullable", F.expr("nullif(o_orderpriority, '1-URGENT')")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, fmt, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(name)).alias(f"{name}__nn"),
+            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
+            F.expr(fmt.format(m=f"min({name})")).alias(f"{name}__min"),
+            F.expr(fmt.format(m=f"max({name})")).alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{name}__nn")).alias("n_nulls"),
+            F.col(f"{name}__nd").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_val"),
+            F.col(f"{name}__max").alias("max_val"),
+        )
+        for name, _, _ in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# --- dedup cluster formation ------------------------------------------
+
+_CLUSTER_PAIRS_CTE = f"""
+    normed AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+            / (a.nrm * b.nrm), 4) >= {EMB_COS_MIN}
+    )
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_CLUSTER_PAIRS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges GROUP BY src
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    lbl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS keep
+    FROM lbl l JOIN sz s ON s.cluster_id = l.cluster_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: connected components over the
+    embedding-cosine pair graph (edges = q_dedup_embedding's pairs),
+    canonical doc per component = min doc_id, keep-decision emitted per
+    doc. This is the step that turns pairwise detectors into an actual
+    dedup: A~B and B~C must collapse to ONE kept document even though
+    (A,C) was never a candidate pair.
+
+    Engine: iterative min-label propagation — each round one keyed
+    shuffle (join labels to neighbors, groupBy min), labels
+    localCheckpoint'ed to keep lineage flat, loop until a fixpoint
+    (rounds <= graph diameter; near-dup graphs are shallow). The same
+    driver-coordinated loop GraphX/GraphFrames uses; no driver-side
+    data, only the converged flag. Oracle: DuckDB recursive CTE
+    computing the transitive closure (fine at sf0.01; the closure is
+    the oracle's cost, not the engine's)."""
+    from jsmr_spark.vectorized import block_cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = block_cosine_pairs(emb, EMB_COS_MIN).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint()
+
+    while True:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+
+    lbl = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    sz = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lbl.join(sz, "cluster_id")
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )
+
+
+@query("sink_partitioned", None)  # side-effect sink => rows-only by design
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read: write
+    documents partitionBy(lang), read back with a lang filter, and
+    assert the filter became a PartitionFilter (directory pruning — at
+    100 TB the difference between scanning one language and scanning
+    the corpus). Emits written/re-read counts and the pruning proof."""
+    out_dir = os.path.join(tempfile.gettempdir(), "jsmr_sink_partitioned")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents")
+    n_en_written = docs.filter(F.col("lang") == "en").count()
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir).filter(F.col("lang") == "en")
+    n_en_reread = back.count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pruned = "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    return spark.createDataFrame(
+        [(n_en_written, n_en_reread, n_en_written == n_en_reread, bool(pruned))],
+        "n_en_written long, n_en_reread long, roundtrip_ok boolean, partition_pruned boolean",
+    )
