@@ -30,6 +30,7 @@ from jsmr_spark.queries import (  # noqa: F401
     scalar_funcs,
     scans,
     similarity,
+    skew,
     sorts_setops,
     streaming_batch,
     text,

@@ -202,6 +202,50 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- dedup cluster formation ------------------------------------------
 
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list (src, dst):
+    returns (node, lbl) where lbl is the component's min node id. Nodes
+    with no edge are absent (they form singleton components trivially).
+
+    Iterative min-label propagation: each round is ONE keyed shuffle
+    (neighbor-min join + hash-agg), labels localCheckpoint'ed so the
+    lineage stays flat; converges in <= graph-diameter rounds. The same
+    driver-coordinated loop GraphX/GraphFrames runs — only the
+    converged flag crosses to the driver, never data."""
+    edges = pairs.select(F.col("src"), F.col("dst")).unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+
+    while True:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels
+
 _CLUSTER_PAIRS_CTE = f"""
     normed AS (
       SELECT vec_id, embedding,
@@ -262,36 +306,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = block_cosine_pairs(emb, EMB_COS_MIN).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
-    ).localCheckpoint()
-
-    while True:
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                F.col("lbl").alias("old_lbl"),
-            )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(F.col("new_lbl") != F.col("old_lbl")).count()
-        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
-
+    labels = connected_components(pairs)
     lbl = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     sz = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -1,0 +1,113 @@
+"""Skew-mitigation techniques as first-class, oracle-checked operators.
+
+Hot keys are the failure mode of keyed shuffles at 100 TB: one
+executor receives the whole key's data while the rest idle. AQE's
+skew-join splitting handles the common case automatically (enabled in
+session.py); these keys demonstrate the EXPLICIT forms — salted
+replicated join and two-phase salted aggregation — wired so the final
+result is provably identical to the unsalted plan (the oracle runs the
+plain SQL).
+
+Salts are the portable md5-derived hash (dedup.hex12_sql), not rand():
+deterministic salting keeps reruns and the DuckDB oracle bit-identical
+while spreading each hot key over SALT_K reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.queries.dedup import hex12_sql
+from jsmr_spark.registry import query
+
+SALT_K = 8
+
+_SALT_SPARK = f"({hex12_sql('md5(cast(o_orderkey as string))')} % {SALT_K})"
+
+
+@query(
+    "q_join_skew_salted",
+    f"""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           sum({sql_cents("o.o_totalprice")}) AS total_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join: the build side (customer) is replicated
+    SALT_K times with salt 0..K-1, the probe side (orders) gets a
+    deterministic salt from its row key, and the join runs on
+    (custkey, salt) — a hot customer's orders now spread over K
+    reducers instead of one. Result is identical to the plain join
+    (every probe row still meets exactly one build replica), which the
+    unsalted oracle SQL proves. This is the manual form of what AQE
+    skew-join does adaptively; use it when skew is known at plan time
+    (power-law user activity) or the engine lacks runtime stats."""
+    salts = spark.range(SALT_K).select(F.col("id").cast("int").alias("salt"))
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").crossJoin(
+        F.broadcast(salts)
+    )
+    o = t(spark, sf_dir, "orders").withColumn(
+        "salt", F.expr(_SALT_SPARK).cast("int")
+    )
+    return (
+        o.join(c, (o["o_custkey"] == c["c_custkey"]) & (o["salt"] == c["salt"]))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "q_agg_skew_salted",
+    f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum({sql_cents("o_totalprice")}) AS total_cents,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (= maximally
+    skewed) key: phase 1 aggregates by (key, salt) so every reducer
+    holds 1/K of each hot group, phase 2 merges the K partials per key.
+    count/sum re-merge exactly; the distinct-count keeps its key-salted
+    spread through phase 1 by carrying the distinct SET per salt and
+    merging with a second distinct over the exploded union — exact,
+    with each salted set a fraction of its group. Spark's partial aggregation already
+    does this per-PARTITION; explicit salting is the cluster-level form
+    that also survives a partitioner that hashes whole keys to one
+    reducer."""
+    o = t(spark, sf_dir, "orders").withColumn("salt", F.expr(_SALT_SPARK).cast("int"))
+    phase1 = (
+        o.groupBy("o_orderstatus", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(cents(F.col("o_totalprice"))).alias("pcents"),
+            F.collect_set("o_custkey").alias("pcusts"),
+        )
+        .localCheckpoint()  # feeds two merge branches; don't recompute phase 1
+    )
+    counts = phase1.groupBy("o_orderstatus").agg(
+        F.sum("pn").alias("n"), F.sum("pcents").alias("total_cents")
+    )
+    # Same custkey can appear under several salts (salt comes from the
+    # orderkey), so dedup (key, custkey) before the final count.
+    custs = (
+        phase1.select("o_orderstatus", F.explode("pcusts").alias("ck"))
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+    return counts.join(custs, "o_orderstatus").select(
+        "o_orderstatus", "n", "total_cents", "n_custs"
+    )
