@@ -218,6 +218,22 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_approx_quantile", None)  # estimates are impl-specific => rows-only by design
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    path for quantiles: single pass, bounded memory per group,
+    mergeable partials, no global sort. The exact twin (q_agg_percentile)
+    is the oracle-checked semantics; this key pins the sketch surface."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(cents(F.col("l_extendedprice")), F.lit(0.5), F.lit(1000)).alias("p50_cents"),
+            F.approx_percentile(cents(F.col("l_extendedprice")), F.lit(0.99), F.lit(1000)).alias("p99_cents"),
+        )
+    )
+
+
 _GSETS_AGGS_SQL = f"sum({_PRICE_C}) / 100.0::DOUBLE AS sum_price, count(*) AS n"
 
 

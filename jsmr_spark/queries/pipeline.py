@@ -177,15 +177,21 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").withColumn(
         "o_orderpriority_nullable", F.expr("nullif(o_orderpriority, '1-URGENT')")
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # Two aggregates crossJoined (both 1-row), NOT one: mixing 6
+    # count(DISTINCT)s with plain aggs in a single Aggregate makes the
+    # Expand replicate every min/max string column 7x (measured 2.7s vs
+    # 1.6s at sf0.1). Split, the Expand carries only the 6 profiled
+    # columns and the min/max agg stays in whole-stage codegen.
+    mm_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    cd_aggs = []
     for name, fmt, _ in _PROFILE_COLS:
-        aggs += [
+        mm_aggs += [
             F.count(F.col(name)).alias(f"{name}__nn"),
-            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
             F.expr(fmt.format(m=f"min({name})")).alias(f"{name}__min"),
             F.expr(fmt.format(m=f"max({name})")).alias(f"{name}__max"),
         ]
-    one = orders.agg(*aggs)
+        cd_aggs.append(F.countDistinct(F.col(name)).alias(f"{name}__nd"))
+    one = orders.agg(*mm_aggs).crossJoin(orders.agg(*cd_aggs))
     structs = [
         F.struct(
             F.lit(name).alias("col_name"),

@@ -53,7 +53,8 @@ def main():
         f.write("Spark local mode pays ~0.1-0.3s per query for task scheduling and\n")
         f.write("the py4j/Arrow boundary, so sub-second queries show large ratios\n")
         f.write("that are FIXED OVERHEAD, not throughput (see SCALE.md: 10x data ->\n")
-        f.write("0.5-2.1x time). Data-heavy queries (pairs/GEMM, top-k, splits) run\n")
+        f.write("0.2-2.5x time for everything but the by-design-quadratic all-pairs\n")
+        f.write("edge graph). Data-heavy queries (pairs/GEMM, top-k, clusters) run\n")
         f.write("at or beyond DuckDB parity.\n\n")
         f.write("| key | duckdb_s | spark_s | ratio |\n|---|---|---|---|\n")
         for name, d, s, r in rows:

@@ -28,11 +28,7 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 "q_multimodal_decode", "q_sim_threshold_pairs", "q_dedup_embedding",
                 "stream_watermark_late"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
-                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
-                     # replicate-by-K salt fan-out: broadcast side is the
-                     # K-row salt range, the join itself is equi on
-                     # (key, salt) — the nested loop is the replication.
-                     "q_join_skew_salted"}
+                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf"}
 
 
 def main() -> int:

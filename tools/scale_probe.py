@@ -22,7 +22,8 @@ BASE = "/root/testdata/sf0.1"
 OUT_DIR = "/tmp/jsmr_scale_sf1"
 
 PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
-          "q_text_tfidf", "q_dedup_minhash", "q_agg_grouping_sets", "q_join_smj"]
+          "q_text_tfidf", "q_dedup_minhash", "q_agg_grouping_sets", "q_join_smj",
+          "q_dedup_clusters", "q_agg_skew_salted", "q_split_train"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
