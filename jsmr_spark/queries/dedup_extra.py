@@ -114,20 +114,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(SIMHASH_BITS)
     ]
     sig = hv.groupBy("doc_id").agg(*bit_cols)
+    # Cached: the block self-join references the signature table on BOTH
+    # sides — uncached, the 32-bit-vote aggregation re-executes once per
+    # plan branch (the same 8x diamond minhash had). n_docs rows only.
     total = sig.select(
         "doc_id", sum([F.col(f"b{j}") for j in range(SIMHASH_BITS)], F.lit(0).cast("long")).alias("simhash")
-    )
+    ).cache()
     # Pigeonhole blocking: equi-join candidates on one-of-4 byte blocks
     # (see oracle comment) — no nested-loop, shuffle keyed on (blk, bval).
-    blocks = None
-    for j in range(_N_BLOCKS):
-        bf = total.select(
-            "doc_id",
-            "simhash",
-            F.lit(j).alias("blk"),
-            (F.expr(f"simhash DIV {1 << (_BLOCK_BITS * j)}") % (1 << _BLOCK_BITS)).alias("bval"),
-        )
-        blocks = bf if blocks is None else blocks.unionByName(bf)
+    # One posexplode emits all 4 block keys per doc in a single pass.
+    blocks = total.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.expr(f"simhash DIV {1 << (_BLOCK_BITS * j)}") % (1 << _BLOCK_BITS))
+                    for j in range(_N_BLOCKS)
+                ]
+            )
+        ).alias("blk", "bval"),
+    )
     b2 = blocks.select(
         F.col("doc_id").alias("doc_b"),
         F.col("simhash").alias("sim_b"),
@@ -156,13 +163,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_CTE = """
+# The intersection joins/dedups on the portable 48-bit bigram hash, not
+# the bigram string: 8-byte shuffle keys and long comparisons instead of
+# ~15-byte strings, identically on both engines (same parity argument
+# as dedup.py's minhash intersection).
+_NGRAM_CTE = f"""
     docs AS (
       SELECT doc_id, lang, source, string_split(text, ' ') AS s FROM documents
       WHERE len(string_split(text, ' ')) >= 2
     ),
     gr AS (
-      SELECT DISTINCT doc_id, lang, source, sg FROM (
+      SELECT DISTINCT doc_id, lang, source, {hex12_sql("md5(sg)")} AS hv FROM (
         SELECT doc_id, lang, source,
                unnest(list_transform(s[1:len(s)-1], (x, i) -> concat(x, ' ', s[i+1]))) AS sg
         FROM docs) u
@@ -178,7 +189,7 @@ _NGRAM_CTE = """
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM gr a JOIN gr b
-        ON a.lang = b.lang AND a.source = b.source AND a.sg = b.sg AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.source = b.source AND a.hv = b.hv AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
@@ -197,6 +208,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", F.split("text", " ").alias("s"))
         .filter(F.size("s") >= 2)
     )
+    # Cached: gr feeds three plan branches (both self-join sides plus
+    # the per-doc sizes) — uncached, the explode+distinct re-executes
+    # per branch. Dedup and join run on the 48-bit bigram hash (see
+    # _NGRAM_CTE comment).
     gr = (
         docs.select(
             "doc_id",
@@ -209,21 +224,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sg"),
         )
+        .select("doc_id", "lang", "source", F.expr(hex12_sql("md5(sg)")).alias("hv"))
         .distinct()
+        .cache()
     )
     sizes = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     b = gr.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
-        F.col("sg").alias("sg_b"),
+        F.col("hv").alias("hv_b"),
     )
     inter = (
         gr.join(
             b,
             (F.col("lang") == F.col("lang_b"))
             & (F.col("source") == F.col("source_b"))
-            & (F.col("sg") == F.col("sg_b"))
+            & (F.col("hv") == F.col("hv_b"))
             & (F.col("doc_id") < F.col("doc_b")),
         )
         .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")

@@ -28,7 +28,10 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 "q_multimodal_decode", "q_sim_threshold_pairs", "q_dedup_embedding",
                 "stream_watermark_late"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
-                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf"}
+                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
+                     # crossJoin of two single-row aggregate results
+                     # (min/max pass x distinct pass) — 1x1 by construction.
+                     "q_profile_columns"}
 
 
 def main() -> int:
