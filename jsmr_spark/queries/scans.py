@@ -129,3 +129,28 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink round-trip with header schema recovery."""
     return _sink_roundtrip(spark, sf_dir, "csv")
+
+
+@query("source_jsonl", None)  # file round-trip => rows-only by design
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL FILE source (spark.read.json with an explicit schema — the
+    line-delimited ingest format of every scraped-text pipeline; the
+    JSON-in-a-column flavor is q_source_json). Explicit schema matters
+    at scale: schema inference reads the data twice. Round-trips events
+    through .json files and aggregates per event_type."""
+    out_dir = os.path.join(tempfile.gettempdir(), "jsmr_source_jsonl")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    src.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema("event_id bigint, event_type string, user_id bigint").json(
+        out_dir
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )

@@ -173,6 +173,45 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pandas_udaf",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           round(sum(l_quantity) / CAST(count(*) AS DOUBLE), 4) AS mean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via a grouped-agg pandas UDF (Arrow batch
+    per group -> one scalar back): the missing quarter of the UDF
+    surface next to scalar UDF / pandas scalar / grouped map / UDTF.
+    Parity: l_quantity is integral, so the pandas sum is exact in
+    doubles and sum/n divides identically on both engines; the UDF
+    returns (sum, n) reassembled engine-side to keep the oracle a plain
+    GROUP BY. At 100 TB a grouped-agg UDF has no partial aggregation —
+    every group's rows ship to one executor, so reserve it for logic
+    the builtins can't express; here it exists to pin the API."""
+
+    @pandas_udf("double")
+    def qty_sum(v: pd.Series) -> float:
+        return float(v.sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    # Spark forbids mixing a grouped-agg pandas UDF with JVM aggregates
+    # in one agg() — the UDAF pass and the count pass join on the key.
+    udaf = li.groupBy("l_returnflag").agg(qty_sum(F.col("l_quantity")).alias("udaf_sum"))
+    cnt = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return udaf.join(cnt, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        F.col("udaf_sum").cast("long").alias("sum_qty"),
+        r4(F.col("udaf_sum") / F.col("n").cast("double")).alias("mean_qty"),
+    )
+
+
 @query("mr_api", None)  # generic user-code API => rows-only by design
 def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JsMr-compat job() API running wordcount (map -> shuffle ->
