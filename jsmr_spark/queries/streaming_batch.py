@@ -213,3 +213,47 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_watermark_late_replay
 
     return run_watermark_late_replay(spark, sf_dir)
+
+
+@query(
+    "q_rollup_chain",
+    f"""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 1 hour, ts) AS h, event_type,
+             count(*) AS n, sum({_VAL_C}) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(time_bucket(INTERVAL 1 day, h) AS TIMESTAMP) AS day,
+           event_type,
+           sum(n) AS n,
+           sum(cents) / 100.0::DOUBLE AS sum_value,
+           count(*) AS n_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup chain (JsMr job chaining, SURVEY.md §2.A A8):
+    daily aggregates computed FROM the hourly partials, never from raw
+    events — counts and cent-sums re-aggregate losslessly, and n_hours
+    proves the second stage saw partials, not rows. At 100 TB this is
+    the materialized-rollup pattern: the hourly table is ~10^4x smaller
+    than the events it summarizes, so every coarser granularity
+    (day/week/month) is a cheap re-aggregation of the tier below. The
+    oracle runs the same two-level chain as a CTE."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("cents"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "cents")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("cents") / 100.0).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )

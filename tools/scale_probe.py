@@ -23,7 +23,8 @@ OUT_DIR = "/tmp/jsmr_scale_sf1"
 
 PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_text_tfidf", "q_dedup_minhash", "q_agg_grouping_sets", "q_join_smj",
-          "q_dedup_clusters", "q_agg_skew_salted", "q_split_train"]
+          "q_dedup_clusters", "q_agg_skew_salted", "q_split_train",
+          "q_dedup_simhash", "q_rollup_chain"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
