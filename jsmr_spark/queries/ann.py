@@ -114,9 +114,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != PROBE_ID))
         .select("vec_id", "label", "bucket", sim.alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("vec_id", "label", "bucket", "sim", "rnk")
-    )
+    keys = [F.desc("sim"), F.asc("vec_id")]
+    # TakeOrderedAndProject over the bucket's candidates; the rank
+    # window only sees the k survivors.
+    top = cand.orderBy(*keys).limit(TOP_K)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))

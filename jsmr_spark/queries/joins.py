@@ -350,11 +350,12 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk")
+    keys = [F.desc("revenue"), F.asc("l_orderkey")]
+    # Global top-10 via orderBy.limit = TakeOrderedAndProject (partial
+    # top-k per partition, one 10-row merge); rank the survivors only.
+    top = agg.orderBy(*keys).limit(10)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys))).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk"
     )
 
 

@@ -121,12 +121,12 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors of the probe vector (brute-force exact
     baseline; probe broadcast, corpus never shuffled)."""
     sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_b"))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("vec_b", "label_b", "sim", "rnk")
-    )
+    keys = [F.desc("sim"), F.asc("vec_b")]
+    # orderBy.limit executes as TakeOrderedAndProject (per-partition
+    # heaps + one k-row merge — no global sort); the rank window then
+    # only ever sees the k survivors.
+    top = sims.select("vec_b", "label_b", "sim").orderBy(*keys).limit(TOP_K)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
 
 
 @query(
@@ -172,17 +172,16 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification of the probe: majority label among the 5
     nearest neighbors (ties broken by label)."""
     sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_b"))
-    votes = (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KNN_K)
-        .groupBy(F.col("label_b").alias("label"))
-        .agg(F.count(F.lit(1)).alias("votes"))
+    # Both ranks use the TakeOrderedAndProject form (orderBy.limit):
+    # the k-neighbor cut never globally sorts the corpus, and the
+    # winning label is a 1-row take over the tiny vote aggregate.
+    neigh = sims.orderBy(F.desc("sim"), F.asc("vec_b")).limit(KNN_K)
+    votes = neigh.groupBy(F.col("label_b").alias("label")).agg(
+        F.count(F.lit(1)).alias("votes")
     )
-    wv = Window.orderBy(F.desc("votes"), F.asc("label"))
     return (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
+        votes.orderBy(F.desc("votes"), F.asc("label"))
+        .limit(1)
         .select(
             F.lit(PROBE_ID).cast("int").alias("probe_id"),
             F.col("label").alias("predicted_label"),

@@ -75,7 +75,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            count(*) AS n,
-           sum({sql_cents("o_totalprice")}) AS total_cents,
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS total_cents,
            count(DISTINCT o_custkey) AS n_custs
     FROM orders
     GROUP BY o_orderstatus
@@ -86,33 +86,25 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed) key: phase 1 aggregates by (key, salt) so every reducer
     holds 1/K of each hot group, phase 2 merges the K partials per key.
     count/sum re-merge exactly; the distinct-count keeps its key-salted
-    spread through phase 1 by carrying the distinct SET per salt and
-    merging with a second distinct over the exploded union — exact,
-    with each salted set a fraction of its group. Spark's partial aggregation already
-    does this per-PARTITION; explicit salting is the cluster-level form
-    that also survives a partitioner that hashes whole keys to one
-    reducer."""
+    spread through phase 1 by carrying the distinct SET per salt
+    (the heavy dedup work happens key-salted) and merging the K small
+    partial sets in phase 2 with flatten + array_distinct. One linear
+    aggregation chain — no diamond, so nothing is recomputed and no
+    checkpoint is needed. Spark's partial aggregation already does this
+    per-PARTITION; explicit salting is the cluster-level form that also
+    survives a partitioner that hashes whole keys to one reducer."""
     o = t(spark, sf_dir, "orders").withColumn("salt", _salt("o_orderkey"))
-    phase1 = (
-        o.groupBy("o_orderstatus", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("pn"),
-            F.sum(cents(F.col("o_totalprice"))).alias("pcents"),
-            F.collect_set("o_custkey").alias("pcusts"),
-        )
-        .localCheckpoint()  # feeds two merge branches; don't recompute phase 1
-    )
-    counts = phase1.groupBy("o_orderstatus").agg(
-        F.sum("pn").alias("n"), F.sum("pcents").alias("total_cents")
+    phase1 = o.groupBy("o_orderstatus", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(cents(F.col("o_totalprice"))).alias("pcents"),
+        F.collect_set("o_custkey").alias("pcusts"),
     )
     # Same custkey can appear under several salts (salt comes from the
-    # orderkey), so dedup (key, custkey) before the final count.
-    custs = (
-        phase1.select("o_orderstatus", F.explode("pcusts").alias("ck"))
-        .distinct()
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_custs"))
-    )
-    return counts.join(custs, "o_orderstatus").select(
-        "o_orderstatus", "n", "total_cents", "n_custs"
+    # orderkey), so the phase-2 merge dedups across the K partial sets.
+    return phase1.groupBy("o_orderstatus").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pcents").cast("long").alias("total_cents"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("pcusts")))).cast(
+            "long"
+        ).alias("n_custs"),
     )

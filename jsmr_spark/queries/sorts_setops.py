@@ -9,10 +9,10 @@ The driver's comparison is order-insensitive, so where ordering IS the
 semantics the rank is emitted as a column computed under the same
 total order (unique tiebreak included).
 
-Scale notes: q_topk keeps Spark's TakeOrderedAndProject (per-partition
-heaps + single merge, no global sort); the rank window then runs over
-just the k surviving rows. q_sort_multi's full sort is a RangePartition
-exchange — the one operator here that is legitimately global.
+Scale notes: every ranked key here uses Spark's TakeOrderedAndProject
+(per-partition heaps + single merge, no global sort); the rank window
+then runs over just the k surviving rows — q_sort_multi included,
+since its rn <= 500 predicate makes it a top-k in disguise.
 """
 
 from __future__ import annotations
@@ -45,16 +45,19 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").asc(),
         F.col("o_orderkey").asc(),
     ]
-    return (
+    # rn <= 500 makes this a top-k, not a full sort: orderBy.limit runs
+    # as TakeOrderedAndProject and the rank window sees 500 rows.
+    top = (
         t(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
             F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
             "o_totalprice",
         )
-        .withColumn("rn", F.row_number().over(Window.orderBy(*keys)))
-        .filter(F.col("rn") <= 500)
+        .orderBy(*keys)
+        .limit(500)
     )
+    return top.withColumn("rn", F.row_number().over(Window.orderBy(*keys)))
 
 
 @query(

@@ -44,6 +44,20 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ranked_keys_never_global_sort(spark):
+    """Every rank<=k key must cut to k via TakeOrderedAndProject (plus
+    a k-row window), never a global sort of the full input."""
+    for name in (
+        "q_sim_cosine_topk",
+        "q_knn_label",
+        "q_join_multiway",
+        "q_sort_multi",
+        "q_sim_ann_lsh",
+    ):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrderedAndProject"
+
+
 def test_flagship_partial_aggregation(spark):
     """Q1 must partial-aggregate before the exchange (map-side combine)."""
     plan = _plan(spark, "q_agg_q1")
