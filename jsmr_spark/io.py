@@ -19,6 +19,7 @@ partitioned dataset instead of one file.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,9 +63,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-# session id -> sf_dir whose views are currently registered; avoids
-# re-reading 10 parquet footers on every spark.sql-based query.
-_REGISTERED: dict[int, str] = {}
+# session -> sf_dir whose views are currently registered; avoids
+# re-reading 10 parquet footers on every spark.sql-based query. Weak
+# keys: a stopped-and-collected session can never alias a new one (a
+# plain id() key can be reused by the allocator and would silently skip
+# registration on the new session).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -73,9 +79,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Memoized per (session, sf_dir): repeated calls with the same scale
     dir are no-ops; a different sf_dir re-registers (the driver runs
     several scale factors through one session)."""
-    key = id(spark)
-    if _REGISTERED.get(key) == sf_dir:
+    if _REGISTERED.get(spark) == sf_dir:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[spark] = sf_dir

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -329,16 +330,22 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert the filter became a PartitionFilter (directory pruning — at
     100 TB the difference between scanning one language and scanning
     the corpus). Emits written/re-read counts and the pruning proof."""
-    out_dir = os.path.join(tempfile.gettempdir(), "jsmr_sink_partitioned")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    docs = t(spark, sf_dir, "documents")
-    n_en_written = docs.filter(F.col("lang") == "en").count()
-    docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    # uuid-suffixed dir so concurrent sessions never race on one path;
+    # everything materializes before the finally-cleanup.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_partitioned_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        docs = t(spark, sf_dir, "documents")
+        n_en_written = docs.filter(F.col("lang") == "en").count()
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
 
-    back = spark.read.parquet(out_dir).filter(F.col("lang") == "en")
-    n_en_reread = back.count()
-    plan = back._jdf.queryExecution().executedPlan().toString()
-    pruned = "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        back = spark.read.parquet(out_dir).filter(F.col("lang") == "en")
+        n_en_reread = back.count()
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        pruned = "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(
         [(n_en_written, n_en_reread, n_en_written == n_en_reread, bool(pruned))],
         "n_en_written long, n_en_reread long, roundtrip_ok boolean, partition_pruned boolean",

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,22 +98,28 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Write a derived result with df.write.<fmt>, re-read it, and report
     written/re-read row counts (side-effect op => rows-only check)."""
-    out_dir = os.path.join(tempfile.gettempdir(), f"jsmr_sink_{fmt}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    src = (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # uuid-suffixed dir: concurrent sessions (driver run + bench) must
+    # never race on one path. Both counts materialize before cleanup.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_{fmt}_{uuid.uuid4().hex[:8]}"
     )
-    n_written = src.count()
-    writer = src.write.mode("overwrite")
-    if fmt == "parquet":
-        writer.parquet(out_dir)
-        back = spark.read.parquet(out_dir)
-    else:
-        writer.option("header", "true").csv(out_dir)
-        back = spark.read.option("header", "true").csv(out_dir)
-    n_back = back.count()
+    try:
+        src = (
+            t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        n_written = src.count()
+        writer = src.write.mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+        else:
+            writer.option("header", "true").csv(out_dir)
+            back = spark.read.option("header", "true").csv(out_dir)
+        n_back = back.count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(
         [(fmt, n_written, n_back, n_written == n_back)],
         "format string, n_written long, n_reread long, roundtrip_ok boolean",
@@ -138,7 +145,13 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-in-a-column flavor is q_source_json). Explicit schema matters
     at scale: schema inference reads the data twice. Round-trips events
     through .json files and aggregates per event_type."""
-    out_dir = os.path.join(tempfile.gettempdir(), "jsmr_source_jsonl")
+    # Session-scoped dir (returned DataFrame reads it lazily, so it
+    # cannot be deleted here); the applicationId suffix keeps concurrent
+    # sessions from racing on one path.
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_source_jsonl_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     src = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
     src.write.mode("overwrite").json(out_dir)

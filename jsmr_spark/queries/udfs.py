@@ -119,7 +119,10 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc = pdf["pc"]
         n = len(pc)
         sum_c = int(pc.sum())
-        sum_c2 = int((pc * pc).sum())
+        # Sum of squares overflows int64 at ~2.5k rows of max-price
+        # orders (pc^2 ~ 3.6e15); accumulate in arbitrary-precision
+        # Python ints, exactly like DuckDB's HUGEINT promotion.
+        sum_c2 = int((pc.to_numpy().astype(object) ** 2).sum())
         if n > 1:
             mean = float(sum_c) / n
             var = (float(sum_c2) - float(sum_c) * mean) / (n - 1)
