@@ -66,8 +66,12 @@ def job(
         reduce_fn = lambda key, values: [(key, list(values))]  # noqa: E731
 
     spark = df.sparkSession
-    parts = num_reducers or int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = df.rdd.flatMap(map_fn)
+    # Reducer count follows the INPUT's partitioning (classic MR sizing:
+    # reducers ~ mappers), not the SQL shuffle conf — a tiny input on a
+    # big session must not fan out to hundreds of near-empty Python
+    # reducer tasks (each one is a JVM<->Python worker round-trip).
+    parts = num_reducers or max(2, pairs.getNumPartitions())
     if combine_fn is not None:
         grouped = pairs.reduceByKey(combine_fn, numPartitions=parts).mapValues(lambda v: [v])
     else:

@@ -27,7 +27,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.io import load_table
@@ -43,27 +43,57 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
     base = os.path.join(tempfile.gettempdir(), f"jsmr_stream_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
+    n_main = n_chunks - 1 if late_tail else n_chunks
+    # Chunk assignment stays executor-side: a single-partition window at
+    # replay scale (bounded harness) beats round-tripping every row
+    # through the driver (collect + per-chunk createDataFrame measured
+    # ~6x slower). Sequential per-chunk writes off one cached pass give
+    # strictly increasing mtimes — the file source's arrival order.
+    w = Window.orderBy("ts", "event_id")
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk", F.ntile(n_main).over(w) - 1)
+        .cache()
     )
-    rows = ev.collect()  # bounded replay harness (test fixture sizes only)
-    n_main = n_chunks - 1 if late_tail else n_chunks
-    per = max(1, len(rows) // n_main)
-    schema = ev.schema
+    ev.count()
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
     for i in range(n_main):
-        chunk = rows[i * per : (i + 1) * per if i < n_main - 1 else len(rows)]
-        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+        ev.filter(F.col("chunk") == i).select(*cols).coalesce(1).write.parquet(
             os.path.join(src_dir, f"chunk_{i:03d}")
         )
     if late_tail:
         # Replay the oldest 50 rows after the watermark has advanced far
         # beyond them -> guaranteed drop.
-        spark.createDataFrame(rows[:50], schema).coalesce(1).write.parquet(
+        ev.filter(F.col("rn") <= 50).select(*cols).coalesce(1).write.parquet(
             os.path.join(src_dir, f"chunk_{n_main:03d}")
         )
+    ev.unpersist()
     return base, src_dir
+
+
+class _replay_shuffle_clamp:
+    """Clamp spark.sql.shuffle.partitions for the duration of a replay.
+
+    AQE never applies to streaming queries, so every stateful operator
+    materializes exactly `shuffle.partitions` state-store instances PER
+    MICRO-BATCH. At replay scale (a handful of chunks, thousands of
+    rows) the session's batch-sized setting is pure overhead; a real
+    deployment sizes this once per stream at first start (the state
+    partition count is then pinned by the checkpoint)."""
+
+    N = "8"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str) -> DataFrame:
@@ -77,15 +107,16 @@ def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str) -
         .parquet(os.path.join(src_dir, "chunk_*"))
     )
     out = transform(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _replay_shuffle_clamp(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(query_name)
 
 
@@ -139,8 +170,14 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a 10-minute watermark over a replay whose final chunk re-sends
     the oldest rows. Those rows are beyond the watermark when they
     arrive and are dropped; the emitted counts therefore equal the
-    batch counts of the on-time prefix."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=9, late_tail=True)
+    batch counts of the on-time prefix.
+
+    5 chunks (4 on-time + 1 late replay) keep the demonstration exact —
+    the watermark has advanced past the whole stream before the late
+    chunk arrives regardless of how finely the prefix is sliced — while
+    keeping the per-micro-batch planning/state cost off the driver's
+    correctness-sweep budget."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=5, late_tail=True)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -228,16 +265,17 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(src, "chunk_*"))
         )
         name = f"stateful_{uuid.uuid4().hex[:8]}"
-        q = (
-            transform(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
+        with _replay_shuffle_clamp(spark):
+            q = (
+                transform(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
