@@ -232,7 +232,12 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.queries.dedup import _shingles
 
     hv = _shingles(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("hv", "sg")
+    # _shingles is distinct on (doc_id, hv), so hv alone is a total
+    # order within a doc; the oracle's extra sg tiebreak only matters
+    # under a within-doc 48-bit collision (~1e-11/doc, and it would
+    # merely reorder equal hv values — the fingerprint string of equal
+    # values is unchanged).
+    w = Window.partitionBy("doc_id").orderBy("hv")
     fp = (
         hv.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= BOTTOM_K)
