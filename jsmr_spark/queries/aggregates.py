@@ -207,6 +207,60 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEC_PRICE = f"CAST({_PRICE_C} AS DECIMAL(38,4))"
+_DEC_CHARGE = f"CAST({_PRICE_C} * (100 - {_DISC_P}) * (100 + {_TAX_P}) AS DECIMAL(38,4))"
+
+
+@query(
+    "q_agg_decimal",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum({_DEC_PRICE}) AS sum_price_cents_dec,
+           CAST(sum({_DEC_PRICE}) / 100 AS DECIMAL(38,2)) AS sum_base_price_dec,
+           CAST(sum({_DEC_CHARGE}) / 1000000 AS DECIMAL(38,6)) AS sum_charge_dec,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship money path over DECIMAL(38,4) — the sf100 overflow-proof
+    variant of q_agg_q1's cents arithmetic.
+
+    The BIGINT cents path documented in SCALING.md overflows once
+    sum(price_c * disc * tax) exceeds 2^63 (~6e9 rows of max-price
+    charges, i.e. around sf100); summing DECIMAL(38,4) instead holds to
+    1e38 with exact integer semantics. The per-row value is still built
+    in exact integer cents (never by rounding doubles to 4dp — products
+    of 2dp decimals tie at 4dp and Spark/DuckDB round ties differently);
+    only the SUM runs in decimal. Division by 100/1e6 is pinned with an
+    outer CAST on both engines, at a scale wide enough to hold the true
+    quotient exactly (2dp and 6dp respectively), so no rounding ever
+    fires. Verified byte-identical including scale against DuckDB.
+
+    At 100 TB: Spark's sum(DECIMAL) keeps partial aggregation (map-side
+    combine) and a fixed 16-byte unscaled-long accumulator — same
+    shuffle shape as the long path, twice the bytes per cell."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    price_c = cents(F.col("l_extendedprice"))
+    charge = price_c * (100 - pct(F.col("l_discount"))) * (100 + pct(F.col("l_tax")))
+    d = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        price_c.cast("decimal(38,4)").alias("pd"),
+        charge.cast("decimal(38,4)").alias("cd"),
+    )
+    return d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("pd").alias("sum_price_cents_dec"),
+        (F.sum("pd") / 100).cast("decimal(38,2)").alias("sum_base_price_dec"),
+        (F.sum("cd") / 1000000).cast("decimal(38,6)").alias("sum_charge_dec"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 @query("q_agg_approx_distinct", None)  # estimates are impl-specific => rows-only by design
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate — the 100 TB path for cardinality
