@@ -3,12 +3,15 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata,
 processed by Arrow-batched functions over mapInPandas. The container
-ships no image/audio libraries, so the DECODE step is stubbed exactly
-as mandated: `decode_image()` raises NotImplementedError, and the
-pipelines run on `fake_decode()` — a deterministic header parse of the
-synthetic bytes — while all the Spark-side plumbing (binary schema,
-Arrow batch iteration, per-batch vectorization, partition safety) is
-real and tested (tests/test_multimodal.py).
+ships no image/audio libraries, so `decode_image()` is a pure-Python
+decoder for the two formats that need none (binary PPM `P6` and
+uncompressed BITMAPINFOHEADER BMP) — the decode path runs for real end
+to end; anything else falls back to `fake_decode()`, a deterministic
+header parse, so the pipeline never dies on an exotic container. Swap
+`decode_image` for PIL/libvips to widen format support; the Spark-side
+plumbing (binary schema, Arrow batch iteration, per-batch
+vectorization, partition safety) is identical either way and tested in
+tests/test_multimodal.py.
 
 At scale this is the canonical shape: bytes stay in executor-side
 Arrow buffers (never the driver), decode parallelism = partition
@@ -32,23 +35,74 @@ DECODED_SCHEMA = (
 )
 
 
+PPM_W = PPM_H = 4  # synthesized thumbnails are 4x4 RGB
+
+
 def synthesize_blob_col(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach a deterministic fake 'image' binary column derived from the
-    text (md5 chain -> 64 bytes). Stands in for real stored media bytes;
-    the plumbing downstream does not care that it is synthetic."""
-    chain = F.concat(
-        *[F.unhex(F.md5(F.concat(F.col(text_col), F.lit(str(i))))) for i in range(4)]
-    )
-    return df.withColumn("blob", chain)
+    """Attach a deterministic 'image' binary column derived from the
+    text: a VALID binary-PPM (P6) 4x4 RGB image whose 48 pixel bytes
+    come from an md5 chain. Stands in for real stored media bytes and
+    exercises the real `decode_image` parse end to end."""
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode())
+    pixels = [F.unhex(F.md5(F.concat(F.col(text_col), F.lit(str(i))))) for i in range(3)]
+    return df.withColumn("blob", F.concat(header, *pixels))
 
 
-def decode_image(blob: bytes) -> tuple[int, int, int]:
-    """Real image decode — requires an imaging library not present in
-    this container. Kept as the documented integration point."""
-    raise NotImplementedError(
-        "no imaging library in this environment; use fake_decode() — "
-        "swap in PIL/libvips here when available"
-    )
+def decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python image decode -> (width, height, channels, pixels).
+
+    Supports the two dependency-free formats:
+      * binary PPM (``P6``): ASCII header (width, height, maxval;
+        ``#`` comments allowed), raw RGB bytes after the single
+        whitespace following maxval;
+      * uncompressed BMP (``BM``, BITMAPINFOHEADER): little-endian
+        width/height/bpp, pixel array at the offset in the file header
+        (returned raw, including row padding; height may be negative
+        for top-down rows).
+
+    Raises ValueError on anything else — callers fall back to
+    :func:`fake_decode`. Swap in PIL/libvips here to widen support."""
+    if blob[:2] == b"P6":
+        vals: list[int] = []
+        i = 2
+        while len(vals) < 3:
+            while i < len(blob) and blob[i : i + 1].isspace():
+                i += 1
+            if blob[i : i + 1] == b"#":
+                while i < len(blob) and blob[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            if i == j:
+                raise ValueError("truncated PPM header")
+            vals.append(int(blob[i:j]))
+            i = j
+        w, h, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        start = i + 1  # single whitespace after maxval, then pixels
+        n = w * h * 3
+        if len(blob) < start + n:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, 3, bytes(blob[start : start + n])
+    if blob[:2] == b"BM" and len(blob) >= 54:
+        import struct
+
+        pix_off = struct.unpack_from("<I", blob, 10)[0]
+        w, h = struct.unpack_from("<ii", blob, 18)
+        planes, bpp = struct.unpack_from("<HH", blob, 26)
+        compression = struct.unpack_from("<I", blob, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32):
+            raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
+        c = bpp // 8
+        row = (w * c + 3) // 4 * 4  # rows pad to 4 bytes
+        n = row * abs(h)
+        if len(blob) < pix_off + n:
+            raise ValueError("truncated BMP pixel data")
+        return w, abs(h), c, bytes(blob[pix_off : pix_off + n])
+    raise ValueError("unknown image format (PPM/BMP supported)")
 
 
 def fake_decode(blob: bytes) -> tuple[int, int, int]:
@@ -58,11 +112,18 @@ def fake_decode(blob: bytes) -> tuple[int, int, int]:
 
 
 def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode + feature-extract + thumbnail-stub for
-    each Arrow batch. Vectorized per batch; one output row per blob."""
+    """mapInPandas worker: decode + feature-extract + thumbnail for each
+    Arrow batch. Real parse (PPM/BMP) when the format allows, fake
+    header decode otherwise; one output row per blob either way."""
     for pdf in batches:
         blobs = pdf["blob"]
-        meta = [fake_decode(b) for b in blobs]
+        meta = []
+        for b in blobs:
+            try:
+                meta.append(decode_image(bytes(b)))
+            except ValueError:
+                w, h, c = fake_decode(b)
+                meta.append((w, h, c, bytes(b)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -70,10 +131,10 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": [m[0] for m in meta],
                 "height": [m[1] for m in meta],
                 "n_channels": [m[2] for m in meta],
-                # feature extraction: mean byte value (exact int sum / n)
-                "mean_byte": [float(sum(b)) / len(b) for b in blobs],
-                # resize/frame-sample stub: first 16 bytes as a "4x4 thumbnail"
-                "thumb": [bytes(b[:16]) for b in blobs],
+                # feature extraction: mean PIXEL value (exact int sum / n)
+                "mean_byte": [float(sum(m[3])) / len(m[3]) for m in meta],
+                # resize stub: first 16 pixel bytes as the thumbnail
+                "thumb": [m[3][:16] for m in meta],
             }
         )
 
