@@ -219,11 +219,31 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi band join (BroadcastNestedLoop on the small side)."""
-    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
-    c = t(spark, sf_dir, "customer")
+    """Non-equi band join, banded into an equi-join.
+
+    A raw band predicate plans as BroadcastNestedLoop — O(|S| x |C|)
+    comparisons, a dead end at fact scale. Because the band half-width
+    (50) equals the bin width, a matching c_acctbal always falls in the
+    supplier's bin +-1: replicate each supplier row to 3 bins (narrow
+    explode), hash-join on the bin, and keep the exact BETWEEN as a
+    post-filter. Comparisons drop to sum-of-bin-products and the join
+    parallelizes on the bin key like any equi-join (bin width is the
+    skew knob). The oracle runs the plain BETWEEN — identical rows."""
+    bin_ = F.floor(F.col("s_acctbal") / 50).cast("long")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .withColumn("bin", F.explode(F.array(bin_ - 1, bin_, bin_ + 1)))
+    )
+    c = t(spark, sf_dir, "customer").withColumn(
+        "bin", F.floor(F.col("c_acctbal") / 50).cast("long")
+    )
     cond = F.col("c_acctbal").between(F.col("s_acctbal") - 50, F.col("s_acctbal") + 50)
-    return s.join(c, cond).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    return (
+        s.join(c, "bin")
+        .filter(cond)
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+    )
 
 
 @query(
