@@ -67,3 +67,17 @@ def test_flagship_partial_aggregation(spark):
 def test_similarity_probe_is_broadcast(spark):
     plan = _plan(spark, "q_sim_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_theta_join_is_banded_equi_join(spark):
+    """The band predicate must ride an equi-join on the bin key, never a
+    nested-loop compare of the full sides."""
+    plan = _plan(spark, "q_join_theta")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
+
+
+def test_decimal_agg_is_partial(spark):
+    """DECIMAL sums must keep map-side partial aggregation."""
+    plan = _plan(spark, "q_agg_decimal")
+    assert plan.count("HashAggregate") >= 2, plan
