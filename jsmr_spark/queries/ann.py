@@ -98,6 +98,101 @@ _ANN_ORACLE = f"""
 """
 
 
+K_CENT = 16  # IVF list count (deterministic "trained" centroids)
+N_PROBE = 2  # lists probed per query
+
+
+_IVF_ORACLE = f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding, {{norm}} AS nrm FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+      FROM normed WHERE vec_id < {K_CENT}
+    ),
+    scored AS (
+      SELECT n.vec_id, n.label, n.embedding, n.nrm, c.cid,
+             round(list_aggregate(list_transform(n.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                   / (n.nrm * c.c_nrm), 4) AS csim
+      FROM normed n, cent c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS crn
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, label, embedding, nrm, cid FROM ranked WHERE crn = 1),
+    plists AS (SELECT cid FROM ranked WHERE vec_id = {PROBE_ID} AND crn <= {N_PROBE}),
+    probe AS (SELECT embedding AS p_emb, nrm AS p_nrm FROM normed WHERE vec_id = {PROBE_ID}),
+    cand AS (
+      SELECT a.vec_id, a.label, a.cid AS list_id,
+             round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE)), 'sum')
+                   / (a.nrm * p.p_nrm), 4) AS sim
+      FROM assigned a JOIN plists l ON a.cid = l.cid CROSS JOIN probe p
+      WHERE a.vec_id <> {PROBE_ID}
+    )
+    SELECT vec_id, label, list_id, sim, rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk FROM cand) x
+    WHERE rnk <= {TOP_K}
+""".format(
+    norm=(
+        "sqrt(list_aggregate(list_transform(embedding, (x, i) -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+)
+
+
+@query("q_sim_ann_ivf", _IVF_ORACLE)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid list,
+    probe the query's N_PROBE nearest lists, exact cosine re-rank.
+
+    Centroids are deterministic (the K_CENT lowest vec_ids stand in for
+    a k-means codebook — centroid QUALITY is orthogonal to the plan
+    shape being exercised). The 100 TB shape is exactly this plan:
+    assignment is a narrow map against K broadcast centroids + a
+    per-vector argmin (keyed window over K rows, map-side); at rest the
+    corpus would be WRITTEN partitioned by list_id (sink_partitioned's
+    layout), making each probe a partition-pruned scan of N_PROBE/K of
+    the data; re-rank is TakeOrdered over the probed lists only."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    cent = F.broadcast(
+        base.filter(F.col("vec_id") < K_CENT).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    scored = base.crossJoin(cent).select(
+        "vec_id", "label", "embedding", "nrm", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "label", "embedding", "nrm", "cid")
+    plists = F.broadcast(
+        ranked.filter((F.col("vec_id") == PROBE_ID) & (F.col("crn") <= N_PROBE)).select("cid")
+    )
+    probe = F.broadcast(
+        base.filter(F.col("vec_id") == PROBE_ID).select(
+            F.col("embedding").alias("p_emb"), F.col("nrm").alias("p_nrm")
+        )
+    )
+    sim = r4(_dot(F.col("embedding"), F.col("p_emb")) / (F.col("nrm") * F.col("p_nrm")))
+    cand = (
+        assigned.join(plists, "cid")
+        .crossJoin(probe)
+        .filter(F.col("vec_id") != PROBE_ID)
+        .select("vec_id", "label", F.col("cid").alias("list_id"), sim.alias("sim"))
+    )
+    keys = [F.desc("sim"), F.asc("vec_id")]
+    top = cand.orderBy(*keys).limit(TOP_K)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+
+
 @query("q_sim_ann_lsh", _ANN_ORACLE)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: hyperplane-LSH bucket prefilter + exact cosine

@@ -22,7 +22,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.queries.common import t
@@ -350,3 +350,196 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_en_written, n_en_reread, n_en_written == n_en_reread, bool(pruned))],
         "n_en_written long, n_en_reread long, roundtrip_ok boolean, partition_pruned boolean",
     )
+
+
+# --- token-budget packing & balanced sharding -------------------------
+
+PACK_BUDGET = 512  # tokens per pretraining chunk
+N_SHARDS = 16
+
+
+@query(
+    "q_pack_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, start_off,
+           start_off // {PACK_BUDGET} AS pack_bin
+    FROM cum
+    """,
+)
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign each document to the fixed-size
+    pretraining chunk its cumulative token offset starts in.
+
+    This is the offset-packing a concat-and-cut pretraining pipeline
+    performs (documents are concatenated per language in deterministic
+    doc_id order and sliced every PACK_BUDGET tokens); the bin id is a
+    pure function of the running token count, so the layout is
+    reproducible across engines and cluster sizes. One keyed window +
+    narrow arithmetic — no shuffle beyond the per-lang sort.
+
+    At 100 TB the per-lang window key is too hot (one reducer sees a
+    whole language); production packs within (lang, shard) after
+    sink_shards-style bucketing, which this operator composes with —
+    same code, two partition keys. Greedy/best-fit packers that skip
+    oversized docs are the applyInPandas escape hatch (udfs.py shows
+    the grouped-map surface)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    ).withColumn("pack_bin", F.expr(f"start_off DIV {PACK_BUDGET}"))
+
+
+_SHARD_SPARK = f"({hex12_sql('md5(cast(doc_id as string))')} % {N_SHARDS})"
+_SHARD_DUCK = f"({hex12_sql('md5(CAST(doc_id AS VARCHAR))')} % {N_SHARDS})"
+
+
+@query(
+    "sink_shards",
+    f"""
+    SELECT {_SHARD_DUCK} AS shard,
+           count(*) AS n_docs,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+    FROM documents
+    GROUP BY shard
+    """,
+)
+def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard write: portable-hash shard id, partitionBy(shard)
+    parquet write, re-read and per-shard accounting — the output-layout
+    step of a training-data pipeline (shard = the unit downstream
+    loaders stream).
+
+    The hash shard key balances by CONSTRUCTION (md5 uniformity), needs
+    no global sort or size survey, and is reproducible across engines —
+    the oracle recomputes the same shard ids directly from the source
+    table, so the write+re-read round trip is value-checked, not just
+    row-counted. At 100 TB this is the same one-pass narrow write;
+    shard count scales with cluster size, not data (files per shard
+    do)."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_shards_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        docs = t(spark, sf_dir, "documents").withColumn(
+            "shard", F.expr(_SHARD_SPARK)
+        )
+        docs.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
+        out = (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+            )
+            .withColumn("shard", F.col("shard").cast("long"))
+        )
+        rows = out.collect()  # materialize before the sink dir is removed
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "shard long, n_docs long, n_tokens long")
+
+
+def _clusters_lsh_oracle() -> str:
+    from jsmr_spark.queries.ann import _bucket_sql
+
+    return f"""
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+            / (a.nrm * b.nrm), 4) >= {EMB_COS_MIN}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges GROUP BY src
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    lbl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS keep
+    FROM lbl l JOIN sz s ON s.cluster_id = l.cluster_id
+    """
+
+
+@query("q_dedup_clusters_lsh", _clusters_lsh_oracle())
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of q_dedup_clusters: edges from an LSH-bucketed
+    candidate join instead of exact all-pairs.
+
+    The exact variant's edge generation is O(N^2) by definition
+    (SCALE.md shows the resulting 10x-probe factor); here candidates
+    must share the 8-bit hyperplane bucket first — an equi-join whose
+    pair space shrinks ~256x (more planes shrink it further), then the
+    SAME exact cosine >= threshold re-rank and the SAME one-shuffle-
+    per-round CC loop. Recall < 1 is the documented ANN tradeoff
+    (deterministic here: fixed literal planes, so the ORACLE computes
+    the identical prefilter and the result is still hash-checked —
+    approximate in RECALL, exact in PARITY)."""
+    from jsmr_spark.queries.ann import _bucket_col
+    from jsmr_spark.queries.similarity import _dot, _norm
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = F.round(_dot(F.col("embedding"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")), 4)
+    pairs = (
+        emb.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_b")))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= EMB_COS_MIN)
+        .select(F.col("vec_id").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    labels = connected_components(pairs)
+    lbl = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    sz = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lbl.join(sz, "cluster_id")
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )
+
+

@@ -114,6 +114,9 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "parquet":
             writer.parquet(out_dir)
             back = spark.read.parquet(out_dir)
+        elif fmt == "orc":
+            writer.orc(out_dir)
+            back = spark.read.orc(out_dir)
         else:
             writer.option("header", "true").csv(out_dir)
             back = spark.read.option("header", "true").csv(out_dir)
@@ -136,6 +139,39 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink round-trip with header schema recovery."""
     return _sink_roundtrip(spark, sf_dir, "csv")
+
+
+@query("sink_orc", None)  # side-effect sink => rows-only by design
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink round-trip — the second columnar container Spark ships
+    natively (predicate pushdown + column pruning work identically to
+    parquet through the same DataSource V2 scan)."""
+    return _sink_roundtrip(spark, sf_dir, "orc")
+
+
+@query("source_text", None)  # file round-trip => rows-only by design
+def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text LINE source (spark.read.text): one row per line, the
+    rawest scraped-corpus ingest. Round-trips document text through
+    .txt part files and re-derives corpus token statistics; emits
+    written/re-read line counts so the round trip is self-checking."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_source_text_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src = t(spark, sf_dir, "documents").select("text")
+    n_written = src.count()
+    src.write.mode("overwrite").text(out_dir)
+    back = spark.read.text(out_dir)
+    return back.select(
+        F.size(F.split(F.col("value"), " ")).cast("long").alias("n_tokens")
+    ).agg(
+        F.lit(n_written).alias("n_lines_written"),
+        F.count(F.lit(1)).alias("n_lines_reread"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) == n_written).alias("roundtrip_ok"),
+    )
 
 
 @query("source_jsonl", None)  # file round-trip => rows-only by design
