@@ -19,6 +19,7 @@ inventory sections:
 
 from jsmr_spark.queries import (  # noqa: F401
     aggregates,
+    analytics_extra,
     ann,
     dedup,
     dedup_extra,

@@ -1,0 +1,142 @@
+"""Analytics extras: histogram binning, calendar gap-fill, exact mode.
+
+Three shapes every reporting/feature pipeline eventually needs, kept
+cross-engine exact:
+
+  * histogram bins are computed on integer cents with integer division
+    (floats would tie at bin edges);
+  * the calendar spine is generated from the data's own min/max day —
+    a 1-row aggregate joined to a generated series, never a driver
+    round-trip;
+  * mode is made deterministic with an explicit (count DESC, value)
+    tie-break — both engines' native mode() picks an arbitrary peer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+HIST_BIN_CENTS = 2_500_000  # 25k-currency-wide buckets
+
+
+@query(
+    "q_agg_histogram",
+    f"""
+    WITH b AS (
+      SELECT {sql_cents("o_totalprice")} // {HIST_BIN_CENTS} AS bin,
+             {sql_cents("o_totalprice")} AS pc
+      FROM orders
+    )
+    SELECT bin,
+           count(*) AS n_orders,
+           min(pc) AS min_cents,
+           max(pc) AS max_cents
+    FROM b GROUP BY bin
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram of order totals in fixed-width buckets.
+
+    Binning runs on exact integer cents with integer division — a
+    double `floor((x-lo)/w)` ties at bin edges and engines disagree on
+    the last ulp; integers cannot. One narrow map + hash-agg (the same
+    single-pass shape at any scale; bin count is data-range/width,
+    independent of rows)."""
+    pc = cents(F.col("o_totalprice"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(pc.alias("pc"), F.expr(f"{sql_cents('o_totalprice')} DIV {HIST_BIN_CENTS}").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("pc").alias("min_cents"),
+            F.max("pc").alias("max_cents"),
+        )
+    )
+
+
+@query(
+    "q_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           d.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: left-join daily event counts onto a generated
+    day spine covering the data's own [min, max] range, zero-filling
+    missing days.
+
+    The spine comes from a 1-row min/max aggregate exploded via
+    sequence() — no driver round-trip, no hand-written calendar. At
+    100 TB the daily aggregate is the only real work (narrow map +
+    hash-agg); the spine side is O(days) and broadcasts."""
+    ev = t(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic modal value per group (most frequent order
+    priority per status). Native mode() returns an arbitrary peer on
+    ties on both engines; the explicit (count DESC, value) rank pins
+    one. Two hash-aggs + a per-group window over #distinct-values
+    rows — group-local, no global sort."""
+    counts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )

@@ -22,7 +22,7 @@ sessions per user and the watermark bounds it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import cents, sql_cents
@@ -213,6 +213,26 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_watermark_late_replay
 
     return run_watermark_late_replay(spark, sf_dir)
+
+
+@query("stream_stateful_counter", None)  # arbitrary user state => rows-only
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    cumulative per-user event count + exact cents spend, state in the
+    state store, update-mode emission per micro-batch (JsMr parity:
+    arbitrary user reduce state, SURVEY.md §2.A A11). Returns the final
+    per-user totals of the replay; see jsmr_spark/streaming/core.py."""
+    from jsmr_spark.streaming.core import run_stateful_counter_stream
+
+    # The memory sink holds one row per (user, micro-batch) in update
+    # mode; the LAST batch's row per user is the final total.
+    raw = run_stateful_counter_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "spend")
+    )
 
 
 @query(

@@ -81,3 +81,23 @@ def test_decimal_agg_is_partial(spark):
     """DECIMAL sums must keep map-side partial aggregation."""
     plan = _plan(spark, "q_agg_decimal")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pack_tokens_window_is_keyed(spark):
+    """The packing prefix-sum must run under a partitioned window — a
+    global (empty-partition) running sum would serialize the corpus."""
+    plan = _plan(spark, "q_pack_tokens")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_gap_fill_spine_is_broadcast(spark):
+    """The generated day spine (O(days)) must broadcast against the
+    daily aggregate — never shuffle the fact side for a calendar."""
+    plan = _plan(spark, "q_gap_fill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """IVF list assignment must broadcast the centroid codebook."""
+    plan = _plan(spark, "q_sim_ann_ivf")
+    assert "BroadcastExchange" in plan, plan

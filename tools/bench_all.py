@@ -35,16 +35,37 @@ def main():
     # warm up JVM
     specs["q_agg_q1"].fn(spark, SF_DIR).collect()
 
-    rows = []
-    for name, spec in specs.items():
-        if spec.oracle is None:
+    # Per-key cache so a wall-clock-limited harness can resume the
+    # sweep across invocations (JSMR_BENCH_CACHE=/path.json). BENCH.md
+    # is only written once every oracle key is present.
+    cache_path = os.environ.get("JSMR_BENCH_CACHE")
+    cache: dict[str, list[float]] = {}
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cache = json.load(f)
+
+    todo = {n: s for n, s in specs.items() if s.oracle is not None}
+    for name, spec in todo.items():
+        if name in cache:
             continue
         duck_s = timed(lambda: con.execute(spec.oracle).df())
         spark_s = timed(lambda: spec.fn(spark, SF_DIR).toPandas())
-        ratio = spark_s / duck_s if duck_s > 0 else float("inf")
-        rows.append((name, duck_s, spark_s, ratio))
-        print(f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s ratio={ratio:6.2f}", flush=True)
+        cache[name] = [duck_s, spark_s]
+        print(f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s ratio={spark_s/duck_s:6.2f}", flush=True)
+        if cache_path:
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
 
+    missing = sorted(set(todo) - set(cache))
+    if missing:
+        print(f"partial: {len(cache)}/{len(todo)} keys; rerun to continue ({len(missing)} left)", flush=True)
+        return
+
+    rows = [
+        (name, d, s, (s / d if d > 0 else float("inf")))
+        for name, (d, s) in cache.items()
+        if name in todo
+    ]
     rows.sort(key=lambda r: -r[3])
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
         f.write(f"# BENCH — measured at {SF_DIR} (best of 3, warm shared session, local[{os.cpu_count()}])\n\n")
