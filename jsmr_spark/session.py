@@ -42,6 +42,16 @@ _ADAPTIVE_CONFS = {
     "spark.sql.shuffle.partitions": lambda: str(default_parallelism()),
 }
 
+# Local-mode-only sizing: bench fixtures are ~10-60MB files, so the
+# 128MB maxPartitionBytes default makes every scan a 1-2 task stage and
+# the other cores idle until the first exchange. Only applied when the
+# master is local[*] — on a real cluster the default (or larger) is
+# correct and this must NOT fire.
+_LOCAL_SCAN_CONFS = {
+    "spark.sql.files.maxPartitionBytes": lambda: os.environ.get("SPARK_GRAFT_SPLIT", "8m"),
+    "spark.sql.files.openCostInBytes": lambda: "1m",
+}
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -92,4 +102,14 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, fv())
         except Exception:
             pass
+    try:
+        is_local = spark.sparkContext.master.startswith("local")
+    except Exception:
+        is_local = False
+    if is_local:
+        for k, fv in _LOCAL_SCAN_CONFS.items():
+            try:
+                spark.conf.set(k, fv())
+            except Exception:
+                pass
     return spark
