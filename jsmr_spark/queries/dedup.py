@@ -79,17 +79,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> distinct (doc_id, shingle-hash) rows.
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one row per doc: (doc_id, hvs = set of 48-bit
+    shingle hashes as array<long>).
 
     Spark computes the 48-bit value with native conv(hex, 16, 10) —
     bit-identical to the oracle's instr/substring arithmetic (both are
     "int of the first 12 hex chars of md5") but one intrinsic instead
     of a 12-term string-search chain (measured ~2x on the shingle
-    stage). The distinct runs AFTER hashing, on (doc_id, hv): the
-    shuffle carries 8-byte longs, never shingle strings, and a
-    48-bit collision collapsing two shingles would change min/count
-    identically on both engines (P(collision) ~ 2^-48 per doc)."""
+    stage). `collect_set` both deduplicates AND co-locates each doc's
+    shingle set in ONE shuffle keyed on doc_id (8-byte longs on the
+    wire, never shingle strings) — the previous distinct-then-groupBy
+    form paid two full-width shuffles for the same result. A 48-bit
+    collision collapsing two shingles would change min/count
+    identically on both engines (P(collision) ~ 2^-48 per doc).
+
+    Scale bound: the per-doc array is O(doc tokens) longs (~80 KB for a
+    10k-token doc) — rows stay well under shuffle block limits."""
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
@@ -105,13 +111,29 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.conv(F.substring(F.md5("sg"), 1, 12), 16, 10).cast("long").alias("hv"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("hv").alias("hvs"))
     )
 
 
-def _minhash_cols():
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> distinct (doc_id, shingle-hash) rows, derived from
+    `_shingle_sets` so downstream doc_id-keyed aggregations (simhash
+    votes) reuse the collect_set exchange: the explode is narrow and
+    PRESERVES hash(doc_id) partitioning, so a following
+    groupBy('doc_id') needs no new shuffle (the old distinct form was
+    partitioned on (doc_id, hv) and always re-shuffled)."""
+    return _shingle_sets(spark, sf_dir).select("doc_id", F.explode("hvs").alias("hv"))
+
+
+def _minhash_set_cols():
+    """Per-permutation minimum over the hvs array — a NARROW map over
+    the collect_set rows (no shuffle; the old per-row agg form needed
+    its own groupBy exchange)."""
     return [
-        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P).alias(f"m{k}")
+        F.array_min(
+            F.transform(F.col("hvs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))
+        ).alias(f"m{k}")
         for k, (a, b) in enumerate(SEEDS)
     ]
 
@@ -175,14 +197,21 @@ _MINHASH_ORACLE = f"""
 @query("q_dedup_minhash", _MINHASH_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH (16 hashes, 4 bands x 4),
-    verified with exact shingle-set Jaccard >= 0.8."""
-    sh = _shingles(spark, sf_dir).cache()
-    # mh is cached because the band self-join references it on BOTH
-    # sides: without the cache the 16-min aggregation re-executes once
-    # per plan branch (measured 8x = ~3s of the ~4s total at sf0.1).
-    # 5000 rows x 17 longs — negligible memory at any scale where the
-    # signature table fits the cluster (it's n_docs rows, not shingles).
-    mh = sh.groupBy("doc_id").agg(*_minhash_cols()).cache()
+    verified with exact shingle-set Jaccard >= 0.8.
+
+    Shuffle inventory (the whole point of this shape): ONE wide
+    exchange builds the per-doc shingle sets; signatures and band keys
+    are narrow maps over it; the band self-join + candidate distinct
+    shuffle only (doc_id, band-key) rows; verification joins the
+    candidate pairs back to the cached sets and intersects ARRAYS
+    per-pair (`array_intersect`) — no exploded-row shuffle at all.
+    Candidate side is tiny relative to the corpus, so AQE turns those
+    two joins into broadcasts at runtime."""
+    # Cached because bands reference it via mh on both sides of the
+    # self-join AND the verification joins re-read it: without the
+    # cache the shingle scan re-executes once per plan branch.
+    sets = _shingle_sets(spark, sf_dir).cache()
+    mh = sets.select("doc_id", *_minhash_set_cols())
 
     # One posexplode emits all 4 band keys per doc in a single pass over
     # mh (the 4-way union form evaluated mh once per branch).
@@ -215,28 +244,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Set intersection runs over the 48-bit shingle hashes, not the
-    # shingle strings: the shuffle moves 8-byte keys instead of ~20-byte
-    # strings and the join compares longs. The oracle does the same, so
-    # parity is exact (md5-derived hv collisions are ~2^-48 and would
-    # hit both engines identically anyway). sh is already distinct on
-    # (doc_id, hv) — no extra dedup pass.
-    shd = sh
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sx = shd.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("hv_a"))
-    sy = shd.select(F.col("doc_id").alias("sy_doc"), F.col("hv").alias("hv_b"))
-    inter = (
-        cand.join(sx, "doc_a")
-        .join(sy, (F.col("doc_b") == F.col("sy_doc")) & (F.col("hv_b") == F.col("hv_a")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # Exact verification per candidate pair: set intersection over the
+    # 48-bit hashes via array_intersect on the two cached hvs arrays —
+    # identical counts to the oracle's exploded join-group (both are
+    # exact distinct-set intersection; hv collisions ~2^-48 hit both
+    # engines identically).
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hvs").alias("hvs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hvs").alias("hvs_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("hvs_a", "hvs_b")).cast("long").alias("n_common"),
+            F.size("hvs_a").cast("long").alias("n_a"),
+            F.size("hvs_b").cast("long").alias("n_b"),
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")

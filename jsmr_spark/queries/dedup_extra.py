@@ -208,11 +208,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", F.split("text", " ").alias("s"))
         .filter(F.size("s") >= 2)
     )
-    # Cached: gr feeds three plan branches (both self-join sides plus
-    # the per-doc sizes) — uncached, the explode+distinct re-executes
-    # per branch. Dedup and join run on the 48-bit bigram hash (see
-    # _NGRAM_CTE comment).
-    gr = (
+    # ONE shuffle (keyed by doc) builds the distinct bigram-hash set
+    # per document; sizes are a narrow size(hvs) and the join branches
+    # a narrow re-explode — the previous distinct-then-groupBy form
+    # paid a full-width (doc,lang,source,hv) exchange plus a second
+    # sizes exchange for the same result. Cached: feeds both self-join
+    # sides plus sizes. Dedup and join run on the 48-bit bigram hash
+    # (see _NGRAM_CTE comment).
+    gr_sets = (
         docs.select(
             "doc_id",
             "lang",
@@ -232,10 +235,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.conv(F.substring(F.md5("sg"), 1, 12), 16, 10).cast("long").alias("hv"),
         )
-        .distinct()
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.collect_set("hv").alias("hvs"))
         .cache()
     )
-    sizes = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    gr = gr_sets.select("doc_id", "lang", "source", F.explode("hvs").alias("hv"))
+    sizes = gr_sets.select("doc_id", F.size("hvs").cast("long").alias("n"))
     b = gr.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),

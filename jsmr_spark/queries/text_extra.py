@@ -229,24 +229,19 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: bottom-4 sketch of shingle hashes joined to
     a string key; sharing count flags near-identical documents (the
     join-key form of MinHash dedup)."""
-    from jsmr_spark.queries.dedup import _shingles
+    from jsmr_spark.queries.dedup import _shingle_sets
 
-    hv = _shingles(spark, sf_dir)
-    # _shingles is distinct on (doc_id, hv), so hv alone is a total
-    # order within a doc; the oracle's extra sg tiebreak only matters
-    # under a within-doc 48-bit collision (~1e-11/doc, and it would
-    # merely reorder equal hv values — the fingerprint string of equal
-    # values is unchanged).
-    w = Window.partitionBy("doc_id").orderBy("hv")
-    fp = (
-        hv.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= BOTTOM_K)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(F.sort_array(F.collect_list("hv")).cast("array<string>"), ",").alias(
-                "fingerprint"
-            )
-        )
+    # hvs is already the distinct shingle-hash set per doc, so the
+    # bottom-K sketch is a NARROW sort+slice over each array — no
+    # window shuffle, no re-aggregation. The oracle's extra sg tiebreak
+    # only matters under a within-doc 48-bit collision (~1e-11/doc, and
+    # it would merely reorder equal hv values — the fingerprint string
+    # of equal values is unchanged).
+    fp = _shingle_sets(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.array_sort("hvs"), 1, BOTTOM_K).cast("array<string>"), ","
+        ).alias("fingerprint"),
     )
     return fp.withColumn(
         "n_docs_sharing", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
