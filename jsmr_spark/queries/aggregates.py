@@ -419,3 +419,38 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("l_extendedprice") > 50000).alias("all_pricey"),
         )
     )
+
+
+@query(
+    "q_agg_regr",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (price ~ quantity per return flag):
+    slope / intercept / R^2 / group means. Both engines compute the
+    same single-pass moment accumulations; 4dp rounding absorbs
+    summation-order ulp drift (same policy as q_agg_stats). One
+    hash-agg over the fact table — partial aggregation map-side, so at
+    100 TB the shuffle carries per-flag moment tuples, not rows."""
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            r4(F.regr_slope(y, x)).alias("slope"),
+            r4(F.regr_intercept(y, x)).alias("intercept"),
+            r4(F.regr_r2(y, x)).alias("r2"),
+            r4(F.regr_avgx(y, x)).alias("avg_x"),
+            r4(F.regr_avgy(y, x)).alias("avg_y"),
+        )
+    )

@@ -140,3 +140,51 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "q_retention_cohort",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(wk) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, w.wk) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN weekly w USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in each subsequent week they return.
+
+    The (user, week) activity set is deduplicated FIRST — one keyed
+    shuffle over (user_id, week) pairs — so both the cohort assignment
+    (min) and the retention join run over |users|x|weeks| rows, not raw
+    events. The firsts-to-weekly join is keyed on user_id and both
+    sides are already user-partitioned from the distinct, so AQE plans
+    it without a second full shuffle; counting (cohort, offset) cells
+    is a tiny final agg. At 100 TB the only event-scale work is the
+    initial distinct, which partial-aggregates map-side."""
+    weekly = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.trunc("ts", "week").alias("wk"))
+        .distinct()
+    )
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weekly.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

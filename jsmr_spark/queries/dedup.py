@@ -266,3 +266,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+@query(
+    "q_dedup_keep_canonical",
+    """
+    WITH keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, k.n_copies
+    FROM keep k JOIN documents d ON d.doc_id = k.doc_id
+    """,
+)
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup with canonical survivor selection: one kept document
+    per distinct content (lowest doc_id), annotated with its copy
+    count — the materialization step that turns q_dedup_exact's report
+    into the deduplicated training corpus.
+
+    The group-by shuffles (16-byte md5, min(doc_id), count) — never
+    text — and the join back to recover full rows is keyed on doc_id,
+    so the corpus re-read is a broadcast-able slim side against the
+    fact scan at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    keep = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    return docs.join(keep, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "n_copies"
+    )

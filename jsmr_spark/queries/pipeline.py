@@ -543,3 +543,78 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Source-mixing ratios: even-numbered sources are kept whole, odd ones
+# downsampled to 20% — the usual "upweight curated, downweight scraped"
+# mixture move, made reproducible by the same portable hash bucket as
+# q_split_train (membership is a pure function of doc_id).
+_MIX_EVEN_PCT = 100
+_MIX_ODD_PCT = 20
+_MIX_KEEP = (
+    f"CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 "
+    f"THEN {_MIX_EVEN_PCT} ELSE {_MIX_ODD_PCT} END"
+)
+
+
+@query(
+    "q_mix_sources",
+    f"""
+    WITH b AS (
+      SELECT source, lang, {_BUCKET_DUCK} AS bucket, {_MIX_KEEP} AS keep_pct
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE bucket < keep_pct) AS n_kept,
+           any_value(keep_pct) AS keep_pct
+    FROM b GROUP BY source
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture interleave: per-source deterministic downsample
+    to a target percentage via the portable doc_id hash bucket.
+
+    Membership is a pure function of doc_id, so the mix is reproducible
+    run-to-run and engine-to-engine (same property as q_split_train's
+    contamination boundary). One narrow map + per-source agg — at
+    100 TB the kept-corpus materialization is the same filter pushed
+    into the scan, no shuffle at all."""
+    b = t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.expr(_MIX_KEEP).alias("keep_pct"),
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("bucket") < F.col("keep_pct")).alias("n_kept"),
+        F.any_value("keep_pct").alias("keep_pct"),
+    )
+
+
+@query(
+    "q_scrub_redact",
+    """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: mask every digit run in the event payload
+    and count the redactions per record — the shape of an email/phone/
+    SSN scrub pass over a training corpus (the fixture payloads carry
+    digits; swap the pattern for the real PII alternation in prod).
+
+    Pure narrow map over the scan (regexp_replace + regexp_count are
+    JVM intrinsics inside whole-stage codegen — no UDF); the user_id
+    predicate pushes to parquet. Embarrassingly parallel at any
+    scale."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_redacted"),
+    )

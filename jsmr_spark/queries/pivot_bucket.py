@@ -90,25 +90,27 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy: shuffle once at write time, never again at read time.
     """
     import shutil
+    import uuid
     from urllib.parse import urlparse
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # uuid-suffixed table names: concurrent sessions (driver run, bench,
+    # plan audit) share one warehouse dir and must never race on the
+    # same bucketed-table location (observed: a concurrent rewrite
+    # mid-join undercounted the join).
+    run = uuid.uuid4().hex[:8]
     try:
         for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-            # DROP only clears THIS session's catalog; the location can
-            # survive from a previous process — remove it physically.
-            spark.sql(f"DROP TABLE IF EXISTS jsmr_b_{name}")
-            shutil.rmtree(f"{warehouse}/jsmr_b_{name}", ignore_errors=True)
             (
                 t(spark, sf_dir, name)
                 .write.mode("overwrite")
                 .bucketBy(8, key)
                 .sortBy(key)
-                .saveAsTable(f"jsmr_b_{name}")
+                .saveAsTable(f"jsmr_b_{name}_{run}")
             )
-        joined = spark.table("jsmr_b_orders").join(
-            spark.table("jsmr_b_lineitem"),
+        joined = spark.table(f"jsmr_b_orders_{run}").join(
+            spark.table(f"jsmr_b_lineitem_{run}"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -116,6 +118,9 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = joined.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS jsmr_b_{name}_{run}")
+            shutil.rmtree(f"{warehouse}/jsmr_b_{name}_{run}", ignore_errors=True)
     return spark.createDataFrame(
         [(n_rows, n_exchanges, n_exchanges == 0)],
         "n_joined long, n_exchanges int, colocated boolean",

@@ -117,6 +117,9 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         elif fmt == "orc":
             writer.orc(out_dir)
             back = spark.read.orc(out_dir)
+        elif fmt == "json":
+            writer.json(out_dir)
+            back = spark.read.json(out_dir)
         else:
             writer.option("header", "true").csv(out_dir)
             back = spark.read.option("header", "true").csv(out_dir)
@@ -139,6 +142,15 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink round-trip with header schema recovery."""
     return _sink_roundtrip(spark, sf_dir, "csv")
+
+
+@query("sink_json", None)  # side-effect sink => rows-only by design
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip (one object per line — the interchange
+    format every downstream tokenizer/annotation tool reads). Schema is
+    re-inferred on read-back, so the count check also exercises JSON
+    schema inference."""
+    return _sink_roundtrip(spark, sf_dir, "json")
 
 
 @query("sink_orc", None)  # side-effect sink => rows-only by design

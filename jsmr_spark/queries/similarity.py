@@ -219,3 +219,34 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "q_embed_normalize",
+    f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round({_NORM_ONE_DD}, 4) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE) / {_NORM_ONE_DD}, 4) AS u0,
+           round(CAST(embedding[64] AS DOUBLE) / {_NORM_ONE_DD}, 4) AS u_last
+    FROM embeddings
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization: L2 norm per embedding plus the first/last
+    unit-vector components — the standard pre-index step before cosine
+    ANN (normalized vectors reduce cosine to dot product).
+
+    Same sequential double-cast summation kernel as the similarity
+    queries (DuckDB's float32 list intrinsics are not parity-safe —
+    module docstring). A narrow map over the scan: no shuffle, no UDF,
+    scales linearly with rows."""
+    nrm = _norm(F.col("embedding"))
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        r4(nrm).alias("l2_norm"),
+        r4(F.element_at("embedding", 1).cast("double") / nrm).alias("u0"),
+        r4(F.element_at("embedding", 64).cast("double") / nrm).alias("u_last"),
+    )

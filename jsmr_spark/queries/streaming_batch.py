@@ -277,3 +277,16 @@ def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+@query("stream_join_static", None)  # append-mode watermark emission => rows-only
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming stream-static join: the replayed event
+    stream is enriched against a broadcast customer dimension inside
+    the streaming query, then windowed per market segment (see
+    jsmr_spark/streaming/core.py:run_stream_static_join). The static
+    side re-broadcasts per micro-batch — the standard dimension-
+    enrichment topology."""
+    from jsmr_spark.streaming.core import run_stream_static_join
+
+    return run_stream_static_join(spark, sf_dir)

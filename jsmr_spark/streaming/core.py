@@ -279,3 +279,37 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    customer-derived dimension (user_id -> market segment) inside the
+    streaming query, then aggregates windowed counts per segment.
+
+    The static side is planned as a broadcast against every micro-batch
+    — the canonical dimension-enrichment shape (at production scale:
+    Kafka stream x broadcast dim table; state is only the windowed agg,
+    bounded by watermark x segments)."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+    )
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .join(F.broadcast(dim), "user_id")
+                .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "c_mktsegment",
+                    "n_events",
+                )
+            )
+
+        name = f"stream_static_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

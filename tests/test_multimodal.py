@@ -96,3 +96,48 @@ def test_blob_column_is_binary(spark):
     assert dict(df.dtypes)["blob"] == "binary"
     blob = df.limit(1).collect()[0].blob
     assert isinstance(blob, (bytes, bytearray)) and len(blob) == _BLOB_LEN
+
+
+def test_resize_image_nearest_neighbor():
+    from jsmr_spark.multimodal import OUT_H, OUT_W, resize_image
+
+    # 4x4 single-channel ramp: nearest-neighbor to 2x2 picks rows/cols
+    # round(linspace(0,3,2)) = (0, 3) -> corner pixels.
+    pixels = bytes(range(16))
+    out = resize_image(4, 4, 1, pixels)
+    assert len(out) == OUT_W * OUT_H
+    assert out == bytes([0, 3, 12, 15])
+
+
+def test_resize_pipeline_schema_and_rows(spark):
+    from jsmr_spark.multimodal import OUT_H, OUT_W, resize_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    out = resize_pipeline(docs)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.out_w, r.out_h) == (OUT_W, OUT_H)
+        assert len(r.resized) == OUT_W * OUT_H * 3  # RGB thumbs
+        assert 0.0 <= r.resized_mean <= 255.0
+
+
+def test_ppm_frame_len_matches_synth_layout():
+    from jsmr_spark.multimodal import _FRAME_BYTES, ppm_frame_len
+
+    blob = f"P6\n{PPM_W} {PPM_H}\n255\n".encode() + bytes(48)
+    assert ppm_frame_len(blob) == _FRAME_BYTES == len(blob)
+
+
+def test_framesample_counts(spark):
+    from jsmr_spark.multimodal import FRAME_STRIDE, framesample_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    out = framesample_pipeline(docs).collect()
+    assert len(out) == 30
+    for r in out:
+        # synthesizer emits 2..4 frames keyed on doc_id
+        assert r.n_frames == r.doc_id % 3 + 2
+        expect_kept = (r.n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        assert r.n_sampled == expect_kept
+        assert 0.0 <= r.sampled_mean <= 255.0

@@ -25,13 +25,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Keys whose purpose is the flagged construct.
 ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_api",
-                "q_multimodal_decode", "q_sim_threshold_pairs", "q_dedup_embedding",
+                "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_framesample",
+                "q_sim_threshold_pairs", "q_dedup_embedding",
                 "stream_watermark_late"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
-                     "q_profile_columns"}
+                     "q_profile_columns",
+                     # IVF assignment: corpus x K broadcast centroids and
+                     # candidates x 1-row broadcast probe — the by-design
+                     # IVF shape (tiny broadcast sides, never fact x fact).
+                     "q_sim_ann_ivf"}
 
 
 def main() -> int:
