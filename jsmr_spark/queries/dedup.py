@@ -27,7 +27,7 @@ plus an optional bucket-size cap handle it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.queries.common import t
@@ -298,4 +298,44 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(keep, "doc_id").select(
         "doc_id", "lang", "source", "n_chars", "n_copies"
+    )
+
+
+@query(
+    "q_dedup_latest",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS latest_event_id,
+           ts AS latest_ts, value AS latest_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC/upsert read shape:
+    many versions per key, serve only the newest). Deterministic
+    (ts, event_id) tiebreak pins engine-independent winners.
+
+    One keyed shuffle on (user_id, event_type); the per-key sort is
+    group-local — never a global order. At 100 TB this is the compact-
+    on-read plan; compact-on-write is the same query into
+    sink_partitioned's layout."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
     )

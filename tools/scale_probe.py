@@ -24,7 +24,9 @@ OUT_DIR = "/tmp/jsmr_scale_sf1"
 PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_text_tfidf", "q_dedup_minhash", "q_agg_grouping_sets", "q_join_smj",
           "q_dedup_clusters", "q_agg_skew_salted", "q_split_train",
-          "q_dedup_simhash", "q_rollup_chain"]
+          "q_dedup_simhash", "q_rollup_chain",
+          "q_retention_cohort", "q_mix_sources", "q_dedup_keep_canonical",
+          "q_embed_normalize", "q_dedup_latest", "q_scrub_redact"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
