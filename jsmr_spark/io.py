@@ -53,9 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts scanned as long ns (nanosAsLong) -> µs timestamp, exact
-        # DuckDB parity. DIV = integer division.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # Two fixture generations exist. Round-1 files store ts as
+        # parquet TIMESTAMP(NANOS), which (with nanosAsLong=true)
+        # scans as long nanoseconds and needs the µs truncation below
+        # (DIV = integer division; /1000 loses precision at ~1.7e18).
+        # Round-2 files store TIMESTAMP(MICROS) directly — scanned as
+        # a timestamp already, identical to what DuckDB sees; no
+        # normalization needed. Branch on the scanned type so one
+        # loader handles both.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Round-1 normalization produced TIMESTAMP (LTZ); session tz
+            # is pinned to UTC so the cast is value-identical and keeps
+            # every downstream unix_micros/window call site working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
