@@ -3,12 +3,22 @@
 Every query accesses tables only through :func:`load_table` so that
 source-level normalization lives in exactly one place:
 
-  * ``events.ts`` is parquet TIMESTAMP(NANOS). With
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as long
-    nanoseconds; we normalize with ``timestamp_micros(ts DIV 1000)``
-    (integer division — float division loses precision at ~1.7e18 ns),
-    which reproduces DuckDB's µs truncation exactly (verified in
-    SURVEY.md §1.2).
+  * ``events.ts`` exists in two fixture generations, and the loader
+    branches on the SCANNED dtype so one code path handles both:
+
+    - round-1 files: parquet TIMESTAMP(NANOS); with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` it scans as long
+      nanoseconds and is normalized with ``timestamp_micros(ts DIV
+      1000)`` (integer division — float division loses precision at
+      ~1.7e18 ns), reproducing DuckDB's µs truncation exactly
+      (verified in SURVEY.md §1.2);
+    - round-2+ files: parquet TIMESTAMP(MICROS), which scans as
+      ``timestamp_ntz`` and only needs a cast to session-local
+      TIMESTAMP — value-identical because the session timezone is
+      pinned to UTC (checked at cast time, see below).
+
+    Any OTHER scanned dtype raises: a third fixture generation must
+    fail loudly rather than flow through the wrong normalization.
 
 Scale note: loaders return plain ``spark.read.parquet`` scans — no
 caching, no repartition — so Catalyst keeps full pushdown/pruning
@@ -65,10 +75,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         elif ts_type == "timestamp_ntz":
-            # Round-1 normalization produced TIMESTAMP (LTZ); session tz
-            # is pinned to UTC so the cast is value-identical and keeps
-            # every downstream unix_micros/window call site working.
+            # Round-1 normalization produced TIMESTAMP (LTZ); the cast
+            # below is value-identical ONLY under a UTC session tz —
+            # and ensure_engine_confs swallows conf-set failures on a
+            # driver-owned session, so verify instead of assuming:
+            # shifting every instant by a tz offset must fail loudly.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise RuntimeError(
+                    f"events.ts NTZ->LTZ cast requires UTC session "
+                    f"timezone, got {tz!r} (set spark.sql.session.timeZone)"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # A third fixture generation (e.g. plain int64 µs) must not
+            # silently pass through — the bigint branch above would
+            # corrupt it by DIV 1000 if it ever scanned as long.
+            raise TypeError(
+                f"unexpected events.ts dtype {ts_type!r}; loader knows "
+                f"bigint(ns), timestamp_ntz, timestamp"
+            )
     return df
 
 

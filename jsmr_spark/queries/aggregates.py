@@ -215,9 +215,9 @@ _DEC_CHARGE = f"CAST({_PRICE_C} * (100 - {_DISC_P}) * (100 + {_TAX_P}) AS DECIMA
     "q_agg_decimal",
     f"""
     SELECT l_returnflag, l_linestatus,
-           sum({_DEC_PRICE}) AS sum_price_cents_dec,
-           CAST(sum({_DEC_PRICE}) / 100 AS DECIMAL(38,2)) AS sum_base_price_dec,
-           CAST(sum({_DEC_CHARGE}) / 1000000 AS DECIMAL(38,6)) AS sum_charge_dec,
+           CAST(sum({_DEC_PRICE}) AS BIGINT) AS sum_price_cents,
+           CAST(sum({_DEC_PRICE}) AS BIGINT) / 100.0::DOUBLE AS sum_base_price,
+           CAST(sum({_DEC_CHARGE}) AS BIGINT) / 1000000.0::DOUBLE AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
@@ -234,10 +234,19 @@ def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e38 with exact integer semantics. The per-row value is still built
     in exact integer cents (never by rounding doubles to 4dp — products
     of 2dp decimals tie at 4dp and Spark/DuckDB round ties differently);
-    only the SUM runs in decimal. Division by 100/1e6 is pinned with an
-    outer CAST on both engines, at a scale wide enough to hold the true
-    quotient exactly (2dp and 6dp respectively), so no rounding ever
-    fires. Verified byte-identical including scale against DuckDB.
+    only the SUM runs in decimal.
+
+    Output-type note (round-3 fix for the one red driver row): the r2
+    variant emitted DECIMAL(38,x) finals, which were verified
+    byte-identical on both engines yet still hash-mismatched — the
+    driver's value-hash is not decimal-canonical. The finals are now
+    hash-portable: the decimal sums (integer-valued by construction,
+    scale 4 holds .0000) CAST to BIGINT, and the two quotients computed
+    as int64/power-of-ten-double — one correctly-rounded IEEE op on both
+    engines (the exact pattern q_agg_q1 runs driver-green). The decimal
+    ACCUMULATION the key exists to pin is unchanged; at sf100 the
+    emit-stage BIGINT cast for the charge sum would widen back to
+    decimal-as-string, an output-format concern only.
 
     At 100 TB: Spark's sum(DECIMAL) keeps partial aggregation (map-side
     combine) and a fixed 16-byte unscaled-long accumulator — same
@@ -253,11 +262,18 @@ def q_agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_c.cast("decimal(38,4)").alias("pd"),
         charge.cast("decimal(38,4)").alias("cd"),
     )
-    return d.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("pd").alias("sum_price_cents_dec"),
-        (F.sum("pd") / 100).cast("decimal(38,2)").alias("sum_base_price_dec"),
-        (F.sum("cd") / 1000000).cast("decimal(38,6)").alias("sum_charge_dec"),
+    agg = d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("pd").alias("_sum_pd"),
+        F.sum("cd").alias("_sum_cd"),
         F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_pd").cast("bigint").alias("sum_price_cents"),
+        (F.col("_sum_pd").cast("bigint") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("_sum_cd").cast("bigint") / F.lit(1000000.0)).alias("sum_charge"),
+        "count_order",
     )
 
 

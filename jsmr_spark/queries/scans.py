@@ -20,6 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jsmr_spark.compat import cents, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
@@ -95,11 +96,28 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SINK_AGG_ORACLE = f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           sum({sql_cents("o_totalprice")}) AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+"""
+
+_SINK_SCHEMA = (
+    "o_orderstatus string, o_orderpriority string, n bigint, sum_price_cents bigint"
+)
+
+
 def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
-    """Write a derived result with df.write.<fmt>, re-read it, and report
-    written/re-read row counts (side-effect op => rows-only check)."""
+    """Write a derived aggregate with df.write.<fmt>, re-read it, and
+    return the RE-READ rows — value-checked against an oracle that
+    recomputes the same aggregate from the source table (sink_shards
+    pattern: the round trip verifies the written bytes, not just the
+    row count). All values are strings/longs, which survive every
+    container's serialization exactly."""
     # uuid-suffixed dir: concurrent sessions (driver run + bench) must
-    # never race on one path. Both counts materialize before cleanup.
+    # never race on one path. Rows materialize before cleanup.
     out_dir = os.path.join(
         tempfile.gettempdir(), f"jsmr_sink_{fmt}_{uuid.uuid4().hex[:8]}"
     )
@@ -107,9 +125,11 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         src = (
             t(spark, sf_dir, "orders")
             .groupBy("o_orderstatus", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+            )
         )
-        n_written = src.count()
         writer = src.write.mode("overwrite")
         if fmt == "parquet":
             writer.parquet(out_dir)
@@ -119,45 +139,45 @@ def _sink_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             back = spark.read.orc(out_dir)
         elif fmt == "json":
             writer.json(out_dir)
-            back = spark.read.json(out_dir)
+            back = spark.read.schema(_SINK_SCHEMA).json(out_dir)
         else:
             writer.option("header", "true").csv(out_dir)
-            back = spark.read.option("header", "true").csv(out_dir)
-        n_back = back.count()
+            back = spark.read.schema(_SINK_SCHEMA).option("header", "true").csv(out_dir)
+        rows = back.collect()  # materialize before the sink dir is removed
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        [(fmt, n_written, n_back, n_written == n_back)],
-        "format string, n_written long, n_reread long, roundtrip_ok boolean",
-    )
+    return spark.createDataFrame(rows, _SINK_SCHEMA)
 
 
-@query("sink_parquet", None)  # side-effect sink => rows-only by design
+@query("sink_parquet", _SINK_AGG_ORACLE)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet sink round-trip (JsMr output writer, SURVEY.md §2.A A7)."""
+    """Parquet sink round-trip (JsMr output writer, SURVEY.md §2.A A7),
+    value-checked: the re-read rows must equal the source-derived truth."""
     return _sink_roundtrip(spark, sf_dir, "parquet")
 
 
-@query("sink_csv", None)  # side-effect sink => rows-only by design
+@query("sink_csv", _SINK_AGG_ORACLE)
 def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV sink round-trip with header schema recovery."""
+    """CSV sink round-trip, value-checked through text serialization
+    (header written; read-back parses with an explicit schema, so the
+    string->long recovery is part of what the oracle verifies)."""
     return _sink_roundtrip(spark, sf_dir, "csv")
 
 
-@query("sink_json", None)  # side-effect sink => rows-only by design
+@query("sink_json", _SINK_AGG_ORACLE)
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink round-trip (one object per line — the interchange
-    format every downstream tokenizer/annotation tool reads). Schema is
-    re-inferred on read-back, so the count check also exercises JSON
-    schema inference."""
+    format every downstream tokenizer/annotation tool reads),
+    value-checked through JSON serialization with an explicit read
+    schema (inference reads the data twice — the scale-wrong default)."""
     return _sink_roundtrip(spark, sf_dir, "json")
 
 
-@query("sink_orc", None)  # side-effect sink => rows-only by design
+@query("sink_orc", _SINK_AGG_ORACLE)
 def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink round-trip — the second columnar container Spark ships
     natively (predicate pushdown + column pruning work identically to
-    parquet through the same DataSource V2 scan)."""
+    parquet through the same DataSource V2 scan) — value-checked."""
     return _sink_roundtrip(spark, sf_dir, "orc")
 
 

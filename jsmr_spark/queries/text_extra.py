@@ -128,12 +128,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — ratios of exact ints, fixed combination order)."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    w_stop = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    # Top-N_STOP tokens via orderBy().limit() — executes as
+    # TakeOrderedAndProject (per-partition heaps + one k-row merge)
+    # instead of a single-partition row_number window over the entire
+    # distinct vocabulary; the rank was only ever used as a filter, so
+    # the surviving rows (and the hash) are identical.
     stop = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rnk", F.row_number().over(w_stop))
-        .filter(F.col("rnk") <= N_STOP)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(N_STOP)
         .select("token", F.lit(1).alias("is_stop"))
     )
     per_doc = (

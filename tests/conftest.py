@@ -60,9 +60,13 @@ def _canon_value(v):
             return "NaN"
         return v
     if isinstance(v, decimal.Decimal):
-        # Defensive only — oracle SQL should cast to DOUBLE so the
-        # driver sees matching types; the harness still flags these.
-        return float(v)
+        # EXACT, scale-preserving comparison (VERDICT r2 #2): the driver
+        # hashes decimal values non-canonically, so any decimal-typed
+        # output must match the oracle byte-for-byte including scale.
+        # The old float() coercion masked exactly the drift class the
+        # driver catches; the tag prevents a Decimal ever comparing
+        # equal to a float/int of the same magnitude.
+        return f"decimal:{v}"
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

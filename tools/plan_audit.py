@@ -37,6 +37,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # candidates x 1-row broadcast probe — the by-design
                      # IVF shape (tiny broadcast sides, never fact x fact).
                      "q_sim_ann_ivf"}
+# Keys allowed to contain an un-partitioned Window (Exchange
+# SinglePartition feeding a Window) even without a TakeOrdered bound
+# upstream — each must have a bounded input by construction.
+ALLOW_GLOBAL_WINDOW: set[str] = set()
 
 
 def main() -> int:
@@ -57,11 +61,22 @@ def main() -> int:
         has_pushdown = "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan)
         py_udf = "BatchEvalPython" in plan
         nested = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        # Un-partitioned window = single-partition sort of its whole
+        # input at scale. Allowed only when the input is already bounded
+        # by a TakeOrderedAndProject (the limit-then-rank pattern: the
+        # window only ever sees the k survivors) or explicitly listed.
+        global_win = (
+            "Exchange SinglePartition" in plan
+            and "Window" in plan
+            and "TakeOrderedAndProject" not in plan
+        )
         flags = []
         if py_udf and name not in ALLOW_PY_UDF:
             flags.append("UNEXPECTED row-Python")
         if nested and name not in ALLOW_NESTED_LOOP:
             flags.append("UNEXPECTED nested-loop")
+        if global_win and name not in ALLOW_GLOBAL_WINDOW:
+            flags.append("UNEXPECTED global-window")
         if flags:
             bad.append((name, flags))
         rows.append(
