@@ -10,8 +10,9 @@ Similarities are rounded to 4dp BEFORE ranking so sub-ulp summation
 drift can never reorder ties; ties break on vec_id.
 
 Scale notes (100 TB):
-  * q_sim_cosine_topk broadcasts the probe — a narrow map over the
-    corpus plus a TakeOrdered; embarrassingly parallel.
+  * q_sim_cosine_topk inlines the probe as literals — a narrow map
+    over the corpus plus a TakeOrdered; embarrassingly parallel, no
+    join in the plan at all.
   * q_sim_threshold_pairs is the O(n^2) exact baseline, fine at bench
     scale; the scale path is the MinHash/LSH prefilter (see dedup.py)
     or an IVF partition-by-centroid variant — candidates only, then
@@ -20,6 +21,8 @@ Scale notes (100 TB):
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -81,29 +84,47 @@ def _norm(a: Column) -> Column:
     ))
 
 
-def _normed(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
-    """embeddings with the norm precomputed once per vector."""
-    emb = t(spark, sf_dir, "embeddings")
-    return emb.select(
-        F.col("vec_id").alias(f"vec_{prefix}"),
-        F.col("label").alias(f"label_{prefix}"),
-        F.col("embedding").alias(f"emb_{prefix}"),
-        _norm(F.col("embedding")).alias(f"nrm_{prefix}"),
+def _probe_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_b, label_b, sim) for probe x corpus, with the probe embedding
+    and its norm collected ONCE and inlined as literals.
+
+    The r2 form built the probe side as a second normed scan +
+    1-row-broadcast nested-loop join; the join stage plus the doubled
+    HOF expression tree dominated the query's per-run cost at bench
+    scale (plan-build + compile, measured ~2x the data work), and at
+    100 TB a 1-row broadcast join is still strictly worse than the
+    narrow map this form compiles to (scan -> project -> TakeOrdered,
+    no join, no exchange). The probe collect is a 1-row pushed-down
+    parquet read at plan-build time.
+
+    Parity: the Python accumulation below runs the same IEEE double ops
+    in the same left-to-right order as the engine-side HOF kernel and
+    the DuckDB oracle (float32 widens exactly; += is the same sequential
+    double add), so every bit of sim is unchanged on both engines."""
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == PROBE_ID)
+        .select("embedding")
+        .head()
     )
-
-
-def _pairwise_sims(spark: SparkSession, sf_dir: str, probe_only: bool) -> DataFrame:
-    """(vec_a, vec_b, label_b, sim) for all pairs, or probe x all.
-
-    Norms are computed once per row before the join (same formula both
-    engines — see _SIM_CTE_DD note)."""
-    a = _normed(spark, sf_dir, "a")
-    if probe_only:
-        a = F.broadcast(a.filter(F.col("vec_a") == PROBE_ID))
-    b = _normed(spark, sf_dir, "b")
-    sim = r4(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")))
-    joined = a.crossJoin(b) if probe_only else b.crossJoin(F.broadcast(a))
-    return joined.select("vec_a", "vec_b", "label_a", "label_b", sim.alias("sim"))
+    emb_p = [float(x) for x in row[0]]
+    acc = 0.0
+    for x in emb_p:
+        acc += x * x
+    nrm_p = math.sqrt(acc)
+    plit = F.array(*[F.lit(x) for x in emb_p])
+    # Same operand order as the joined form: dot(probe, corpus) /
+    # (probe_norm * corpus_norm).
+    sim = r4(_dot(plit, F.col("embedding")) / (F.lit(nrm_p) * _norm(F.col("embedding"))))
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != PROBE_ID)
+        .select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("label").alias("label_b"),
+            sim.alias("sim"),
+        )
+    )
 
 
 @query(
@@ -119,8 +140,8 @@ def _pairwise_sims(spark: SparkSession, sf_dir: str, probe_only: bool) -> DataFr
 )
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors of the probe vector (brute-force exact
-    baseline; probe broadcast, corpus never shuffled)."""
-    sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
+    baseline; probe inlined as literals, corpus never shuffled)."""
+    sims = _probe_sims(spark, sf_dir)
     keys = [F.desc("sim"), F.asc("vec_b")]
     # orderBy.limit executes as TakeOrderedAndProject (per-partition
     # heaps + one k-row merge — no global sort); the rank window then
@@ -171,7 +192,7 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN classification of the probe: majority label among the 5
     nearest neighbors (ties broken by label)."""
-    sims = _pairwise_sims(spark, sf_dir, probe_only=True).filter(F.col("vec_b") != PROBE_ID)
+    sims = _probe_sims(spark, sf_dir)
     # Both ranks use the TakeOrderedAndProject form (orderBy.limit):
     # the k-neighbor cut never globally sorts the corpus, and the
     # winning label is a 1-row take over the tiny vote aggregate.

@@ -64,9 +64,13 @@ def test_flagship_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_similarity_probe_is_broadcast(spark):
+def test_similarity_probe_is_inlined(spark):
+    """The probe is collected once and inlined as literals, so the plan
+    must be a pure narrow map + TakeOrdered — no join of any kind (the
+    r2 broadcast-probe form paid a join stage for a 1-row side)."""
     plan = _plan(spark, "q_sim_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_theta_join_is_banded_equi_join(spark):

@@ -37,10 +37,35 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # candidates x 1-row broadcast probe — the by-design
                      # IVF shape (tiny broadcast sides, never fact x fact).
                      "q_sim_ann_ivf"}
-# Keys allowed to contain an un-partitioned Window (Exchange
-# SinglePartition feeding a Window) even without a TakeOrdered bound
-# upstream — each must have a bounded input by construction.
+# Keys allowed to contain an un-partitioned Window even without a
+# TakeOrdered bound upstream — each must have a bounded input by
+# construction.
 ALLOW_GLOBAL_WINDOW: set[str] = set()
+
+
+def has_global_window(plan: str) -> bool:
+    """True if any windowspecdefinition has NO partition columns (its
+    first argument is already a sort order, e.g. `sim#42 DESC NULLS
+    LAST, ...` — partitioned specs start with bare column refs). A
+    plain `Exchange SinglePartition` test misses this: single-row
+    global aggregates legitimately produce one too."""
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        rest = plan[m.end(): m.end() + 400]
+        depth, first_arg = 0, []
+        for ch in rest:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first_arg.append(ch)
+        arg = "".join(first_arg)
+        if " ASC" in arg or " DESC" in arg:
+            return True
+    return False
 
 
 def main() -> int:
@@ -65,11 +90,7 @@ def main() -> int:
         # input at scale. Allowed only when the input is already bounded
         # by a TakeOrderedAndProject (the limit-then-rank pattern: the
         # window only ever sees the k survivors) or explicitly listed.
-        global_win = (
-            "Exchange SinglePartition" in plan
-            and "Window" in plan
-            and "TakeOrderedAndProject" not in plan
-        )
+        global_win = has_global_window(plan) and "TakeOrderedAndProject" not in plan
         flags = []
         if py_udf and name not in ALLOW_PY_UDF:
             flags.append("UNEXPECTED row-Python")

@@ -23,7 +23,7 @@ OUT_DIR = "/tmp/jsmr_scale_sf1"
 
 PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_text_tfidf", "q_dedup_minhash", "q_agg_grouping_sets", "q_join_smj",
-          "q_dedup_clusters", "q_agg_skew_salted", "q_split_train",
+          "q_dedup_clusters", "q_dedup_clusters_lsh", "q_agg_skew_salted", "q_split_train",
           "q_dedup_simhash", "q_rollup_chain",
           "q_retention_cohort", "q_mix_sources", "q_dedup_keep_canonical",
           "q_embed_normalize", "q_dedup_latest", "q_scrub_redact"]
@@ -141,7 +141,8 @@ def main():
              "super-linear factor is the true cost of exactness, not a plan bug. The 100 TB",
              "path swaps the edge source for an ANN prefilter (q_sim_ann_lsh / q_sim_ann_ivf)",
              "re-ranked by the same exact kernel; the CC loop itself is one keyed shuffle per",
-             "round either way.", "",
+             "round either way. That shipped path IS probed below: q_dedup_clusters_lsh",
+             "(bucketed candidate edges + the same CC loop) must hold ~linear.", "",
              "| key | sf0.1 s | 10x s | factor |", "|---|---|---|---|"]
     for name in PROBES:
         fn = specs[name].fn
