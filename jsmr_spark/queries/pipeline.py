@@ -323,13 +323,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_partitioned", None)  # side-effect sink => rows-only by design
+@query(
+    "sink_partitioned",
+    """
+    SELECT count(*) AS n_en_written,
+           count(*) AS n_en_reread,
+           true AS roundtrip_ok,
+           true AS partition_pruned
+    FROM documents WHERE lang = 'en'
+    """,
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink + partition-pruned re-read: write
     documents partitionBy(lang), read back with a lang filter, and
     assert the filter became a PartitionFilter (directory pruning — at
     100 TB the difference between scanning one language and scanning
-    the corpus). Emits written/re-read counts and the pruning proof."""
+    the corpus). Value-checked: the oracle pins the expected counts and
+    TRUE for both proofs, so a lost row or an un-pruned scan fails the
+    hash."""
     # uuid-suffixed dir so concurrent sessions never race on one path;
     # everything materializes before the finally-cleanup.
     out_dir = os.path.join(

@@ -79,15 +79,23 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_bucketed", None)  # side-effect sink + plan property => rows-only
+@query(
+    "sink_bucketed",
+    """
+    SELECT count(*) AS n_joined, 0 AS n_exchanges, true AS colocated
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
 def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: orders and lineitem written bucketed +
     sorted on the join key, then joined WITHOUT any shuffle exchange.
 
     Output row carries the observed exchange count (must be 0) and the
-    join row count — the plan property is data, so the driver's
-    rows-only run still witnesses it. This is the 100 TB fact-fact join
-    strategy: shuffle once at write time, never again at read time.
+    join row count — the plan property is data, and the oracle pins
+    n_exchanges=0/colocated=TRUE plus the true join cardinality, so a
+    shuffle sneaking back into the bucketed join fails the hash. This
+    is the 100 TB fact-fact join strategy: shuffle once at write time,
+    never again at read time.
     """
     import shutil
     import uuid

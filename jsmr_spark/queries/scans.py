@@ -181,12 +181,23 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sink_roundtrip(spark, sf_dir, "orc")
 
 
-@query("source_text", None)  # file round-trip => rows-only by design
+@query(
+    "source_text",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines_written,
+           CAST(count(*) AS BIGINT) AS n_lines_reread,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           true AS roundtrip_ok
+    FROM documents
+    """,
+)
 def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text LINE source (spark.read.text): one row per line, the
     rawest scraped-corpus ingest. Round-trips document text through
-    .txt part files and re-derives corpus token statistics; emits
-    written/re-read line counts so the round trip is self-checking."""
+    .txt part files and re-derives corpus token statistics —
+    value-checked: the oracle recomputes the same statistics from the
+    source table, so a line lost or mangled in serialization flips the
+    count/token columns and fails the hash."""
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"jsmr_source_text_{spark.sparkContext.applicationId}",
@@ -199,20 +210,33 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.size(F.split(F.col("value"), " ")).cast("long").alias("n_tokens")
     ).agg(
-        F.lit(n_written).alias("n_lines_written"),
+        F.lit(n_written).cast("long").alias("n_lines_written"),
         F.count(F.lit(1)).alias("n_lines_reread"),
         F.sum("n_tokens").alias("total_tokens"),
         (F.count(F.lit(1)) == n_written).alias("roundtrip_ok"),
     )
 
 
-@query("source_jsonl", None)  # file round-trip => rows-only by design
+@query(
+    "source_jsonl",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event,
+           max(event_id) AS max_event
+    FROM events GROUP BY event_type
+    """,
+)
 def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL FILE source (spark.read.json with an explicit schema — the
     line-delimited ingest format of every scraped-text pipeline; the
     JSON-in-a-column flavor is q_source_json). Explicit schema matters
     at scale: schema inference reads the data twice. Round-trips events
-    through .json files and aggregates per event_type."""
+    through .json files and aggregates per event_type — value-checked:
+    the oracle runs the same aggregate on the source table, so any
+    row dropped or field corrupted in JSON serialization fails the
+    hash."""
     # Session-scoped dir (returned DataFrame reads it lazily, so it
     # cannot be deleted here); the applicationId suffix keeps concurrent
     # sessions from racing on one path.
