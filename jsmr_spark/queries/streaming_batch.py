@@ -279,6 +279,30 @@ def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_rate_source",
+    """
+    SELECT CAST(v % 50 AS BIGINT) AS user_key,
+           count(*) AS n,
+           sum(v) AS sum_value
+    FROM (SELECT unnest(range(0, 5000)) AS v)
+    GROUP BY user_key
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True UNBOUNDED streaming source (rate-micro-batch, not a file
+    replay): continuous deterministic ingest, complete-mode aggregation,
+    explicit stop once the target prefix has arrived — the closest this
+    sandbox gets to the Kafka topology (same query graph; only the
+    source string changes). Oracle-checkable because the source's value
+    column is a deterministic counter: the oracle recomputes the same
+    aggregate from range(0, N). See
+    jsmr_spark/streaming/core.py:run_rate_source_stream."""
+    from jsmr_spark.streaming.core import run_rate_source_stream
+
+    return run_rate_source_stream(spark)
+
+
 @query("stream_join_static", None)  # append-mode watermark emission => rows-only
 def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming stream-static join: the replayed event

@@ -281,6 +281,60 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_rate_source_stream(spark: SparkSession) -> DataFrame:
+    """True UNBOUNDED source (not a file replay): rate-micro-batch
+    generates a deterministic row sequence (value = 0,1,2,... with
+    fixed timestamps), so this exercises the continuous-ingest wiring —
+    an always-available source, complete-mode aggregation into a
+    continuously-rewritten sink, and an explicit stop decision — while
+    staying oracle-checkable: the transform filters to value < N before
+    aggregating, so once N rows have been ingested the aggregate is a
+    pure function of the counter sequence.
+
+    At production scale this source swaps for Kafka and the stop
+    condition disappears (the query runs forever); the query graph and
+    state shape are identical. The memory sink's complete mode is the
+    bounded-cardinality dashboard pattern (K user keys), not an
+    unbounded append."""
+    import time as _time
+
+    n_rows, n_keys = 5000, 50
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    agg = (
+        stream.filter(F.col("value") < n_rows)
+        .groupBy((F.col("value") % n_keys).alias("user_key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    with _replay_shuffle_clamp(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                done = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                if done == n_rows:
+                    break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"rate stream ingested {done} of {n_rows} rows in 120s"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joins a static
     customer-derived dimension (user_id -> market segment) inside the
