@@ -250,3 +250,56 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.withColumn(
         "n_docs_sharing", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
     )
+
+
+BENCH_MOD = 100  # doc_id % BENCH_MOD == BENCH_RESIDUE -> held-out benchmark
+BENCH_RESIDUE = 7
+
+_DECONTAM_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {hex12_sql("md5(sg)")} AS hv FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    bench AS (
+      SELECT DISTINCT hv FROM sh WHERE doc_id % {BENCH_MOD} = {BENCH_RESIDUE}
+    )
+    SELECT s.doc_id, count(*) AS n_shared_shingles
+    FROM sh s JOIN bench b USING (hv)
+    WHERE s.doc_id % {BENCH_MOD} <> {BENCH_RESIDUE}
+    GROUP BY s.doc_id
+"""
+
+
+@query("q_text_decontam", _DECONTAM_ORACLE)
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram shingle with a held-out benchmark set (here the deterministic
+    doc_id % 100 == 7 slice stands in for the eval suite) — the n-gram
+    overlap filter every serious pretraining pipeline runs before
+    training (the GPT-3/PaLM appendix procedure, expressed relationally).
+
+    Plan shape at 100 TB: the benchmark side is tiny by construction
+    (eval suites are MBs against a 100 TB corpus), so its distinct
+    shingle-hash set broadcasts; the corpus side is the same one-wide-
+    exchange shingle-set diet every dedup key shares (jsmr_spark
+    dedup.py:_shingles — cached collect_set reused across this family),
+    and the overlap count is a map-side-combined count per doc. No
+    shuffle grows with corpus size except the shingle build itself."""
+    from jsmr_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_RESIDUE
+    bench = F.broadcast(sh.filter(is_bench).select("hv").distinct())
+    return (
+        sh.filter(~is_bench)
+        .join(bench, "hv")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
