@@ -114,3 +114,55 @@ def test_minhash_handles_short_docs(spark):
     )
     got = {(r.doc_id, r.sg) for r in sh.collect()}
     assert got == {(2, "a b c"), (2, "b c d")}
+
+
+def test_events_loader_rejects_unknown_ts_dtype(spark, tmp_path):
+    """A third fixture generation (e.g. plain int64 µs stored as double)
+    must fail loudly in load_table, not flow through the ns DIV 1000
+    normalization and silently corrupt every timestamp."""
+    import pytest
+
+    from jsmr_spark.io import load_table
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 2.5, 3, "view", 1.0, "{}")],
+        "event_id long, ts double, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(TypeError, match="unexpected events.ts dtype"):
+        load_table(spark, sf_dir, "events")
+
+
+def test_events_loader_requires_utc_for_ntz(spark, tmp_path):
+    """The NTZ->LTZ cast is only value-identical under a UTC session
+    timezone; a non-UTC session must raise instead of silently shifting
+    every instant by the zone offset."""
+    import pytest
+
+    from jsmr_spark.io import load_table
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 3, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    import jsmr_spark.io as jio
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    old_fn = jio.ensure_engine_confs
+    try:
+        # Emulate a driver-owned session whose timezone conf is pinned:
+        # ensure_engine_confs cannot fix it (it swallows failures there),
+        # so the loader must detect the non-UTC zone and refuse.
+        jio.ensure_engine_confs = lambda s: s
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(RuntimeError, match="UTC session"):
+            load_table(spark, sf_dir, "events")
+    finally:
+        jio.ensure_engine_confs = old_fn
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
