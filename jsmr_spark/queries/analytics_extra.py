@@ -188,3 +188,61 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_QBINS_CUTS = "quantile_cont(pc, 0.25) AS c25, quantile_cont(pc, 0.50) AS c50, quantile_cont(pc, 0.75) AS c75"
+
+_QBINS_ORACLE = f"""
+    WITH pc AS (SELECT {sql_cents("o_totalprice")} AS pc FROM orders),
+    cuts AS (SELECT {_QBINS_CUTS} FROM pc)
+    SELECT CAST(CASE WHEN pc <= c25 THEN 0
+                     WHEN pc <= c50 THEN 1
+                     WHEN pc <= c75 THEN 2
+                     ELSE 3 END AS BIGINT) AS bin,
+           count(*) AS n_orders,
+           min(pc) AS min_cents,
+           max(pc) AS max_cents
+    FROM pc, cuts GROUP BY bin
+"""
+
+
+@query("q_quantile_bins", _QBINS_ORACLE)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartile binning) — the complement of
+    q_agg_histogram's fixed-width bins: bucket boundaries adapt to the
+    distribution, so every bin holds ~N/4 rows regardless of skew.
+
+    The scale-correct two-pass shape: pass 1 reduces the corpus to a
+    1-row cutpoint aggregate (exact percentiles over integer cents —
+    interpolation parity proven by q_agg_percentile); pass 2 broadcasts
+    that row and bins every record in a narrow map. A global ntile()
+    window would compute the same thing through one all-data sort on a
+    single partition — the anti-pattern this key exists to avoid. At
+    100 TB pass 1 becomes approx_percentile (sketch, single pass,
+    mergeable) with identical downstream shape."""
+    pc = cents(F.col("o_totalprice"))
+    d = t(spark, sf_dir, "orders").select(pc.alias("pc"))
+    cuts = F.broadcast(
+        d.agg(
+            F.percentile("pc", F.lit(0.25)).alias("c25"),
+            F.percentile("pc", F.lit(0.50)).alias("c50"),
+            F.percentile("pc", F.lit(0.75)).alias("c75"),
+        )
+    )
+    bin_col = (
+        F.when(F.col("pc") <= F.col("c25"), 0)
+        .when(F.col("pc") <= F.col("c50"), 1)
+        .when(F.col("pc") <= F.col("c75"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        d.crossJoin(cuts)
+        .select("pc", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("pc").alias("min_cents"),
+            F.max("pc").alias("max_cents"),
+        )
+    )

@@ -36,7 +36,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # IVF assignment: corpus x K broadcast centroids and
                      # candidates x 1-row broadcast probe — the by-design
                      # IVF shape (tiny broadcast sides, never fact x fact).
-                     "q_sim_ann_ivf"}
+                     "q_sim_ann_ivf",
+                     # rows x 1-row broadcast cutpoint aggregate — the
+                     # two-pass equi-depth binning shape.
+                     "q_quantile_bins"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
