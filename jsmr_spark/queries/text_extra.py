@@ -303,3 +303,61 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+REP_THRESHOLD = 0.2  # duplicate-shingle fraction above which a doc is flagged
+
+_REPETITION_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(s[1:len(s)-2],
+                            (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2])) AS sg
+      FROM docs
+    )
+    SELECT doc_id,
+           CAST(len(sg) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(sg)) AS BIGINT) AS n_unique,
+           CAST(len(sg) - len(list_distinct(sg)) AS DOUBLE) / len(sg) AS dup_fraction,
+           (CAST(len(sg) - len(list_distinct(sg)) AS DOUBLE) / len(sg)) > {REP_THRESHOLD} AS repetitious
+    FROM sh
+"""
+
+
+@query("q_text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition filter (the Gopher-style duplicate
+    n-gram rule): fraction of a document's 3-gram shingles that are
+    repeats of an earlier shingle in the SAME document — boilerplate,
+    keyword-stuffed, and looping generator output score high and get
+    flagged before training.
+
+    Distinct from the dedup family (which compares ACROSS documents):
+    this needs no join, no aggregation, no shuffle of any kind — one
+    narrow HOF map over the scan (shingle array -> distinct -> counts),
+    embarrassingly parallel at any corpus size. dup_fraction is a
+    double ratio of exact ints, identical on both engines."""
+    toks = F.split(F.col("text"), " ")
+    shingle_expr = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(shingle_expr).alias("sg"))
+    )
+    n_sh = F.size("sg").cast("long")
+    n_uniq = F.size(F.array_distinct("sg")).cast("long")
+    dup_frac = (n_sh - n_uniq).cast("double") / n_sh
+    return d.select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        n_uniq.alias("n_unique"),
+        dup_frac.alias("dup_fraction"),
+        (dup_frac > REP_THRESHOLD).alias("repetitious"),
+    )
