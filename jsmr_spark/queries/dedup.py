@@ -339,3 +339,121 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
         )
     )
+
+
+NEW_BATCH_MOD = 10  # doc_id % 10 >= NEW_BATCH_RESIDUE -> "incoming batch"
+NEW_BATCH_RESIDUE = 8
+
+_MERGE_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
+    mh AS (
+      SELECT doc_id,
+           {_ORACLE_MINHASH_COLS}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {_ORACLE_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bkey = o.bkey
+      WHERE n.doc_id % {NEW_BATCH_MOD} >= {NEW_BATCH_RESIDUE}
+        AND o.doc_id % {NEW_BATCH_MOD} < {NEW_BATCH_RESIDUE}
+    ),
+    shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.old_id, count(*) AS n_common
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.new_id
+      JOIN shd y ON y.doc_id = c.old_id AND y.hv = x.hv
+      GROUP BY c.new_id, c.old_id
+    )
+    SELECT i.new_id, i.old_id, i.n_common,
+           sn.n AS n_new, so.n AS n_old,
+           i.n_common / (sn.n + so.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sn ON sn.doc_id = i.new_id
+    JOIN sizes so ON so.doc_id = i.old_id
+    WHERE i.n_common / (sn.n + so.n - i.n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("q_merge_dedup", _MERGE_ORACLE)
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production topology q_dedup_minhash's
+    all-pairs form does not exercise: an incoming batch (deterministic
+    doc_id % 10 >= 8 slice) is checked against the already-indexed
+    corpus (the rest), and only new-x-indexed band collisions become
+    candidates — never indexed-x-indexed (that work happened when those
+    docs were ingested) and never new-x-new (that is the intra-batch
+    q_dedup_minhash pass).
+
+    At 100 TB this is the shape that keeps daily ingest cheap: the
+    corpus-side band keys are a materialized index (written once,
+    partitioned by band), the new batch's bands are a narrow map over
+    the batch only, and the candidate join is batch-size x collision
+    rate, independent of corpus row count. Verification joins fetch
+    only the colliding docs' shingle sets."""
+    sets = _shingle_sets(spark, sf_dir).cache()
+    mh = sets.select("doc_id", *_minhash_set_cols())
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"m{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    is_new = (F.col("doc_id") % NEW_BATCH_MOD) >= NEW_BATCH_RESIDUE
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "bkey"
+    )
+    old_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("band").alias("band_o"),
+        F.col("bkey").alias("bkey_o"),
+    )
+    cand = (
+        new_b.join(
+            old_b,
+            (F.col("band") == F.col("band_o")) & (F.col("bkey") == F.col("bkey_o")),
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sn = sets.select(F.col("doc_id").alias("new_id"), F.col("hvs").alias("hvs_n"))
+    so = sets.select(F.col("doc_id").alias("old_id"), F.col("hvs").alias("hvs_o"))
+    jac = F.col("n_common") / (F.col("n_new") + F.col("n_old") - F.col("n_common"))
+    return (
+        cand.join(sn, "new_id")
+        .join(so, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect("hvs_n", "hvs_o")).cast("long").alias("n_common"),
+            F.size("hvs_n").cast("long").alias("n_new"),
+            F.size("hvs_o").cast("long").alias("n_old"),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "n_common", "n_new", "n_old", "jaccard")
+    )
