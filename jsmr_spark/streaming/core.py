@@ -145,6 +145,32 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_sliding: 1-hour windows sliding every
+    30 minutes under a watermark — each event enters TWO window states,
+    so this exercises multi-window state fan-out (state rows = 2x keys,
+    still watermark-bounded) that the tumbling replay does not."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type",
+                    "n",
+                )
+            )
+
+        name = f"sliding_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_stream_dedup: withWatermark + dropDuplicates
     over a replay where every chunk is delivered twice (at-least-once)."""

@@ -99,3 +99,36 @@ def test_stateful_counter_final_state_equals_batch(spark):
     assert final.keys() == batch.keys()
     for uid, (n, spend) in final.items():
         assert (n, round(spend, 2)) == batch[uid], f"user {uid}"
+
+
+def test_sliding_stream_matches_batch_prefix(spark):
+    """Sliding windows fan each event into two window states; every
+    watermark-closed window the stream emitted must carry exactly the
+    batch counts (the batch twin q_stream_sliding is oracle-checked)."""
+    from jsmr_spark.streaming.core import run_sliding_stream
+
+    streamed = {
+        (r.window_start, r.window_end, r.event_type): r.n
+        for r in run_sliding_stream(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r.window_start, r.window_end, r.event_type): r.n
+        for r in get_query("q_stream_sliding").fn(spark, SF_DIR).collect()
+    }
+    assert streamed, "stream emitted nothing"
+    for key, n in streamed.items():
+        assert batch.get(key) == n, f"window {key}: stream={n} batch={batch.get(key)}"
+    assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_rate_source_stream_is_deterministic(spark):
+    """The unbounded rate source's aggregate must equal the pure
+    function of the counter prefix (the same thing its DuckDB oracle
+    checks, exercised here through the streaming engine twice)."""
+    from jsmr_spark.streaming.core import run_rate_source_stream
+
+    rows = {r.user_key: (r.n, r.sum_value) for r in run_rate_source_stream(spark).collect()}
+    assert len(rows) == 50
+    for k, (n, sv) in rows.items():
+        assert n == 100
+        assert sv == sum(range(k, 5000, 50))
