@@ -259,3 +259,99 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event"),
         )
     )
+
+
+N_SMALL_FILES = 64
+N_COMPACT_FILES = 4
+
+
+@query(
+    "sink_compact",
+    f"""
+    SELECT {N_SMALL_FILES} AS n_files_before,
+           {N_COMPACT_FILES} AS n_files_after,
+           count(*) AS n_docs,
+           sum(n_chars) AS sum_chars
+    FROM documents
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the lake-maintenance op every long-lived
+    100 TB table needs: a fragmented write (repartition({N_SMALL}) ->
+    one parquet file per partition) is re-read and rewritten at the
+    target file count (coalesce — a NARROW move, no shuffle, the point
+    of compaction). Both directory listings are real; the oracle pins
+    the expected file counts and the content aggregate, so a lost row
+    or a wrong output layout fails the hash.
+
+    At scale this runs per partition-directory with target size
+    (maxRecordsPerFile / 128MB files), not a global coalesce(4) — the
+    shape (read fragmented, narrow rewrite, verify) is identical."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"jsmr_compact_{uuid.uuid4().hex[:8]}"
+    )
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+
+    def _parquet_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    try:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        docs.repartition(N_SMALL_FILES).write.parquet(frag)
+        n_before = _parquet_files(frag)
+        spark.read.parquet(frag).coalesce(N_COMPACT_FILES).write.parquet(compact)
+        n_after = _parquet_files(compact)
+        agg = spark.read.parquet(compact).agg(
+            F.lit(n_before).cast("int").alias("n_files_before"),
+            F.lit(n_after).cast("int").alias("n_files_after"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        rows = agg.collect()  # materialize before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_files_before int, n_files_after int, n_docs long, sum_chars long"
+    )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT lang,
+           2 * count(*) AS n_rows,
+           count(*) AS n_null_source
+    FROM documents GROUP BY lang
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the other unavoidable
+    lake-maintenance reality: generation A wrote (doc_id, lang,
+    n_chars); generation B later added a `source` column. mergeSchema
+    unions the footers into one scan schema and fills A's missing
+    column with nulls. The oracle pins per-lang row counts (every doc
+    appears once per generation) and the null count (exactly the A
+    rows), so both the union and the null-fill are value-checked.
+
+    At 100 TB: mergeSchema costs a footer read per file — acceptable
+    per-partition, wrong corpus-wide; evolved tables belong behind a
+    catalog (Delta/Iceberg) where the schema lives in metadata. The
+    scan behavior exercised here is identical."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"jsmr_evolve_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        docs = t(spark, sf_dir, "documents")
+        docs.select("doc_id", "lang", "n_chars").write.parquet(os.path.join(base, "gen=a"))
+        docs.select("doc_id", "lang", "n_chars", "source").write.parquet(os.path.join(base, "gen=b"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(base, "gen=a"), os.path.join(base, "gen=b")
+        )
+        out = merged.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("source").isNull(), 1)).alias("n_null_source"),
+        )
+        rows = out.collect()  # materialize before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "lang string, n_rows long, n_null_source long")

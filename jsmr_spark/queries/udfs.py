@@ -223,3 +223,54 @@ def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.mr import wordcount
 
     return wordcount(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_udf_mapinarrow",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice*100,0) AS BIGINT) * l_quantity AS qty_price_cents
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy Arrow-native batch surface (no pandas
+    conversion at all — RecordBatch in, RecordBatch out via pyarrow
+    compute kernels). Completes the Python-surface matrix next to udf /
+    pandas_udf / applyInPandas / UDTF: this is the fastest Python lane
+    Spark offers, the one to reach for when even pandas' block
+    consolidation overhead matters (wide batches, numeric kernels).
+
+    Arithmetic parity: cents via round-half-away on doubles matches
+    compat.cents bit-for-bit (pa.compute.round half_towards_infinity =
+    half away from zero, then int64 multiply — exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def qty_price(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            cents_i = pc.cast(
+                pc.round(pc.multiply(price, pa.scalar(100.0)), 0, round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            qty = pc.cast(batch.column("l_quantity"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    pc.multiply(cents_i, qty),
+                ],
+                ["l_orderkey", "l_linenumber", "qty_price_cents"],
+            )
+
+    src = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    )
+    return src.mapInArrow(
+        qty_price,
+        "l_orderkey bigint, l_linenumber int, qty_price_cents bigint",
+    )
