@@ -28,10 +28,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Schema of the decoded metadata/features emitted per blob.
+# Schema of the decoded metadata/features emitted per blob. byte_sum is
+# the EXACT integer sum of pixel-byte values — downstream cross-row
+# averages aggregate it (order-independent, oracle-reproducible) instead
+# of averaging the per-blob double mean.
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, n_channels int, "
-    "mean_byte double, thumb binary"
+    "n_pixel_bytes int, byte_sum long, mean_byte double, thumb binary"
 )
 
 
@@ -131,6 +134,8 @@ def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "width": [m[0] for m in meta],
                 "height": [m[1] for m in meta],
                 "n_channels": [m[2] for m in meta],
+                "n_pixel_bytes": [len(m[3]) for m in meta],
+                "byte_sum": [sum(m[3]) for m in meta],
                 # feature extraction: mean PIXEL value (exact int sum / n)
                 "mean_byte": [float(sum(m[3])) / len(m[3]) for m in meta],
                 # resize stub: first 16 pixel bytes as the thumbnail
@@ -203,7 +208,10 @@ def resize_pipeline(docs: DataFrame) -> DataFrame:
 MAX_FRAMES = 4
 _FRAME_BYTES = len(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()) + PPM_W * PPM_H * 3
 
-SAMPLED_SCHEMA = "doc_id long, n_frames int, n_sampled int, sampled_mean double"
+SAMPLED_SCHEMA = (
+    "doc_id long, n_frames int, n_sampled int, "
+    "sampled_pixel_bytes int, sampled_byte_sum long, sampled_mean double"
+)
 
 FRAME_STRIDE = 2  # keep every 2nd frame (0, 2, ...)
 
@@ -261,7 +269,17 @@ def framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     repeated P6 headers, keep every FRAME_STRIDE-th frame, decode the
     kept frames and emit counts + mean pixel value of the sample."""
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "n_frames", "n_sampled", "sampled_mean")}
+        out = {
+            k: []
+            for k in (
+                "doc_id",
+                "n_frames",
+                "n_sampled",
+                "sampled_pixel_bytes",
+                "sampled_byte_sum",
+                "sampled_mean",
+            )
+        }
         for doc_id, b in zip(pdf["doc_id"], pdf["video"]):
             b = bytes(b)
             frames: list[bytes] = []
@@ -275,6 +293,8 @@ def framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             out["doc_id"].append(doc_id)
             out["n_frames"].append(len(frames))
             out["n_sampled"].append(len(kept))
+            out["sampled_pixel_bytes"].append(len(pix))
+            out["sampled_byte_sum"].append(sum(pix))
             out["sampled_mean"].append(float(sum(pix)) / len(pix))
         yield pd.DataFrame(out)
 

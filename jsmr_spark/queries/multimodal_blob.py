@@ -1,4 +1,14 @@
-"""Binary-column (multimodal) pipeline key — see jsmr_spark/multimodal.py."""
+"""Binary-column (multimodal) pipeline keys — see jsmr_spark/multimodal.py.
+
+Oracle strategy (round 3): the synthesized blobs are md5 chains, and
+DuckDB can recompute every pixel byte from the hex digest (hex-pair ->
+int via strpos math), so the decode and frame-sample keys are now
+VALUE-CHECKED end to end — the mapInPandas workers' parsed widths,
+byte sums, and frame splits must equal what the oracle derives purely
+from (text, doc_id). Cross-row averages aggregate EXACT integer byte
+sums (order-independent) and divide once, never averaging per-blob
+doubles. Resize stays rows-only: reproducing numpy's nearest-neighbor
+index rounding in SQL would test the oracle, not the engine."""
 
 from __future__ import annotations
 
@@ -10,12 +20,45 @@ from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
 
-@query("q_multimodal_decode", None)  # binary blobs + stubbed decode => rows-only
+def _hexsum_dd(hexpr: str) -> str:
+    """DuckDB expression: sum of the 16 byte values of an md5 hex digest
+    (hex pair -> int via strpos('0123456789abcdef', c) - 1)."""
+    return (
+        "list_aggregate(list_transform(range(1, 17), j -> "
+        f"(strpos('0123456789abcdef', ({hexpr})[CAST(j*2-1 AS INT)]) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', ({hexpr})[CAST(j*2 AS INT)]) - 1)), 'sum')"
+    )
+
+
+_DECODE_ORACLE = f"""
+    WITH bs AS (
+      SELECT lang,
+             {_hexsum_dd("md5(text || '0')")}
+             + {_hexsum_dd("md5(text || '1')")}
+             + {_hexsum_dd("md5(text || '2')")} AS byte_sum
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_blobs,
+           59 * count(*) AS total_bytes,
+           sum(byte_sum) AS pixel_value_sum,
+           sum(byte_sum) / (48.0 * count(*)) AS avg_pixel_byte,
+           CAST(4 AS INT) AS min_width,
+           CAST(4 AS INT) AS max_height
+    FROM bs GROUP BY lang
+"""
+
+
+@query("q_multimodal_decode", _DECODE_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extraction over a binary column via
-    mapInPandas (decode stubbed deterministically — no imaging libs in
-    this container; plumbing is real). Aggregates the extracted
-    features per language."""
+    mapInPandas (real pure-Python PPM/BMP parse), aggregated per
+    language — VALUE-CHECKED: the oracle independently recomputes the
+    59-byte blob length (11-byte P6 header + 4x4x3 pixels), every pixel
+    byte's value from the md5 chain, and the parsed dimensions, so a
+    mis-parsed header or a dropped byte anywhere in the Arrow pipeline
+    fails the hash. The average aggregates the exact integer byte sums
+    and divides once (order-independent on both engines)."""
     from jsmr_spark.multimodal import decode_pipeline
 
     docs = t(spark, sf_dir, "documents")
@@ -26,7 +69,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_blobs"),
             F.sum("n_bytes").alias("total_bytes"),
-            r4(F.avg("mean_byte")).alias("avg_mean_byte"),
+            F.sum("byte_sum").alias("pixel_value_sum"),
+            (F.sum("byte_sum") / F.sum("n_pixel_bytes")).alias("avg_pixel_byte"),
             F.min("width").alias("min_width"),
             F.max("height").alias("max_height"),
         )
@@ -57,13 +101,42 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_framesample", None)  # binary videos + mapInPandas => rows-only
+_FSAMP_MD5 = "md5(text || CAST(f AS VARCHAR) || ':' || CAST(i AS VARCHAR))"
+
+_FSAMP_ORACLE = f"""
+    WITH v AS (
+      SELECT source, text, CAST(doc_id % 3 + 2 AS INT) AS n FROM documents
+    ),
+    s AS (
+      SELECT source, n,
+             list_aggregate(flatten(list_transform(
+               list_filter(range(0, n), f -> f % 2 = 0),
+               f -> list_transform(range(0, 3), i -> {_hexsum_dd(_FSAMP_MD5)})
+             )), 'sum') AS bs,
+             48 * ((n + 1) // 2) AS npix
+      FROM v
+    )
+    SELECT source,
+           count(*) AS n_videos,
+           sum(n) AS total_frames,
+           sum((n + 1) // 2) AS total_sampled,
+           sum(bs) AS pixel_value_sum,
+           sum(bs) / CAST(sum(npix) AS DOUBLE) AS avg_sampled_byte
+    FROM s GROUP BY source
+"""
+
+
+@query("q_multimodal_framesample", _FSAMP_ORACLE)
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: multi-frame P6 'videos' split by
     parsing the repeated headers executor-side, every 2nd frame kept
     and decoded (jsmr_spark/multimodal.py:framesample_batches);
-    aggregates frame counts per source. Bytes stay in Arrow buffers;
-    sampling parallelism = partition count."""
+    aggregates per source — VALUE-CHECKED: the oracle independently
+    derives the frame count from doc_id, the kept-frame indices from
+    the stride rule, and every sampled pixel byte from the md5 chain,
+    so a mis-parsed frame boundary or an off-by-one in the stride fails
+    the hash. Bytes stay in Arrow buffers; sampling parallelism =
+    partition count."""
     from jsmr_spark.multimodal import framesample_pipeline
 
     docs = t(spark, sf_dir, "documents")
@@ -75,6 +148,9 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_videos"),
             F.sum("n_frames").cast("long").alias("total_frames"),
             F.sum("n_sampled").cast("long").alias("total_sampled"),
-            r4(F.avg("sampled_mean")).alias("avg_sampled_mean"),
+            F.sum("sampled_byte_sum").alias("pixel_value_sum"),
+            (F.sum("sampled_byte_sum") / F.sum("sampled_pixel_bytes")).alias(
+                "avg_sampled_byte"
+            ),
         )
     )

@@ -69,7 +69,10 @@ def test_decode_unknown_format_raises_and_fake_fallback():
 def test_decode_pipeline_schema_and_determinism(spark):
     docs = load_table(spark, SF_DIR, "documents")
     out = decode_pipeline(docs)
-    assert out.columns == ["doc_id", "n_bytes", "width", "height", "n_channels", "mean_byte", "thumb"]
+    assert out.columns == [
+        "doc_id", "n_bytes", "width", "height", "n_channels",
+        "n_pixel_bytes", "byte_sum", "mean_byte", "thumb",
+    ]
     rows1 = {r.doc_id: (r.n_bytes, r.width, r.height, r.n_channels, r.mean_byte) for r in out.collect()}
     rows2 = {r.doc_id: (r.n_bytes, r.width, r.height, r.n_channels, r.mean_byte) for r in decode_pipeline(docs).collect()}
     assert rows1 == rows2
