@@ -215,13 +215,26 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_watermark_late_replay(spark, sf_dir)
 
 
-@query("stream_stateful_counter", None)  # arbitrary user state => rows-only
+@query(
+    "stream_stateful_counter",
+    f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum({_VAL_C}) / 100.0::DOUBLE AS spend
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     cumulative per-user event count + exact cents spend, state in the
     state store, update-mode emission per micro-batch (JsMr parity:
     arbitrary user reduce state, SURVEY.md §2.A A11). Returns the final
-    per-user totals of the replay; see jsmr_spark/streaming/core.py."""
+    per-user totals of the replay — VALUE-CHECKED: with a closed input
+    the converged state store must equal the batch aggregate the oracle
+    computes directly from events (exact integer cents in the worker,
+    same tie-free rounding), so lost state, a dropped micro-batch, or
+    double-counted redelivery fails the hash. See
+    jsmr_spark/streaming/core.py."""
     from jsmr_spark.streaming.core import run_stateful_counter_stream
 
     # The memory sink holds one row per (user, micro-batch) in update
