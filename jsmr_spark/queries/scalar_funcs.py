@@ -248,17 +248,39 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_map_funcs", None)  # MAP hashing is not portable across engines => rows-only
+@query(
+    "q_map_funcs",
+    """
+    SELECT event_id,
+           'k,k2' AS keys_sorted,
+           2 AS n_entries,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2_val,
+           CAST(json_extract_string(props, '$.k') AS INT) * 3 AS val_sum
+    FROM events
+    """,
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType round-trip: build a map from parsed JSON, read keys/values
-    back out (rows-only: map ordering/hashing is engine-specific)."""
+    """MapType surface: build a map from parsed JSON, read it back out
+    through map_keys / map_values / element_at / size.
+
+    A raw MAP column can never be hash-compared across engines (entry
+    order and hashing are engine-specific), so the map is EMITTED as
+    portable projections — sorted key list, entry count, one extracted
+    value, aggregated values — and the oracle recomputes each expected
+    value straight from the JSON. The MapType machinery is still what
+    produces every output; only the final representation is portable.
+    NULL k flows through: element_at and the value aggregate go NULL,
+    matching the oracle's NULL arithmetic."""
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     m = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
     return t(spark, sf_dir, "events").select(
         "event_id",
-        m.alias("props_map"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.size(m).alias("n_entries"),
         F.element_at(m, F.lit("k2")).alias("k2_val"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("int"), lambda acc, x: acc + x
+        ).alias("val_sum"),
     )
 
 
