@@ -215,11 +215,21 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mr_api", None)  # generic user-code API => rows-only by design
+@query(
+    "mr_api",
+    """
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
 def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JsMr-compat job() API running wordcount (map -> shuffle ->
-    combine -> reduce). Equivalence with the DataFrame wordcount
-    (q_text_wordcount) is asserted in tests/test_mr.py."""
+    combine -> reduce) — VALUE-CHECKED: the API is generic user code,
+    but this job's output is fully determined, so the RDD path
+    (map_fn/combine_fn/reduce_fn through reduceByKey) hash-compares
+    against the same oracle as its DataFrame twin q_text_wordcount.
+    MR≡DataFrame equivalence is also asserted in tests/test_mr.py."""
     from jsmr_spark.mr import wordcount
 
     return wordcount(t(spark, sf_dir, "documents"))
