@@ -123,3 +123,49 @@ def test_mr_wordcount_matches_dataframe_on_random_corpora(spark, texts):
         .collect()
     }
     assert mr == exp
+
+
+def test_new_curation_key_invariants(spark):
+    """Fixture-level invariants for the round-3 curation keys — the
+    algebraic facts that must hold regardless of the oracle's values."""
+    from jsmr_spark.registry import get_query
+
+    sf = "/root/testdata/sf0.001"
+
+    # repetition: fractions in [0,1], unique <= total, flag consistent
+    rep = get_query("q_text_repetition").fn(spark, sf).collect()
+    assert rep
+    for r in rep:
+        assert 0 <= r.n_unique <= r.n_shingles
+        assert 0.0 <= r.dup_fraction <= 1.0
+        assert r.repetitious == (r.dup_fraction > 0.2)
+
+    # merge dedup: sides on the correct residues, jaccard >= threshold
+    for r in get_query("q_merge_dedup").fn(spark, sf).collect():
+        assert r.new_id % 10 >= 8 and r.old_id % 10 < 8
+        assert r.jaccard >= 0.8
+        assert r.n_common <= min(r.n_new, r.n_old)
+
+    # decontam: no benchmark doc on the output side, counts positive
+    for r in get_query("q_text_decontam").fn(spark, sf).collect():
+        assert r.doc_id % 100 != 7
+        assert r.n_shared_shingles >= 1
+
+    # quantile bins: exactly the 4 bins, counts sum to the table size,
+    # value ranges ordered across bins
+    bins = sorted(
+        get_query("q_quantile_bins").fn(spark, sf).collect(), key=lambda r: r.bin
+    )
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert [b.bin for b in bins] == [0, 1, 2, 3]
+    assert sum(b.n_orders for b in bins) == n_orders
+    for lo, hi in zip(bins, bins[1:]):
+        assert lo.max_cents <= hi.min_cents
+
+    # ANN recall: a valid fraction, constant across the result rows
+    for key in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
+        rows = get_query(key).fn(spark, sf).collect()
+        if rows:
+            recalls = {r.recall_at_10 for r in rows}
+            assert len(recalls) == 1
+            assert 0.0 <= rows[0].recall_at_10 <= 1.0
