@@ -158,7 +158,7 @@ OUT_W = OUT_H = 2  # resize target (nearest-neighbor)
 
 RESIZED_SCHEMA = (
     "doc_id long, width int, height int, out_w int, out_h int, "
-    "resized binary, resized_mean double"
+    "resized binary, resized_byte_sum long, resized_mean double"
 )
 
 
@@ -180,7 +180,13 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     resize -> thumbnail bytes + mean. Bytes never leave the executor's
     Arrow buffers; one output row per blob."""
     for pdf in batches:
-        rows = {k: [] for k in ("doc_id", "width", "height", "out_w", "out_h", "resized", "resized_mean")}
+        rows = {
+            k: []
+            for k in (
+                "doc_id", "width", "height", "out_w", "out_h",
+                "resized", "resized_byte_sum", "resized_mean",
+            )
+        }
         for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
             w, h, c, pix = decode_image(bytes(b))
             small = resize_image(w, h, c, pix)
@@ -190,6 +196,7 @@ def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["out_w"].append(OUT_W)
             rows["out_h"].append(OUT_H)
             rows["resized"].append(small)
+            rows["resized_byte_sum"].append(sum(small))
             rows["resized_mean"].append(float(sum(small)) / len(small))
         yield pd.DataFrame(rows)
 

@@ -4,11 +4,12 @@ Oracle strategy (round 3): the synthesized blobs are md5 chains, and
 DuckDB can recompute every pixel byte from the hex digest (hex-pair ->
 int via strpos math), so the decode and frame-sample keys are now
 VALUE-CHECKED end to end — the mapInPandas workers' parsed widths,
-byte sums, and frame splits must equal what the oracle derives purely
-from (text, doc_id). Cross-row averages aggregate EXACT integer byte
-sums (order-independent) and divide once, never averaging per-blob
-doubles. Resize stays rows-only: reproducing numpy's nearest-neighbor
-index rounding in SQL would test the oracle, not the engine."""
+byte sums, frame splits, and resize gathers must equal what the oracle
+derives purely from (text, doc_id). Cross-row averages aggregate EXACT
+integer byte sums (order-independent) and divide once, never averaging
+per-blob doubles. For the fixed 4x4 -> 2x2 case the nearest-neighbor
+index grid reduces to the corner pixels, so even the resize is checked
+against first-principles digest offsets."""
 
 from __future__ import annotations
 
@@ -77,13 +78,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_resize", None)  # binary blobs + mapInPandas => rows-only
+def _hexsum_idx_dd(hexpr: str, idxs: list[int]) -> str:
+    """DuckDB expression: sum of SPECIFIC byte values (0-based indices)
+    of an md5 hex digest."""
+    terms = " + ".join(
+        f"((strpos('0123456789abcdef', ({hexpr})[{2 * j + 1}]) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', ({hexpr})[{2 * j + 2}]) - 1))"
+        for j in idxs
+    )
+    return f"({terms})"
+
+
+# 4x4 -> 2x2 nearest neighbor keeps pixels (y,x) in {0,3}x{0,3}
+# (linspace(0,3,2).round() = [0,3]); pixel (y,x) spans pixel-byte
+# offsets (y*4+x)*3..+2 of the 48-byte payload = digest0 bytes
+# {0,1,2, 9,10,11} and digest2 bytes {4,5,6, 13,14,15}.
+_RESIZE_ORACLE = f"""
+    WITH bs AS (
+      SELECT lang,
+             {_hexsum_idx_dd("md5(text || '0')", [0, 1, 2, 9, 10, 11])}
+             + {_hexsum_idx_dd("md5(text || '2')", [4, 5, 6, 13, 14, 15])} AS byte_sum
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_images,
+           CAST(2 AS INT) AS out_w,
+           CAST(2 AS INT) AS out_h,
+           sum(byte_sum) AS pixel_value_sum,
+           sum(byte_sum) / (12.0 * count(*)) AS avg_resized_byte,
+           12 * count(*) AS total_resized_bytes
+    FROM bs GROUP BY lang
+"""
+
+
+@query("q_multimodal_resize", _RESIZE_ORACLE)
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real resize path over the binary column: decode PPM -> numpy
     nearest-neighbor thumbnail (jsmr_spark/multimodal.py:resize_image)
-    inside Arrow batches; aggregates resized stats per language. The
-    decode+resize is genuine pixel math, not a stub — only exotic
-    containers fall back."""
+    inside Arrow batches; aggregates per language — VALUE-CHECKED: for
+    the 4x4 -> 2x2 case the nearest-neighbor grid is exactly the corner
+    pixels, so the oracle recomputes the kept bytes' values straight
+    from the md5 chain at their fixed digest offsets. A wrong index
+    grid, a channel-order bug, or a truncated gather changes the byte
+    sum and fails the hash."""
     from jsmr_spark.multimodal import resize_pipeline
 
     docs = t(spark, sf_dir, "documents")
@@ -95,7 +132,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_images"),
             F.any_value("out_w").alias("out_w"),
             F.any_value("out_h").alias("out_h"),
-            r4(F.avg("resized_mean")).alias("avg_resized_mean"),
+            F.sum("resized_byte_sum").alias("pixel_value_sum"),
+            (F.sum("resized_byte_sum") / F.sum(F.length("resized"))).alias(
+                "avg_resized_byte"
+            ),
             F.sum(F.length("resized")).alias("total_resized_bytes"),
         )
     )
