@@ -60,11 +60,14 @@ def main() -> None:
     for name in names:
         specs[name].fn(spark, sf_dir).toPandas()
 
-    # Headline (unchanged protocol, comparable round-over-round): each
-    # timed run rebuilds the DataFrame from scratch, so plan
-    # construction + Catalyst + codegen are INCLUDED. At bench scale
-    # that fixed per-query cost dominates; queries_exec below isolates
-    # it.
+    # Headline. Protocol note (ADVICE r3): since round 3 this is
+    # best-of-3 after a per-query warm pass; rounds 1-2 were best-of-2
+    # with a cold first run, so round-over-round totals compare a
+    # slightly more favorable steady state from r3 on (also noted in
+    # BENCH.md). Each timed run rebuilds the DataFrame from scratch, so
+    # plan construction + Catalyst + codegen are INCLUDED. At bench
+    # scale that fixed per-query cost dominates; queries_exec below
+    # isolates it.
     timings: dict[str, float] = {}
     exec_timings: dict[str, float] = {}
     for name in names:

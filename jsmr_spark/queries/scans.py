@@ -267,9 +267,12 @@ N_COMPACT_FILES = 4
 
 @query(
     "sink_compact",
+    # least(): repartition(N) writes no file for an empty partition, so a
+    # fixture with fewer rows than N_SMALL_FILES legitimately yields fewer
+    # files — the oracle must not fail the hash for that unrelated reason.
     f"""
-    SELECT {N_SMALL_FILES} AS n_files_before,
-           {N_COMPACT_FILES} AS n_files_after,
+    SELECT CAST(least({N_SMALL_FILES}, count(*)) AS INTEGER) AS n_files_before,
+           CAST(least({N_COMPACT_FILES}, count(*)) AS INTEGER) AS n_files_after,
            count(*) AS n_docs,
            sum(n_chars) AS sum_chars
     FROM documents

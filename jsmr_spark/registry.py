@@ -29,6 +29,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None => rows-only check
     doc: str = ""
+    alias_of: str | None = None  # set for driver-window coverage aliases
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -44,6 +45,32 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def register_alias(new_name: str, canonical: str) -> None:
+    """Register an existing key under a second, earlier-sorting name.
+
+    Rationale (VERDICT r3 #1): the driver's correctness sweep hashes the
+    first 50 keys ALPHABETICALLY each round, so keys past the window end
+    never receive the hard driver signal no matter how long they stay
+    green locally. An alias is the same implementation and the same
+    oracle — byte-identical function object, byte-identical SQL —
+    registered under an `a0_`-prefixed name that sorts into the window.
+    It adds zero code surface; it only routes the driver's existing
+    check at never-driver-verified operators.
+    """
+    if new_name in _REGISTRY:
+        raise ValueError(f"duplicate query key {new_name!r}")
+    spec = _REGISTRY[canonical]  # KeyError = canonical must already exist
+    if spec.alias_of is not None:
+        raise ValueError(f"{canonical!r} is itself an alias")
+    _REGISTRY[new_name] = QuerySpec(
+        name=new_name,
+        fn=spec.fn,
+        oracle=spec.oracle,
+        doc=f"Driver-window coverage alias of {canonical} (see that key).",
+        alias_of=canonical,
+    )
 
 
 def _ensure_loaded() -> None:
@@ -69,3 +96,11 @@ def get_query(name: str) -> QuerySpec:
 def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
     return dict(sorted(_REGISTRY.items()))
+
+
+def canonical_specs() -> dict[str, QuerySpec]:
+    """all_specs() minus coverage aliases — what benchmarks, plan audits
+    and golden generation should iterate (an alias is the same fn, so
+    sweeping it twice measures/audits nothing new)."""
+    _ensure_loaded()
+    return {k: s for k, s in sorted(_REGISTRY.items()) if s.alias_of is None}

@@ -346,6 +346,7 @@ def run_rate_source_stream(spark: SparkSession) -> DataFrame:
             .start()
         )
         try:
+            done = None  # defined even if the poll loop never runs
             deadline = _time.time() + 120
             while _time.time() < deadline:
                 done = spark.table(name).agg(F.sum("n")).collect()[0][0]

@@ -130,7 +130,7 @@ def test_new_curation_key_invariants(spark):
     algebraic facts that must hold regardless of the oracle's values."""
     from jsmr_spark.registry import get_query
 
-    sf = "/root/testdata/sf0.001"
+    from tests.conftest import SF_DIR as sf
 
     # repetition: fractions in [0,1], unique <= total, flag consistent
     rep = get_query("q_text_repetition").fn(spark, sf).collect()

@@ -12,7 +12,7 @@ import duckdb
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 from jsmr_spark.io import TABLES
-from jsmr_spark.registry import all_specs
+from jsmr_spark.registry import canonical_specs
 from jsmr_spark.session import get_spark
 
 
@@ -31,7 +31,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
-    specs = all_specs()
+    specs = canonical_specs()
     # warm up JVM
     specs["q_agg_q1"].fn(spark, SF_DIR).collect()
 

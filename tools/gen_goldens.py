@@ -8,7 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import datetime
 
-from jsmr_spark.registry import all_specs
+from jsmr_spark.registry import canonical_specs
 from jsmr_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -30,7 +30,7 @@ def canon(v):
 def main():
     spark = get_spark("goldens")
     spark.sparkContext.setLogLevel("ERROR")
-    for name, spec in all_specs().items():
+    for name, spec in canonical_specs().items():
         if spec.oracle is not None:
             continue
         df = spec.fn(spark, SF_DIR)

@@ -72,13 +72,13 @@ def has_global_window(plan: str) -> bool:
 
 
 def main() -> int:
-    from jsmr_spark.registry import all_specs
+    from jsmr_spark.registry import canonical_specs
     from jsmr_spark.session import get_spark
 
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows, bad = [], []
-    for name, spec in all_specs().items():
+    for name, spec in canonical_specs().items():
         try:
             df = spec.fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -108,7 +108,7 @@ def build(spark):
 
 def main():
     from jsmr_spark import io as jio
-    from jsmr_spark.registry import all_specs
+    from jsmr_spark.registry import canonical_specs
     from jsmr_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -129,7 +129,7 @@ def main():
 
     common.t = lambda sp, sf, name: load_patched(sp, sf, name)
 
-    specs = all_specs()
+    specs = canonical_specs()
     lines = ["# SCALE — 10x probe (tools/scale_probe.py)", "",
              f"sf0.1 replicated {REPLICAS}x with shifted keys and per-replica content",
              "perturbation (tagged tokens / masked embedding dims — verbatim replicas",
