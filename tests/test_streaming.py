@@ -101,6 +101,52 @@ def test_stateful_counter_final_state_equals_batch(spark):
         assert (n, round(spend, 2)) == batch[uid], f"user {uid}"
 
 
+def test_stateful_counter_recovers_from_checkpoint(spark):
+    """Kill-and-resume (VERDICT r3 #2): stop the stateful-counter stream
+    mid-ingest (half the chunks delivered), restart a new query from the
+    same checkpoint once the rest arrives, and prove exactly-once state:
+    the converged totals equal the batch aggregate — no dupes (restart
+    re-emitting committed batches would overshoot), no loss (dropped
+    state would undershoot)."""
+    from jsmr_spark.streaming.core import run_stateful_counter_restart
+
+    p1, p2, n_prefix, n_total = run_stateful_counter_restart(spark, SF_DIR)
+
+    def final_state(df):
+        return {
+            r.user_id: (r.n_events, round(r.spend, 2))
+            for r in df.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"), F.max("spend").alias("spend"))
+            .collect()
+        }
+
+    s1, s2 = final_state(p1), final_state(p2)
+    assert s1 and s2, "one of the incarnations emitted nothing"
+    # phase 1 genuinely stopped mid-stream: it accounts for exactly the
+    # delivered prefix, which is a strict subset of the table
+    assert 0 < n_prefix < n_total
+    assert sum(n for n, _ in s1.values()) == n_prefix
+
+    # converged state: phase-2 rows supersede phase-1 rows for the users
+    # they touch (counters are monotone), phase-1 rows stand otherwise
+    merged = {**s1, **s2}
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {
+        r.user_id: (r.n, round(r.c / 100.0, 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert merged.keys() == batch.keys()
+    for uid, got in merged.items():
+        assert got == batch[uid], f"user {uid}: stream={got} batch={batch[uid]}"
+    # global double-check: merged totals account for every row exactly once
+    assert sum(n for n, _ in merged.values()) == n_total
+
+
 def test_sliding_stream_matches_batch_prefix(spark):
     """Sliding windows fan each event into two window states; every
     watermark-closed window the stream emitted must carry exactly the
