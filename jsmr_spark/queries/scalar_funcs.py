@@ -269,18 +269,26 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, aggregated values — and the oracle recomputes each expected
     value straight from the JSON. The MapType machinery is still what
     produces every output; only the final representation is portable.
-    NULL k flows through: element_at and the value aggregate go NULL,
-    matching the oracle's NULL arithmetic."""
+    NULL k flows through: element_at and the value sum go NULL,
+    matching the oracle's NULL arithmetic.
+
+    Perf (VERDICT r3 #4, profiled at sf0.1): the JSON parse is 0.23s of
+    the wall; the former `F.aggregate(map_values, lambda)` fold cost
+    ~0.5s more because a lambda HOF falls out of whole-stage codegen.
+    Summing the two map_values entries via element_at keeps map_values
+    in the exercised surface (lambda HOFs stay covered by
+    q_array_funcs) and cut exec 1.27s -> ~0.78s; from_json vs
+    get_json_object measured equal (1.17 vs 1.24s), so the single-parse
+    rewrite was not taken."""
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     m = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
+    vals = F.map_values(m)
     return t(spark, sf_dir, "events").select(
         "event_id",
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("n_entries"),
         F.element_at(m, F.lit("k2")).alias("k2_val"),
-        F.aggregate(
-            F.map_values(m), F.lit(0).cast("int"), lambda acc, x: acc + x
-        ).alias("val_sum"),
+        (F.element_at(vals, 1) + F.element_at(vals, 2)).alias("val_sum"),
     )
 
 
