@@ -92,3 +92,62 @@ def wordcount(df: DataFrame, text_col: str = "text") -> DataFrame:
         combine_fn=lambda a, b: a + b,
         output_schema="token string, cnt long",
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The second canonical MR job (the one every MR paper shows after
+    wordcount): token -> posting list of containing documents.
+
+    Exercises the parts of the compat surface wordcount does not:
+    * a NON-SCALAR combine (A4): values are doc-id lists, combine is
+      list concatenation — associative, so map-side combine shrinks
+      shuffle volume from one pair per (token, occurrence) to one pair
+      per (token, partition);
+    * a reduce that transforms the grouped value (A6): dedupe + sort +
+      digest, not just a fold.
+
+    The posting list itself is emitted as an md5 over the sorted
+    comma-joined doc ids (plus df/min/max) so rows stay small while the
+    oracle still value-checks every posting: DuckDB recomputes the same
+    digest with md5(string_agg(... ORDER BY doc_id)).
+
+    At scale, posting lists for stopword-like tokens concentrate on one
+    reducer; the DataFrame re-expression (groupBy(token) +
+    collect_set — Tier B's aggregation path) gets partial aggregation
+    and AQE skew handling for free. This job exists for API parity.
+    """
+    import hashlib
+
+    def map_fn(row):
+        return [(tok, [row[id_col]]) for tok in row[text_col].split(" ")]
+
+    def reduce_fn(token, values):
+        postings = sorted(set(values[0]))
+        joined = ",".join(str(d) for d in postings)
+        digest = hashlib.md5(joined.encode()).hexdigest()
+        return [(token, len(postings), postings[0], postings[-1], digest)]
+
+    return job(
+        df,
+        map_fn=map_fn,
+        reduce_fn=reduce_fn,
+        combine_fn=lambda a, b: a + b,
+        output_schema="token string, df long, min_doc long, max_doc long, postings_md5 string",
+    )
+
+
+def df_histogram(inverted: DataFrame) -> DataFrame:
+    """Job chaining (A8) through the compat API: consume the inverted
+    index JOB OUTPUT as the next job's input — map each token row to its
+    document frequency, combine-sum into the df histogram. JsMr chains
+    jobs by feeding job N's output file to job N+1; here the chain is
+    DataFrame composition, one lazy DAG, no intermediate materialization."""
+    return job(
+        inverted,
+        map_fn=lambda row: [(row.df, 1)],
+        reduce_fn=lambda df_val, values: [(df_val, values[0])],
+        combine_fn=lambda a, b: a + b,
+        output_schema="df long, n_tokens long",
+    )

@@ -236,6 +236,55 @@ def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mr_inverted_index",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT * FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      )
+    )
+    SELECT token,
+           count(*) AS df,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+    FROM pairs GROUP BY token
+    """,
+)
+def q_mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second canonical MR job through the compat API (VERDICT r3 #7):
+    inverted index with a non-scalar combine (doc-id list concat, A4)
+    and a transforming reduce (dedupe/sort/md5 digest, A6). The oracle
+    recomputes the digest of every posting list, so the full index
+    content is hash-checked, not just its cardinalities."""
+    from jsmr_spark.mr import inverted_index
+
+    return inverted_index(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_mr_chain_dfhist",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT * FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      )
+    ),
+    inv AS (SELECT token, count(*) AS df FROM pairs GROUP BY token)
+    SELECT df, count(*) AS n_tokens FROM inv GROUP BY df
+    """,
+)
+def q_mr_chain_dfhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job chaining (A8) through the compat API: job 2 consumes job 1's
+    (inverted index) output as its input and reduces it to the
+    document-frequency histogram — the two-job topology JsMr runs by
+    feeding job N's output file to job N+1, here composed lazily."""
+    from jsmr_spark.mr import df_histogram, inverted_index
+
+    return df_histogram(inverted_index(t(spark, sf_dir, "documents")))
+
+
+@query(
     "q_udf_mapinarrow",
     """
     SELECT l_orderkey, l_linenumber,

@@ -37,6 +37,38 @@ def test_mr_job_without_combiner(spark):
     assert {(r.lang, r.n_docs, r.total_chars) for r in out.collect()} == expect
 
 
+def test_mr_inverted_index_equals_dataframe(spark):
+    """The list-concat combine + digest reduce must agree with the
+    DataFrame re-expression (collect_set + sort + md5)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    from jsmr_spark.mr import inverted_index
+
+    mr = {
+        (r.token, r.df, r.min_doc, r.max_doc, r.postings_md5)
+        for r in inverted_index(docs).collect()
+    }
+    df = {
+        (r.token, r.df, r.min_doc, r.max_doc, r.postings_md5)
+        for r in docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_set("doc_id")), lambda d: d.cast("string")
+                    ),
+                    ",",
+                ).cast("binary")
+            ).alias("postings_md5"),
+        )
+        .collect()
+    }
+    assert mr == df and len(mr) > 0
+
+
 def test_mr_job_chaining(spark):
     """A8: output of job N is input of job N+1."""
     docs = load_table(spark, SF_DIR, "documents")

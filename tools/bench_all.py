@@ -46,30 +46,48 @@ def main():
 
     todo = {n: s for n, s in specs.items() if s.oracle is not None}
     for name, spec in todo.items():
-        if name in cache:
+        if name in cache and len(cache[name]) == 3:
             continue
         duck_s = timed(lambda: con.execute(spec.oracle).df())
         spark_s = timed(lambda: spec.fn(spark, SF_DIR).toPandas())
-        cache[name] = [duck_s, spark_s]
-        print(f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s ratio={spark_s/duck_s:6.2f}", flush=True)
+        # Steady-state execution (VERDICT r3 #5): re-execute the SAME
+        # DataFrame, so plan build/Catalyst/codegen are excluded — the
+        # component that grows with data size. For eager side-effect keys
+        # (sink_*/source_*/stream_*) the writes/micro-batches run at
+        # DataFrame-BUILD time, so exec_s there only re-reads the few-row
+        # result — wall_s stays the honest number for those rows (the
+        # by-design asymmetry BENCH.md documents).
+        df = spec.fn(spark, SF_DIR)
+        df.toPandas()
+        exec_s = timed(lambda: df.toPandas())
+        cache[name] = [duck_s, spark_s, exec_s]
+        print(
+            f"{name:28s} duck={duck_s:7.3f}s spark={spark_s:7.3f}s "
+            f"exec={exec_s:7.3f}s ratio={spark_s/duck_s:6.2f}",
+            flush=True,
+        )
         if cache_path:
             with open(cache_path, "w") as f:
                 json.dump(cache, f)
 
-    missing = sorted(set(todo) - set(cache))
+    missing = sorted(n for n in todo if n not in cache or len(cache[n]) != 3)
     if missing:
-        print(f"partial: {len(cache)}/{len(todo)} keys; rerun to continue ({len(missing)} left)", flush=True)
+        print(f"partial: {len(todo)-len(missing)}/{len(todo)} keys; rerun to continue ({len(missing)} left)", flush=True)
         return
 
     rows = [
-        (name, d, s, (s / d if d > 0 else float("inf")))
-        for name, (d, s) in cache.items()
+        (name, d, s, e, (s / d if d > 0 else float("inf")))
+        for name, (d, s, e) in cache.items()
         if name in todo
     ]
-    rows.sort(key=lambda r: -r[3])
+    rows.sort(key=lambda r: -r[4])
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
         f.write(f"# BENCH — measured at {SF_DIR} (best of 3, warm shared session, local[{os.cpu_count()}])\n\n")
-        f.write("Protocol: BASELINE.md. Sorted by ratio (spark/duckdb), worst first.\n\n")
+        f.write("Protocol: BASELINE.md. Sorted by ratio (spark/duckdb), worst first.\n")
+        f.write("(Protocol note: since round 3, timings are best-of-3 after a warm\n")
+        f.write("pass; rounds 1-2 were best-of-2 including a cold first run, so\n")
+        f.write("cross-round totals compare a slightly more favorable steady state\n")
+        f.write("from r3 on.)\n\n")
         f.write("Reading the ratios: DuckDB executes in-process with ~1-10ms floor;\n")
         f.write("Spark local mode pays ~0.1-0.3s per query for task scheduling and\n")
         f.write("the py4j/Arrow boundary, so sub-second queries show large ratios\n")
@@ -77,17 +95,25 @@ def main():
         f.write("0.2-2.5x time for everything but the by-design-quadratic all-pairs\n")
         f.write("edge graph). Data-heavy queries (pairs/GEMM, top-k, clusters) run\n")
         f.write("at or beyond DuckDB parity.\n\n")
+        f.write("exec_s re-executes the SAME DataFrame (plan build/Catalyst/codegen\n")
+        f.write("excluded): the steady-state data work a 100 TB projection should\n")
+        f.write("extrapolate from. Where exec_s << spark_s, the wall is local-mode\n")
+        f.write("fixed overhead that amortizes to zero on a long-lived cluster.\n\n")
         f.write("The sink_*/source_*/stream_rate_source rows compare asymmetric\n")
         f.write("work BY DESIGN: Spark writes + re-reads real files (or runs real\n")
         f.write("micro-batches) while the oracle only recomputes the expected\n")
         f.write("values from the source table to VERIFY that round trip — their\n")
-        f.write("ratios measure the cost of the side effect, not engine speed.\n\n")
-        f.write("| key | duckdb_s | spark_s | ratio |\n|---|---|---|---|\n")
-        for name, d, s, r in rows:
-            f.write(f"| {name} | {d:.3f} | {s:.3f} | {r:.2f} |\n")
+        f.write("ratios measure the cost of the side effect, not engine speed. For\n")
+        f.write("those keys the side effect runs at DataFrame-BUILD time, so exec_s\n")
+        f.write("only re-reads the few-row verification result; spark_s is the\n")
+        f.write("honest cost of the side effect itself.\n\n")
+        f.write("| key | duckdb_s | spark_s | exec_s | ratio |\n|---|---|---|---|---|\n")
+        for name, d, s, e, r in rows:
+            f.write(f"| {name} | {d:.3f} | {s:.3f} | {e:.3f} | {r:.2f} |\n")
         tot_d = sum(r[1] for r in rows); tot_s = sum(r[2] for r in rows)
-        f.write(f"| **TOTAL** | {tot_d:.3f} | {tot_s:.3f} | {tot_s/tot_d:.2f} |\n")
-    print(json.dumps({"total_duck": round(tot_d,3), "total_spark": round(tot_s,3), "n": len(rows)}))
+        tot_e = sum(r[3] for r in rows)
+        f.write(f"| **TOTAL** | {tot_d:.3f} | {tot_s:.3f} | {tot_e:.3f} | {tot_s/tot_d:.2f} |\n")
+    print(json.dumps({"total_duck": round(tot_d,3), "total_spark": round(tot_s,3), "total_exec": round(tot_e,3), "n": len(rows)}))
 
 
 if __name__ == "__main__":
