@@ -71,7 +71,14 @@ def _plane(p: int) -> list[float]:
     return out
 
 
-PLANES = [_plane(p) for p in range(N_PLANES)]
+def planes_for(n: int) -> list[list[float]]:
+    """First n deterministic hyperplanes — the generator is indexed, so
+    growing the plane count (the planes ~ log2(N) deployment rule,
+    SCALE.md) extends the same family rather than re-drawing it."""
+    return [_plane(p) for p in range(n)]
+
+
+PLANES = planes_for(N_PLANES)
 
 
 def _bucket_sql(vec: str) -> str:
@@ -87,9 +94,9 @@ def _bucket_sql(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _bucket_col(vec) -> F.Column:
+def _bucket_col(vec, plane_set: list[list[float]] | None = None) -> F.Column:
     bits = []
-    for p, w in enumerate(PLANES):
+    for p, w in enumerate(plane_set if plane_set is not None else PLANES):
         plane = F.array(*[F.lit(x) for x in w])
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
@@ -255,6 +262,138 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = cand.orderBy(*keys).limit(TOP_K)
+    ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+    return _with_recall(spark, sf_dir, ranked)
+
+
+# --- Scalar-quantization ANN (PQ-style asymmetric distance) ----------
+#
+# 2 bits per dimension: each float falls into one of 4 fixed intervals
+# and is reconstructed as that interval's representative value. The
+# candidate scan ranks by dot(reconstructed corpus vector, EXACT probe)
+# — asymmetric distance computation, the trick that makes PQ work —
+# then the CAND_K survivors are re-ranked with their full vectors.
+SQ_BOUNDS = (-0.25, 0.0, 0.25)
+SQ_LEVELS = (-0.5, -0.125, 0.125, 0.5)
+CAND_K = 50
+
+_SQ_CASE = (
+    f"CASE WHEN CAST({{x}} AS DOUBLE) < {SQ_BOUNDS[0]} THEN {SQ_LEVELS[0]} "
+    f"WHEN CAST({{x}} AS DOUBLE) < {SQ_BOUNDS[1]} THEN {SQ_LEVELS[1]} "
+    f"WHEN CAST({{x}} AS DOUBLE) < {SQ_BOUNDS[2]} THEN {SQ_LEVELS[2]} "
+    f"ELSE {SQ_LEVELS[3]} END"
+)
+
+
+def _sq_recon_col(vec) -> F.Column:
+    """Spark twin of _SQ_CASE: elementwise quantize-reconstruct."""
+    x = lambda e: e.cast("double")  # noqa: E731
+    return F.transform(
+        vec,
+        lambda e: F.when(x(e) < SQ_BOUNDS[0], F.lit(SQ_LEVELS[0]))
+        .when(x(e) < SQ_BOUNDS[1], F.lit(SQ_LEVELS[1]))
+        .when(x(e) < SQ_BOUNDS[2], F.lit(SQ_LEVELS[2]))
+        .otherwise(F.lit(SQ_LEVELS[3])),
+    )
+
+
+_SQ_X = _SQ_CASE.format(x="x")
+_PQ_ORACLE = f"""
+    WITH probe AS (
+      SELECT embedding AS p_emb,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS p_nrm
+      FROM embeddings WHERE vec_id = {PROBE_ID}
+    ),
+    cand AS (
+      SELECT b.vec_id, b.label, b.embedding,
+             round(list_aggregate(list_transform(b.embedding, (x, i) ->
+                       ({_SQ_X}) * CAST(p.p_emb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(b.embedding, (x, i) ->
+                            ({_SQ_X}) * ({_SQ_X})), 'sum')) * p.p_nrm), 4) AS qsim
+      FROM embeddings b, probe p WHERE b.vec_id <> {PROBE_ID}
+    ),
+    topc AS (
+      SELECT vec_id, label, embedding, qsim
+      FROM (SELECT *, row_number() OVER (ORDER BY qsim DESC, vec_id) AS qrn FROM cand) x
+      WHERE qrn <= {CAND_K}
+    ),
+    rer AS (
+      SELECT t.vec_id, t.label, t.qsim,
+             round(list_aggregate(list_transform(t.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(t.embedding, (x, i) ->
+                            CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * p.p_nrm), 4) AS sim
+      FROM topc t, probe p
+    ),
+    topk AS (
+      SELECT vec_id, label, qsim, sim, rnk
+      FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk FROM rer) x
+      WHERE rnk <= {TOP_K}
+    ),
+    allsims AS (
+      SELECT b.vec_id,
+             round(list_aggregate(list_transform(b.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(b.embedding, (x, i) ->
+                            CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * p.p_nrm), 4) AS sim
+      FROM embeddings b, probe p WHERE b.vec_id <> {PROBE_ID}
+    ),
+    exact AS (
+      SELECT vec_id
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+            FROM allsims) e
+      WHERE rnk <= {TOP_K}
+    ),
+    hits AS (SELECT count(*) AS n_hits FROM topk t JOIN exact e USING (vec_id))
+    SELECT t.vec_id, t.label, t.qsim, t.sim, t.rnk,
+           CAST(h.n_hits AS DOUBLE) / {TOP_K}.0 AS recall_at_10
+    FROM topk t, hits h
+"""
+
+
+@query("q_sim_ann_pq", _PQ_ORACLE)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-style ANN via 2-bit scalar quantization + asymmetric distance:
+    the candidate scan ranks by dot(reconstructed corpus vector, EXACT
+    probe vector), the CAND_K survivors re-rank with their full floats,
+    recall@10 emitted like the LSH/IVF siblings.
+
+    This is the third ANN scale path next to LSH (hash-pruned) and IVF
+    (list-pruned), and the one that attacks MEMORY rather than
+    candidate count: 2 bits/dim turns a 256 B float32 vector into 16 B
+    of codes, so the exhaustive candidate pass scans 16x less data (at
+    rest: a codes column next to the vector column; only the CAND_K
+    re-rank fetches full vectors). Quantization bounds are fixed
+    literals — data-independent by design, so both engines compute
+    identical codes and the result stays hash-checked; a production
+    codebook would be trained per-corpus, changing constants, not the
+    plan."""
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == PROBE_ID)
+        .select("embedding")
+        .head()
+    )
+    emb_p = [float(x) for x in row[0]]
+    acc = 0.0
+    for x in emb_p:
+        acc += x * x
+    nrm_p = math.sqrt(acc)
+    plit = F.array(*[F.lit(x) for x in emb_p])
+
+    recon = _sq_recon_col(F.col("embedding"))
+    qsim = r4(_dot(recon, plit) / (_norm(recon) * F.lit(nrm_p)))
+    cand = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != PROBE_ID)
+        .select("vec_id", "label", "embedding", qsim.alias("qsim"))
+    )
+    topc = cand.orderBy(F.desc("qsim"), F.asc("vec_id")).limit(CAND_K)
+    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * F.lit(nrm_p)))
+    rer = topc.withColumn("sim", sim).drop("embedding")
+    keys = [F.desc("sim"), F.asc("vec_id")]
+    top = rer.orderBy(*keys).limit(TOP_K)
     ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
     return _with_recall(spark, sf_dir, ranked)
 
