@@ -508,27 +508,23 @@ def _clusters_lsh_oracle() -> str:
     """
 
 
-@query("q_dedup_clusters_lsh", _clusters_lsh_oracle())
-def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path of q_dedup_clusters: edges from an LSH-bucketed
-    candidate join instead of exact all-pairs.
+def clusters_lsh_frame(
+    spark: SparkSession, sf_dir: str, plane_set: list[list[float]] | None = None
+) -> DataFrame:
+    """Body of q_dedup_clusters_lsh with a pluggable hyperplane set.
 
-    The exact variant's edge generation is O(N^2) by definition
-    (SCALE.md shows the resulting 10x-probe factor); here candidates
-    must share the 8-bit hyperplane bucket first — an equi-join whose
-    pair space shrinks ~256x (more planes shrink it further), then the
-    SAME exact cosine >= threshold re-rank and the SAME one-shuffle-
-    per-round CC loop. Recall < 1 is the documented ANN tradeoff
-    (deterministic here: fixed literal planes, so the ORACLE computes
-    the identical prefilter and the result is still hash-checked —
-    approximate in RECALL, exact in PARITY)."""
+    The registered key pins the 8-plane oracle-parity constants; the
+    scale probe passes 12 planes (planes ~ log2(N) at 10x rows) to show
+    empirically that growing the plane count with the corpus keeps
+    bucket size — and therefore candidate generation — linear
+    (SCALE.md; probe-only: the oracle constants are untouched)."""
     from jsmr_spark.queries.ann import _bucket_col
     from jsmr_spark.queries.similarity import _dot, _norm
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket"),
+        _bucket_col(F.col("embedding"), plane_set).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     b = emb.select(
@@ -554,6 +550,21 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_clusters_lsh", _clusters_lsh_oracle())
+def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of q_dedup_clusters: edges from an LSH-bucketed
+    candidate join instead of exact all-pairs.
+
+    The exact variant's edge generation is O(N^2) by definition
+    (SCALE.md shows the resulting 10x-probe factor); here candidates
+    must share the 8-bit hyperplane bucket first — an equi-join whose
+    pair space shrinks ~256x (more planes shrink it further), then the
+    SAME exact cosine >= threshold re-rank and the SAME one-shuffle-
+    per-round CC loop. Recall < 1 is the documented ANN tradeoff
+    (deterministic here: fixed literal planes, so the ORACLE computes
+    the identical prefilter and the result is still hash-checked —
+    approximate in RECALL, exact in PARITY)."""
+    return clusters_lsh_frame(spark, sf_dir)
 
 
 # Source-mixing ratios: even-numbered sources are kept whole, odd ones
