@@ -419,3 +419,78 @@ def q_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
     The comparison is done in exact integers (price*count > sum) so the
     threshold itself carries no float summation drift."""
     return sql(spark, sf_dir, _SCALAR_SUBQ_SQL)
+
+
+@query(
+    "q_tpch_q5",
+    f"""
+    WITH agg AS (
+      SELECT n.n_name,
+             sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}))
+               / 10000.0::DOUBLE AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n.n_name
+    )
+    SELECT n_name, revenue, rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, n_name) AS rnk FROM agg) x
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table local-supplier-volume query — the widest
+    join tree in the inventory (customer x orders x lineitem x supplier
+    x nation x region plus the non-join-key c_nationkey = s_nationkey
+    residual), revenue per nation of one region and year.
+
+    The scale shape: region/nation/supplier collapse into one BROADCAST
+    dim (region filter prunes nation, nation prunes supplier) so the
+    fact-side plan is lineitem ⋈ broadcast(dim) narrow, then ONE keyed
+    shuffle to orders (date-filtered at the scan) and one to customer,
+    where the c_nationkey = s_nationkey residual evaluates inside the
+    join. Revenue sums exact cents x basis points (order-independent),
+    divides once; rank emitted as a column (<=25 nations, bounded by
+    construction) so the hash stays order-insensitive."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount"))))
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+    keys = [F.desc("revenue"), F.asc("n_name")]
+    # <=25 nations by construction; orderBy.limit keeps the rank window
+    # behind a TakeOrderedAndProject.
+    top = agg.orderBy(*keys).limit(25)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys))).select(
+        "n_name", "revenue", "rnk"
+    )

@@ -640,3 +640,91 @@ def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
         F.regexp_count("props", F.lit("[0-9]+")).cast("long").alias("n_redacted"),
     )
+
+
+# CDC merge: deterministic change-batch derivation (pure functions of
+# o_orderkey so the oracle can re-derive the same batch).
+_UPD_RES = 3   # keys ending in 3 receive a status/price update
+_DEL_RES = 7   # keys ending in 7 are deleted
+_INS_RES = 1   # keys ending in 1 spawn an insert under a shifted key
+_INS_SHIFT = 100_000_000
+_UPD_CENTS = 12_345
+
+
+def merge_upsert(base: DataFrame, changes: DataFrame, key: str, op_col: str = "op") -> DataFrame:
+    """Generic CDC MERGE (the Delta/Iceberg MERGE INTO shape as a pure
+    DataFrame operator): `changes` carries full rows plus an op column
+    in {'I','U','D'}; inserts and updates win over base rows, deletes
+    drop them, untouched base rows pass through.
+
+    One full-outer keyed join = one shuffle on the merge key; with the
+    base at rest bucketed/partitioned by that key (sink_bucketed's
+    layout) the join co-locates and the merge is map-side. At 100 TB
+    a table format would also rewrite only the touched files — the
+    join plan below is exactly its row-level core."""
+    vals = [c for c in base.columns if c != key]
+    out = base.alias("b").join(changes.alias("c"), [key], "full_outer")
+    keep = out.filter(F.coalesce(F.col(f"c.{op_col}"), F.lit("")) != F.lit("D"))
+    return keep.select(
+        F.col(key),
+        *[F.coalesce(F.col(f"c.{v}"), F.col(f"b.{v}")).alias(v) for v in vals],
+    )
+
+
+@query(
+    "q_upsert_merge",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = {_UPD_RES} THEN 'X' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = {_UPD_RES} THEN cents + {_UPD_CENTS} ELSE cents END
+             AS cents
+    FROM base WHERE o_orderkey % 10 <> {_DEL_RES}
+    UNION ALL
+    SELECT o_orderkey + {_INS_SHIFT}, o_orderstatus, cents
+    FROM base WHERE o_orderkey % 10 = {_INS_RES}
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: apply a change batch (updates, deletes, inserts) to a
+    base table through the generic merge_upsert operator — the MERGE
+    INTO / upsert-compaction shape every lake pipeline needs (the read
+    twin is q_dedup_latest; this is the write-side resolution).
+
+    The change batch is derived from the base by key residue so it is a
+    pure function both engines can compute: keys %10==3 get a status
+    'X' + price bump update, %10==7 are deleted, %10==1 spawn inserts
+    under key+1e8. The oracle re-derives the merged table directly;
+    every row that the full-outer join resolves wrongly (lost delete,
+    dropped insert, stale update) flips the hash."""
+    from jsmr_spark.compat import cents as _cents
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    res = F.col("o_orderkey") % 10
+    upd = base.filter(res == _UPD_RES).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("cents") + _UPD_CENTS).alias("cents"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(res == _DEL_RES).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(res == _INS_RES).select(
+        (F.col("o_orderkey") + _INS_SHIFT).alias("o_orderkey"),
+        "o_orderstatus",
+        "cents",
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(base, changes, "o_orderkey")

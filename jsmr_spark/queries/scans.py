@@ -358,3 +358,44 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, "lang string, n_rows long, n_null_source long")
+
+
+@query(
+    "source_csv",
+    """
+    SELECT lang,
+           count(*) AS n,
+           sum(n_chars) AS sum_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV FILE source (the ingest twin of sink_csv): write documents
+    metadata as headered CSV, re-read with an EXPLICIT schema in
+    FAILFAST mode — a malformed row aborts instead of silently nulling
+    (mode=PERMISSIVE, the default, is the scale trap: a quoting bug can
+    null a billion cells without an error). The per-lang aggregate is
+    recomputed by the oracle from the source table, so any row or field
+    corrupted through text serialization fails the hash. Completes the
+    file-source matrix: text / jsonl / csv / parquet generations."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_source_csv_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    src = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src.write.mode("overwrite").option("header", "true").csv(out_dir)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(out_dir)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jsmr_spark.compat import r4
 from jsmr_spark.queries.common import t
 from jsmr_spark.queries.dedup import hex12_sql
 from jsmr_spark.registry import query
@@ -360,4 +361,113 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_uniq.alias("n_unique"),
         dup_frac.alias("dup_fraction"),
         (dup_frac > REP_THRESHOLD).alias("repetitious"),
+    )
+
+
+TOP_BIGRAMS = 5
+
+
+@query(
+    "q_text_ngram_lm",
+    f"""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT lang,
+             unnest(list_transform(list_slice(l, 1, len(l)-1),
+                                   (x, i) -> x || ' ' || l[i+1])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    ),
+    cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram)
+    SELECT lang, bigram, n, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+      FROM cnt
+    ) x WHERE rnk <= {TOP_BIGRAMS}
+    """,
+)
+def q_text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model statistics: per-language bigram
+    counts with the top-{TOP_BIGRAMS} most frequent bigrams ranked
+    (count desc, bigram asc — fully deterministic).
+
+    These counts ARE the n-gram LM every classic quality filter is
+    built on (KenLM-style perplexity scoring starts from exactly this
+    table); the per-doc consumers already shipped (q_text_repetition's
+    dup-3-gram fraction, q_text_decontam's shingle sets) share the same
+    diet. Shape: bigram construction is a NARROW zip of the token array
+    with its own tail — no explode-then-self-join; the only shuffle is
+    the (lang, bigram) count, and the per-lang top-k window reads the
+    counted (small) side."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        t(spark, sf_dir, "documents")
+        .filter(n >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return cnt.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_BIGRAMS
+    )
+
+
+@query(
+    "q_text_rarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(list_slice(l, 1, len(l)-1),
+                                   (x, i) -> x || ' ' || l[i+1])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    ),
+    cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(CAST(sum(c.n) AS DOUBLE) / count(*), 4) AS avg_bigram_freq
+    FROM bg b JOIN cnt c ON b.lang = c.lang AND b.bigram = c.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity score from the corpus bigram LM: the average
+    corpus frequency of the document's bigrams (low = unusual text,
+    high = boilerplate) — the quality-filter consumer of
+    q_text_ngram_lm's count table, kept EXACT-rational (integer count
+    sum / integer bigram count, one division, r4) instead of a log
+    perplexity so the hash is immune to cross-engine libm drift in ln().
+
+    Shape: one (lang,bigram) count shuffle builds the LM, one keyed
+    join streams every doc-bigram past it, one doc_id aggregate. At
+    100 TB the LM table is vocabulary-sized (skew-free keys); if it
+    fits, broadcast it and the scoring pass is narrow."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        t(spark, sf_dir, "documents")
+        .filter(n >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bigram"))
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.join(cnt, ["lang", "bigram"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r4(F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_bigram_freq"),
+        )
     )

@@ -105,3 +105,33 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     """IVF list assignment must broadcast the centroid codebook."""
     plan = _plan(spark, "q_sim_ann_ivf")
     assert "BroadcastExchange" in plan, plan
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark):
+    """region->nation->supplier must collapse into broadcast builds; the
+    fact side shuffles only for the orders/customer equi-joins."""
+    plan = _plan(spark, "q_tpch_q5")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_ann_rerank_is_take_ordered(spark):
+    """Both the quantized candidate cut and the exact re-rank must be
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    plan = _plan(spark, "q_sim_ann_pq")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_upsert_merge_is_single_keyed_join(spark):
+    """The CDC merge must be ONE full-outer keyed join (shuffle on the
+    merge key), not a nested-loop or repeated scans of the base."""
+    plan = _plan(spark, "q_upsert_merge")
+    assert "FullOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_ngram_lm_partial_aggregates(spark):
+    """The (lang,bigram) count must map-side combine before its
+    exchange — the vocabulary shuffle is the only wide stage."""
+    plan = _plan(spark, "q_text_ngram_lm")
+    assert plan.count("HashAggregate") >= 2, plan

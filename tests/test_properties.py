@@ -169,3 +169,100 @@ def test_new_curation_key_invariants(spark):
             recalls = {r.recall_at_10 for r in rows}
             assert len(recalls) == 1
             assert 0.0 <= rows[0].recall_at_10 <= 1.0
+
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(min_value=-50, max_value=50),  # new value
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],  # one op per key, like a compacted CDC batch
+)
+
+
+@given(rows=rows_strategy, ops=ops_strategy)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, rows, ops):
+    """The generic CDC merge must agree with the obvious dict-based
+    model for ANY base table and ANY compacted change batch."""
+    from jsmr_spark.queries.pipeline import merge_upsert
+
+    # base: last write wins per key (mirror of dict construction)
+    base_map = {k: v for k, v, _ in rows}
+    base = spark.createDataFrame(
+        [(k, v) for k, v in base_map.items()], "k int, v int"
+    )
+    changes = spark.createDataFrame(ops, "k int, op string, v int").select(
+        "k", "v", "op"
+    )
+
+    model = dict(base_map)
+    for k, op, v in ops:
+        if op == "D":
+            model.pop(k, None)
+        else:  # I and U both upsert the row
+            model[k] = v
+
+    got = {r.k: r.v for r in merge_upsert(base, changes, "k").collect()}
+    assert got == model
+
+
+def test_round4_key_invariants(spark):
+    """Fixture-level invariants for the round-4 keys."""
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR as sf
+
+    # upsert merge: base - deletes + inserts rows; no deleted key
+    # survives; every updated key carries the bumped status
+    base = spark.read.parquet(f"{sf}/orders.parquet")
+    n_base = base.count()
+    n_del = base.filter(F.col("o_orderkey") % 10 == 7).count()
+    n_ins = base.filter(F.col("o_orderkey") % 10 == 1).count()
+    merged = get_query("q_upsert_merge").fn(spark, sf)
+    assert merged.count() == n_base - n_del + n_ins
+    assert merged.filter((F.col("o_orderkey") % 10 == 7) & (F.col("o_orderkey") < 100_000_000)).count() == 0
+    upd = merged.filter((F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") < 100_000_000))
+    assert upd.count() > 0 and upd.filter(F.col("o_orderstatus") != "X").count() == 0
+
+    # PQ ANN: exactly TOP_K rows, recall constant and valid, exact sim
+    # is a true cosine (|sim| <= 1), ranks are 1..k
+    pq = get_query("q_sim_ann_pq").fn(spark, sf).collect()
+    assert len(pq) == 10
+    assert sorted(r.rnk for r in pq) == list(range(1, 11))
+    assert len({r.recall_at_10 for r in pq}) == 1
+    assert 0.0 <= pq[0].recall_at_10 <= 1.0
+    assert all(abs(r.sim) <= 1.0 + 1e-9 for r in pq)
+
+    # TPC-H Q5: every nation is in ASIA, revenue ranked desc
+    q5 = sorted(get_query("q_tpch_q5").fn(spark, sf).collect(), key=lambda r: r.rnk)
+    asia = {
+        r.n_name
+        for r in spark.read.parquet(f"{sf}/nation.parquet")
+        .join(
+            spark.read.parquet(f"{sf}/region.parquet").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .collect()
+    }
+    assert q5 and {r.n_name for r in q5} <= asia
+    for hi, lo in zip(q5, q5[1:]):
+        assert hi.revenue >= lo.revenue
+
+    # bigram LM: ranks 1..5 per lang, counts ranked desc
+    lm = get_query("q_text_ngram_lm").fn(spark, sf).collect()
+    by_lang: dict = {}
+    for r in lm:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        for hi, lo in zip(rs, rs[1:]):
+            assert hi.n >= lo.n
+
+    # rarity: every doc with >=2 tokens scored; avg freq >= 1 (a bigram
+    # occurs at least once — itself)
+    rar = get_query("q_text_rarity").fn(spark, sf).collect()
+    assert rar and all(r.avg_bigram_freq >= 1.0 and r.n_bigrams >= 1 for r in rar)

@@ -39,7 +39,11 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      "q_sim_ann_ivf",
                      # rows x 1-row broadcast cutpoint aggregate — the
                      # two-pass equi-depth binning shape.
-                     "q_quantile_bins"}
+                     "q_quantile_bins",
+                     # recall@10 instrumentation: candidates x 1-row
+                     # broadcast hit-count (same shape as the LSH/IVF
+                     # siblings above).
+                     "q_sim_ann_pq"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
