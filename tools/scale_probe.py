@@ -30,7 +30,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-3 additions (VERDICT r3 #6): the incremental-dedup
           # claim, the broadcast decontam semi-join, the compaction
           # rewrite, and the probe-pruned IVF path
-          "q_merge_dedup", "q_text_decontam", "sink_compact", "q_sim_ann_ivf"]
+          "q_merge_dedup", "q_text_decontam", "sink_compact", "q_sim_ann_ivf",
+          # round-4 additions: quantized ANN scan, CDC merge join,
+          # 6-table broadcast-chain join, bigram LM build
+          "q_sim_ann_pq", "q_upsert_merge", "q_tpch_q5", "q_text_ngram_lm"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
