@@ -46,6 +46,7 @@ def job(
     combine_fn: CombineFn | None = None,
     output_schema: str | None = None,
     num_reducers: int | None = None,
+    num_mappers: int | None = None,
 ) -> DataFrame:
     """Run a JsMr-style MapReduce job over a DataFrame.
 
@@ -61,11 +62,19 @@ def job(
             "token string, cnt long".
         num_reducers: shuffle partition count (JsMr's #reducers knob);
             defaults to Spark's setting.
+        num_mappers: input split count (JsMr's chunk-size knob, A2).
+            Python map_fn runs one worker PER INPUT PARTITION, so a
+            single-file input serializes the whole map phase through
+            one Python process no matter how many cores exist —
+            measured 3.7s -> 0.7s at sf0.1 by splitting to 8. Defaults
+            to the input's existing partitioning.
     """
     if reduce_fn is None:
         reduce_fn = lambda key, values: [(key, list(values))]  # noqa: E731
 
     spark = df.sparkSession
+    if num_mappers is not None:
+        df = df.repartition(num_mappers)
     pairs = df.rdd.flatMap(map_fn)
     # Reducer count follows the INPUT's partitioning (classic MR sizing:
     # reducers ~ mappers), not the SQL shuffle conf — a tiny input on a
@@ -82,7 +91,7 @@ def job(
     return spark.createDataFrame(out, output_schema)
 
 
-def wordcount(df: DataFrame, text_col: str = "text") -> DataFrame:
+def wordcount(df: DataFrame, text_col: str = "text", num_mappers: int | None = None) -> DataFrame:
     """The canonical JsMr example job, via the compat API with map-side
     combine. Oracle-checked twin: queries/text.py::q_text_wordcount."""
     return job(
@@ -91,11 +100,13 @@ def wordcount(df: DataFrame, text_col: str = "text") -> DataFrame:
         reduce_fn=lambda key, values: [(key, values[0])],
         combine_fn=lambda a, b: a + b,
         output_schema="token string, cnt long",
+        num_mappers=num_mappers,
     )
 
 
 def inverted_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_mappers: int | None = None,
 ) -> DataFrame:
     """The second canonical MR job (the one every MR paper shows after
     wordcount): token -> posting list of containing documents.
@@ -135,6 +146,7 @@ def inverted_index(
         reduce_fn=reduce_fn,
         combine_fn=lambda a, b: a + b,
         output_schema="token string, df long, min_doc long, max_doc long, postings_md5 string",
+        num_mappers=num_mappers,
     )
 
 

@@ -232,7 +232,9 @@ def mr_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     MR≡DataFrame equivalence is also asserted in tests/test_mr.py."""
     from jsmr_spark.mr import wordcount
 
-    return wordcount(t(spark, sf_dir, "documents"))
+    # num_mappers=8: split the single-file input so the Python map
+    # phase parallelizes (A2; see mr.job docstring for the measurement).
+    return wordcount(t(spark, sf_dir, "documents"), num_mappers=8)
 
 
 @query(
@@ -259,7 +261,7 @@ def q_mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     content is hash-checked, not just its cardinalities."""
     from jsmr_spark.mr import inverted_index
 
-    return inverted_index(t(spark, sf_dir, "documents"))
+    return inverted_index(t(spark, sf_dir, "documents"), num_mappers=8)
 
 
 @query(
@@ -281,7 +283,7 @@ def q_mr_chain_dfhist(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding job N's output file to job N+1, here composed lazily."""
     from jsmr_spark.mr import df_histogram, inverted_index
 
-    return df_histogram(inverted_index(t(spark, sf_dir, "documents")))
+    return df_histogram(inverted_index(t(spark, sf_dir, "documents"), num_mappers=8))
 
 
 @query(
