@@ -178,3 +178,33 @@ def test_rate_source_stream_is_deterministic(spark):
     for k, (n, sv) in rows.items():
         assert n == 100
         assert sv == sum(range(k, 5000, 50))
+
+
+def test_tumbling_stream_on_rocksdb_state_store(spark):
+    """Production-parity: the same tumbling replay under the RocksDB
+    state store provider (the backend a 100 TB deployment runs, with
+    state spilled off-heap and changelog checkpointing available) must
+    emit exactly the same windows as the default HDFS-backed store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = {
+            (r.window_start, r.window_end, r.event_type): r.n
+            for r in run_tumbling_stream(spark, SF_DIR).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    batch = {
+        (r.window_start, r.window_end, r.event_type): r.n
+        for r in get_query("q_stream_tumbling").fn(spark, SF_DIR).collect()
+    }
+    assert streamed, "stream emitted nothing under RocksDB"
+    for k, n in streamed.items():
+        assert batch.get(k) == n, f"window {k}: rocksdb={n} batch={batch.get(k)}"
