@@ -194,3 +194,54 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# lowercase hex of the P6 header b"P6\n4 4\n255\n" — the hash below runs
+# in the HEX domain so both engines hash the identical byte string
+# without needing a cross-engine binary-concat + binary-md5 path.
+_PPM_HEADER_HEX = "50360a3420340a3235350a"
+
+_MM_DEDUP_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_PPM_HEADER_HEX}' || md5(text || '0') || md5(text || '1')
+                 || md5(text || '2')) AS blob_hash
+      FROM documents
+    )
+    SELECT blob_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc,
+           max(doc_id) AS last_doc
+    FROM h GROUP BY blob_hash HAVING count(*) > 1
+"""
+
+
+@query("q_multimodal_dedup", _MM_DEDUP_ORACLE)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY media column: hash every synthesized
+    blob's actual bytes (JVM md5 over the lowercase hex of the full
+    blob — header + all 48 pixel bytes), group by content hash, report
+    duplicate groups with a canonical survivor. The oracle reconstructs
+    the identical hex string from the md5 chain, so the hash chain
+    verifies every byte of every blob, not just the grouping.
+
+    This is the image-corpus twin of q_dedup_exact (text): at 100 TB of
+    media, content hashing is a narrow map at scan time and the dedup
+    shuffles 32-hex-char digests only — bytes never move; the survivor
+    list then drives a partition-pruned delete/rewrite exactly like
+    q_dedup_keep_canonical."""
+    from jsmr_spark.multimodal import synthesize_blob_col
+
+    blobs = synthesize_blob_col(t(spark, sf_dir, "documents"))
+    hashed = blobs.select(
+        "doc_id", F.md5(F.lower(F.hex(F.col("blob")))).alias("blob_hash")
+    )
+    return (
+        hashed.groupBy("blob_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
