@@ -135,3 +135,102 @@ def test_ngram_lm_partial_aggregates(spark):
     exchange — the vocabulary shuffle is the only wide stage."""
     plan = _plan(spark, "q_text_ngram_lm")
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's InjectRuntimeFilter gives the 'bloom-prefilter the big
+    fact by the selective dim' pattern natively: with the feature on, a
+    selective orders->lineitem join must plan a bloom_filter_agg on the
+    creation side and apply it on the fact scan side — no custom
+    operator needed at 100 TB, just the conf."""
+    from pyspark.sql import functions as F
+
+    from jsmr_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a non-broadcast join so the runtime filter is the lever
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE must split a pathologically skewed join partition at runtime
+    (the 'one hot key' case salting handles manually in q_join_skew_salted
+    — this proves the automatic lever also engages). Skew detection only
+    runs on materialized shuffle stats, so execute the join and read the
+    final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # test-scale thresholds: shuffle sizes are COMPRESSED bytes, so
+        # detection needs incompressible payloads + low byte floors at
+        # 100k rows (production keeps the 256MB/5x defaults)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the global count after the join would otherwise veto the split
+        # (extra-shuffle rule); production joins feed wider plans where
+        # the split is free
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # One hot key over a background of uniform keys: skew detection
+        # compares each shuffle partition against the MEDIAN partition
+        # size, so the background keys establish a small median and the
+        # hot partition trips factor+threshold. md5 payloads defeat
+        # shuffle compression (a constant payload compresses the hot
+        # partition below the detection floor).
+        def skewed(n, hot, tag):
+            return spark.range(n).select(
+                F.when(F.col("id") < hot, F.lit(1))
+                .otherwise((F.col("id") % 32) + 2)
+                .cast("int")
+                .alias("k"),
+                F.md5(F.concat(F.lit(tag), F.col("id").cast("string"))).alias(
+                    f"p{tag}"
+                ),
+            )
+
+        left = skewed(103_000, 100_000, "x")
+        right = skewed(13_000, 10_000, "y")
+        j = left.join(right.hint("merge"), "k").select(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
