@@ -494,3 +494,124 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys))).select(
         "n_name", "revenue", "rnk"
     )
+
+
+Q18_MIN_QTY = 250  # "large-volume order" floor (max order qty sum is ~380-475)
+
+
+@query(
+    "q_tpch_q18",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {Q18_MIN_QTY}
+    ),
+    agg AS (
+      SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             {sql_cents("o.o_totalprice")} AS total_cents,
+             CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+      GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_cents, sum_qty, rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY total_cents DESC, o_orderkey) AS rnk
+          FROM agg) x
+    WHERE rnk <= 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): an aggregate-derived
+    HAVING set semi-joins back into the fact table — the
+    qualify-then-enrich pattern (find entities crossing a threshold,
+    then pull their full context).
+
+    Scale shape: the qualifying set is |orders passing HAVING| rows of
+    ONE key column — it re-joins as a semi join that AQE can broadcast
+    when selective; the quantity sums are exact (integral quantities
+    cast to long); top-20 via TakeOrdered + rank column."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer")
+    agg = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty",
+        )
+    )
+    keys = [F.desc("total_cents"), F.asc("o_orderkey")]
+    top = agg.orderBy(*keys).limit(20)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+
+
+@query(
+    "q_tpch_q10",
+    f"""
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}))
+               / 10000.0::DOUBLE AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue, rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+          FROM agg) x
+    WHERE rnk <= 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue ranking): quarter-filtered
+    orders x returned lineitems x customer x broadcast nation, top-20
+    customers by lost revenue — the churn-report pattern.
+
+    Scale shape: both fact filters (date range, returnflag) push to the
+    scans; nation broadcasts; revenue in exact cents x basis points;
+    top-20 via TakeOrdered + rank column."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount"))))
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+    keys = [F.desc("revenue"), F.asc("c_custkey")]
+    top = agg.orderBy(*keys).limit(20)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
