@@ -728,3 +728,122 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dele).unionByName(ins)
     return merge_upsert(base, changes, "o_orderkey")
+
+
+def _e2e_oracle() -> str:
+    from jsmr_spark.queries.text_extra import BENCH_MOD, BENCH_RESIDUE, REP_THRESHOLD
+
+    shingle = (
+        "list_transform(s[1:len(s)-2], (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))"
+    )
+    return f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    base AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN surv USING (doc_id)
+      WHERE d.doc_id % {BENCH_MOD} <> {BENCH_RESIDUE}
+    ),
+    allsh AS (
+      SELECT doc_id, {shingle} AS sg
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+            WHERE len(string_split(text, ' ')) >= 3) t
+    ),
+    benchhv AS (
+      SELECT DISTINCT {hex12_sql("md5(u.sg)")} AS hv
+      FROM (SELECT unnest(sg) AS sg FROM allsh WHERE doc_id % {BENCH_MOD} = {BENCH_RESIDUE}) u
+    ),
+    trainhv AS (
+      SELECT DISTINCT a.doc_id, {hex12_sql("md5(u.sg)")} AS hv
+      FROM allsh a, unnest(a.sg) AS u(sg)
+      WHERE a.doc_id % {BENCH_MOD} <> {BENCH_RESIDUE}
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM trainhv JOIN benchhv USING (hv)
+    ),
+    repetitious AS (
+      SELECT doc_id FROM allsh
+      WHERE CAST(len(sg) - len(list_distinct(sg)) AS DOUBLE) / len(sg) > {REP_THRESHOLD}
+    ),
+    kept AS (
+      SELECT b.* FROM base b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND b.doc_id NOT IN (SELECT doc_id FROM repetitious)
+    ),
+    labeled AS (
+      SELECT CASE WHEN {_BUCKET_DUCK} < {TRAIN_PCT} THEN 'train'
+                  WHEN {_BUCKET_DUCK} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split,
+             lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM kept
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           sum(CAST(n_tokens AS BIGINT)) AS total_tokens
+    FROM labeled GROUP BY split, lang
+    """
+
+
+@query("q_pipeline_end2end", _e2e_oracle())
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed lazy DAG — the proof
+    that the operator library chains the way a user would actually run
+    it: exact-dedup survivors -> drop the held-out benchmark slice ->
+    benchmark decontamination (broadcast shingle semi-join) -> Gopher
+    repetition filter (narrow HOF map) -> deterministic train/val/test
+    split -> per-(split, lang) doc/token accounting. Every stage reuses
+    the exact formula its standalone key is oracle-verified on, and the
+    composite is itself hash-checked against a single CTE-chain oracle,
+    so stage INTERACTIONS (who feeds whom, in what order) are verified,
+    not just stages in isolation.
+
+    Shape at 100 TB: dedup is one text-keyed shuffle; decontam is a
+    broadcast semi-join; repetition and split are narrow maps; the
+    final accounting is one small keyed aggregate. Catalyst plans the
+    whole chain as one job — no intermediate materialization."""
+    from jsmr_spark.queries.dedup import _shingles
+    from jsmr_spark.queries.text_extra import BENCH_MOD, BENCH_RESIDUE, REP_THRESHOLD
+
+    docs = t(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_RESIDUE
+
+    surv = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    base = docs.join(surv, "doc_id").filter(~is_bench)
+
+    sh = _shingles(spark, sf_dir)
+    bench_hv = F.broadcast(sh.filter(is_bench).select("hv").distinct())
+    contaminated = (
+        sh.filter(~is_bench).join(bench_hv, "hv").select("doc_id").distinct()
+    )
+
+    toks = F.split(F.col("text"), " ")
+    shingle_expr = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )
+    sg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(shingle_expr).alias("sg"))
+    )
+    dup_frac = (F.size("sg") - F.size(F.array_distinct("sg"))).cast("double") / F.size("sg")
+    repetitious = sg.filter(dup_frac > REP_THRESHOLD).select("doc_id")
+
+    kept = base.join(contaminated, "doc_id", "left_anti").join(
+        repetitious, "doc_id", "left_anti"
+    )
+    split = (
+        F.when(F.expr(_BUCKET_SPARK) < TRAIN_PCT, "train")
+        .when(F.expr(_BUCKET_SPARK) < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.select(split.alias("split"), "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        )
+    )
