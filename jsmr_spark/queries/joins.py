@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jsmr_spark.compat import cents, pct, sql_cents, sql_pct
+from jsmr_spark.compat import cents, pct, r4, sql_cents, sql_pct
 from jsmr_spark.queries.common import sql, t
 from jsmr_spark.registry import query
 
@@ -615,3 +615,79 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [F.desc("revenue"), F.asc("c_custkey")]
     top = agg.orderBy(*keys).limit(20)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+
+
+@query(
+    "q_tpch_q12",
+    f"""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS n_high,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS n_low
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit): a date-windowed
+    fact-fact join feeding TWO-BRANCH conditional counts per group —
+    the 'pivot a predicate into columns' aggregation pattern (the
+    fixture has no l_shipmode, so the audit groups by returnflag;
+    identical plan shape). Filter pushes to the lineitem scan; the
+    counts are map-side-combined longs."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("n_high"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("n_low"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    f"""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN {sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")})
+                   ELSE 0 END)
+                 / sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")})), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): month-filtered lineitem x
+    broadcast part, a conditional revenue share — the ratio-of-two-
+    aggregates-in-one-pass pattern. Both sums accumulate exact
+    cents x basis points (order-independent longs); ONE division at the
+    end, r4-rounded on both engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            r4(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
