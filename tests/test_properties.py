@@ -266,3 +266,43 @@ def test_round4_key_invariants(spark):
     # occurs at least once — itself)
     rar = get_query("q_text_rarity").fn(spark, sf).collect()
     assert rar and all(r.avg_bigram_freq >= 1.0 and r.n_bigrams >= 1 for r in rar)
+
+
+def test_round4_late_key_invariants(spark):
+    """Fixture-level invariants for the keys added late in round 4."""
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR as sf
+
+    # Q10/Q18: ranked outputs dense from 1, revenue/cents ordered desc
+    for key, val in (("q_tpch_q10", "revenue"), ("q_tpch_q18", "total_cents")):
+        rows = sorted(get_query(key).fn(spark, sf).collect(), key=lambda r: r.rnk)
+        assert rows and [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        vals = [getattr(r, val) for r in rows]
+        assert vals == sorted(vals, reverse=True)
+
+    # Q12: branch counts partition the joined rows
+    q12 = get_query("q_tpch_q12").fn(spark, sf).collect()
+    assert q12 and all(r.n_high >= 0 and r.n_low >= 0 for r in q12)
+
+    # Q14: a percentage, with the count matching the month's join size
+    q14 = get_query("q_tpch_q14").fn(spark, sf).collect()
+    assert len(q14) == 1 and 0.0 <= q14[0].promo_revenue_pct <= 100.0
+    assert q14[0].n_lineitems > 0
+
+    # binary dedup: every group is a genuine duplicate group and the
+    # canonical is its minimum member
+    for r in get_query("q_multimodal_dedup").fn(spark, sf).collect():
+        assert r.n_copies >= 2
+        assert r.canonical_doc <= r.last_doc
+
+    # partitioned compaction: every lang compacted to 1 file from >1
+    for r in get_query("sink_compact_partitioned").fn(spark, sf).collect():
+        assert r.was_fragmented and r.n_files_after == 1
+
+    # end-to-end pipeline: accounting must cover every kept doc exactly
+    # once and never exceed the corpus
+    e2e = get_query("q_pipeline_end2end").fn(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    total = sum(r.n_docs for r in e2e)
+    assert 0 < total < n_docs  # dedup/bench/filters must drop something
+    assert {r.split for r in e2e} <= {"train", "val", "test"}
