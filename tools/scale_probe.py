@@ -32,8 +32,12 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # rewrite, and the probe-pruned IVF path
           "q_merge_dedup", "q_text_decontam", "sink_compact", "q_sim_ann_ivf",
           # round-4 additions: quantized ANN scan, CDC merge join,
-          # 6-table broadcast-chain join, bigram LM build
-          "q_sim_ann_pq", "q_upsert_merge", "q_tpch_q5", "q_text_ngram_lm"]
+          # 6-table broadcast-chain join, bigram LM build, late batch
+          # (composite joins, binary dedup, per-partition compaction,
+          # the full curation chain)
+          "q_sim_ann_pq", "q_upsert_merge", "q_tpch_q5", "q_text_ngram_lm",
+          "q_tpch_q10", "q_tpch_q18", "q_multimodal_dedup",
+          "sink_compact_partitioned", "q_pipeline_end2end"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
