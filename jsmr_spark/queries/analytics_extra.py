@@ -251,3 +251,122 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pc").alias("max_cents"),
         )
     )
+
+
+_ORD_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#' || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "q_ts_resample",
+    f"""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           count(*) AS n_events,
+           sum({sql_cents("value")}) / 100.0::DOUBLE AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           min_by(value, {_ORD_SQL}) AS open_value,
+           max_by(value, {_ORD_SQL}) AS close_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling (resample-to-hourly OHLC): one pass over
+    the event stream producing per (hour, event_type) count / exact-cents
+    sum / min / max plus deterministic OPEN and CLOSE values — the
+    feature-store rollup shape (and the batch twin of a tumbling-window
+    stream, which ships separately as q_stream_tumbling).
+
+    open/close are the earliest/latest value in the bucket selected by
+    ``min_by``/``max_by`` over a total order: ties on ts are broken by
+    event_id through a fixed-width (epoch_us, event_id) sort key, so
+    both engines pick the identical row — a plain min_by(value, ts)
+    is nondeterministic whenever two events share a timestamp.
+
+    Shape at 100 TB: single map-side-combined hash aggregate keyed on
+    (hour, type) — min_by/max_by carry one (value, key) pair per group
+    through the partial aggregate, so the shuffle is still one row per
+    group per partition. No window function, no second pass."""
+    ord_col = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+            "value",
+            cents(F.col("value")).alias("vc"),
+            ord_col.alias("ord"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vc") / 100.0).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min_by("value", F.col("ord")).alias("open_value"),
+            F.max_by("value", F.col("ord")).alias("close_value"),
+        )
+    )
+
+
+@query(
+    "q_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+    FROM changes
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: collapse each
+    user's event stream into state intervals — a row per CHANGE of
+    event_type carrying [valid_from, valid_to) and a per-user version
+    number, with valid_to NULL on the open (current) interval. This is
+    the standard warehouse pattern for turning a mutation log into a
+    time-travelable dimension (the read-side twin of q_upsert_merge's
+    CDC apply, and the batch form of applyInPandasWithState's per-key
+    state tracking).
+
+    Determinism: every window orders by (ts, event_id) — event_id is
+    unique, so lag/lead/row_number are total-order stable even when two
+    events share a timestamp.
+
+    Shape at 100 TB: ONE shuffle on user_id feeds all three windows
+    (Catalyst reuses the sort for lag, and the post-filter lead/
+    row_number reuse the same partitioning — a second sort over the
+    filtered, strictly smaller change set). Keys are users: naturally
+    high-cardinality, no skew, no global window anywhere."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )

@@ -691,3 +691,176 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+FUZZY_MAX_DIST = 3  # max edit distance for a candidate alias pair
+
+
+@query(
+    "q_join_fuzzy",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           a.block,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+    """,
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (approximate-string) self-join: find near-identical
+    part names within an edit distance of {FUZZY_MAX_DIST} — the
+    entity-resolution / alias-detection shape (same pattern matches
+    customer names, URLs, product titles).
+
+    The two standard scale tricks, both load-bearing:
+      1. **Dedup before pairing** — pairs are generated over DISTINCT
+         names (the vocabulary), not rows. At 100 TB the name
+         vocabulary is orders of magnitude smaller than the fact table,
+         and resolved pairs join back to facts by exact key if needed.
+      2. **Blocking** — candidate pairs only form inside a block (here
+         the last word of the name, i.e. the noun); levenshtein runs
+         on the blocked candidate set, never all-pairs. Swapping the
+         blocking key for a phonetic code (soundex) or a shingle
+         bucket is a one-line change; the join shape is identical.
+
+    The `a.p_name < b.p_name` predicate keeps each unordered pair once.
+    Plan: distinct-aggregate, then an equi-join on block with the
+    inequality + levenshtein as residual filters — Catalyst keeps the
+    equi-part hashable; nothing is quadratic beyond within-block."""
+    names = (
+        t(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist.between(1, FUZZY_MAX_DIST))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.block").alias("block"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q6",
+    f"""
+    SELECT sum({sql_cents("l_extendedprice")} * {sql_pct("l_discount")}) / 10000.0::DOUBLE
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-
+    aggregate with three conjunctive range predicates and no join —
+    the canonical predicate-pushdown benchmark. All three filters reach
+    the parquet scan as PushedFilters (asserted for this filter family
+    in tests/test_plans.py), so at 100 TB row groups outside the
+    shipdate year never leave storage, and the surviving rows fold into
+    a single map-side-combined 1-row aggregate: effectively zero
+    shuffle. Revenue is summed in exact cents x basis points.
+
+    The BETWEEN on discount mirrors upstream Q6's `disc - 0.01 AND
+    disc + 0.01` with the fixture's exact-2dp discount grid (0.05..0.07
+    captures three grid points, as in the spec)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice")) * pct(F.col("l_discount"))) / 10000.0)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    f"""
+    SELECT sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}))
+             / 10000.0::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+           AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#7' AND p.p_type = 'LARGE'
+           AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_type = 'MEDIUM'
+           AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    the classic OR-of-conjunctions query that separates planners. The
+    naive plan evaluates the whole disjunction AFTER the join; the
+    right plan pushes the part-only conjuncts (brand/type/size) and the
+    lineitem-only conjuncts (quantity ranges) below the join as
+    single-side prefilters derived from the OR (each side keeps the
+    union of its branch predicates), then applies the full disjunction
+    as the residual. Catalyst does exactly this; at 100 TB the
+    prefilter shrinks the part side to the three brands (broadcastable)
+    and prunes lineitem row groups on quantity before any join I/O.
+
+    Adapted to the fixture's part schema (p_container does not exist:
+    p_type stands in; brands/sizes chosen to select all three
+    branches). Revenue in exact cents x basis points."""
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    p = t(spark, sf_dir, "part").alias("p")
+    branch = (
+        (
+            (F.col("p.p_brand") == "Brand#3")
+            & (F.col("p.p_type") == "SMALL")
+            & F.col("p.p_size").between(1, 15)
+            & F.col("l.l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#7")
+            & (F.col("p.p_type") == "LARGE")
+            & F.col("p.p_size").between(1, 25)
+            & F.col("l.l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p.p_brand") == "Brand#12")
+            & (F.col("p.p_type") == "MEDIUM")
+            & F.col("p.p_size").between(1, 35)
+            & F.col("l.l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .filter(branch)
+        .agg(
+            (
+                F.sum(cents(F.col("l.l_extendedprice")) * (100 - pct(F.col("l.l_discount"))))
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -471,3 +471,96 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_bigram_freq"),
         )
     )
+
+
+LINE_CHUNK_WORDS = 10  # the "line" unit: corpus text has no newlines
+LINE_DUP_DOCS = 2  # a chunk appearing in >= this many distinct docs is boilerplate
+
+
+@query(
+    "q_text_line_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, i,
+             array_to_string(w[((i-1)*{LINE_CHUNK_WORDS}+1):(i*{LINE_CHUNK_WORDS})], ' ') AS chunk
+      FROM d, UNNEST(range(1, CAST(ceil(len(w) / {LINE_CHUNK_WORDS}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT chunk AS dchunk FROM ch
+      GROUP BY chunk HAVING count(DISTINCT doc_id) >= {LINE_DUP_DOCS}
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE dup.dchunk IS NULL) AS BIGINT) AS n_kept,
+           coalesce(string_agg(ch.chunk, ' ' ORDER BY ch.i)
+                      FILTER (WHERE dup.dchunk IS NULL), '') AS text_deduped
+    FROM ch LEFT JOIN dup ON ch.chunk = dup.dchunk
+    GROUP BY ch.doc_id
+    """,
+)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate-line removal (the C4/RefinedWeb rule:
+    drop any line that repeats across the corpus, from every document
+    it appears in). This corpus has no newlines, so the "line" unit is
+    the non-overlapping {LINE_CHUNK_WORDS}-word chunk; a chunk seen in
+    >= {LINE_DUP_DOCS} distinct documents is boilerplate and every
+    occurrence is removed, then each document is reassembled from its
+    surviving chunks in original order (possibly to the empty string —
+    documents are never dropped, so downstream accounting still sees
+    them).
+
+    Complements the dedup family: q_dedup_exact removes whole duplicate
+    documents; this removes duplicated SPANS from otherwise-unique
+    documents — the navboxes/footers/cookie-banners of a web corpus.
+
+    Shape at 100 TB: chunking is a narrow HOF map (no explode until the
+    count); the boilerplate census group-bys the 16-byte md5 of each
+    chunk (never the chunk string) with a map-side-combined distinct-doc
+    count; marking is one hash join chunk->dup-set on the same 16-byte
+    key (the dup set is boilerplate-sized, often broadcastable — left
+    as a shuffle join because "often" is not "always" at 100 TB); and
+    reassembly is one keyed shuffle per doc bounded by document size.
+    Nothing is quadratic and no driver state exists."""
+    w = F.split(F.col("text"), " ")
+    n_chunks_expr = F.ceil(F.size("w") / F.lit(float(LINE_CHUNK_WORDS))).cast("int")
+    chunk_expr = (
+        f"transform(sequence(1, n_ch), "
+        f"i -> struct(i, concat_ws(' ', slice(w, (i-1)*{LINE_CHUNK_WORDS}+1, {LINE_CHUNK_WORDS})) AS chunk))"
+    )
+    chunks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", w.alias("w"))
+        .withColumn("n_ch", n_chunks_expr)
+        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("c"))
+        .select("doc_id", F.col("c.i").alias("i"), F.col("c.chunk").alias("chunk"))
+        .withColumn("hv", F.md5("chunk"))
+    )
+    dup = (
+        chunks.groupBy("hv")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= LINE_DUP_DOCS)
+        .select("hv", F.lit(True).alias("is_dup"))
+    )
+    marked = chunks.join(dup, "hv", "left").withColumn(
+        "keep", F.col("is_dup").isNull()
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("i", "chunk")))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            kept_sorted.alias("ks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.concat_ws(" ", F.expr("transform(ks, x -> x.chunk)")).alias("text_deduped"),
+        )
+    )
