@@ -327,3 +327,35 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_stream_static_join
 
     return run_stream_static_join(spark, sf_dir)
+
+
+@query(
+    "stream_exactly_once_sink",
+    f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum({_VAL_C}) / 100.0::DOUBLE AS spend
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink under an INJECTED mid-stream sink failure
+    (the at-least-once redelivery case the other streaming keys never
+    force): foreachBatch publishes each micro-batch to a batchId-keyed
+    directory via write-tmp + atomic rename; incarnation 1 crashes
+    after batch 2's publish but before its streaming commit; the
+    restart re-delivers batch 2 and the idempotent sink skips it. The
+    re-read of the final sink directories per user must equal the batch
+    aggregate over events — a duplicated batch 2 (non-idempotent sink)
+    or a lost batch (broken recovery) fails the hash. The harness also
+    asserts the injected failure and the redelivery skip both actually
+    happened. See jsmr_spark/streaming/core.py:
+    run_exactly_once_sink_stream for the full contract discussion."""
+    from jsmr_spark.streaming.core import run_exactly_once_sink_stream
+
+    df, evidence = run_exactly_once_sink_stream(spark, sf_dir)
+    assert evidence["failed_injected"], "failure injection never fired"
+    assert 2 in evidence["skipped_batches"], (
+        f"batch 2 was not redelivered+skipped: {evidence}"
+    )
+    return df

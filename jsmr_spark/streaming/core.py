@@ -483,3 +483,117 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_stream(spark, src, transform, name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_exactly_once_sink_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Exactly-once FILE sink under a mid-stream sink failure: the
+    production foreachBatch idempotence pattern, exercised with a real
+    redelivery.
+
+    Structured Streaming's contract is exactly-once into the state
+    store but AT-LEAST-ONCE into an arbitrary sink: when a batch fails
+    after the sink ran but before the checkpoint commit, the restart
+    re-delivers that batch. A non-idempotent sink duplicates it; the
+    standard fix is a batchId-keyed idempotent write — publish each
+    batch to its own directory via write-to-tmp + atomic rename, and
+    skip any batch directory that already exists.
+
+    This harness PROVES the pattern: incarnation 1 processes the staged
+    chunks one per micro-batch and the sink raises an injected failure
+    for batch 2 AFTER its directory is published (the worst-case window:
+    side effect done, offset commit lost). Incarnation 2 restarts from
+    the same checkpoint; Structured Streaming re-delivers batch 2, the
+    sink detects the published directory and skips the rewrite, and the
+    stream runs to completion. The final sink contents must contain
+    every input row exactly once — the registered key value-checks that
+    against the batch aggregate (a duplicate batch 2 or a lost batch
+    fails the hash).
+
+    At production scale the tmp+rename publish becomes the object-store
+    commit protocol or a transactional table format (Delta/Iceberg
+    txn log keyed on (queryId, batchId) — same idempotence key); the
+    query graph is unchanged.
+
+    Returns (per_user_totals_df, evidence): evidence records the
+    injected failure and the redelivery skip so tests can assert the
+    failure path actually executed.
+    """
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        out_dir = os.path.join(base, "sink")
+        ckpt = os.path.join(base, "ckpt")
+        os.makedirs(out_dir)
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+
+        evidence = {"failed_injected": False, "skipped_batches": [], "written_batches": []}
+        armed = {"on": True}
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            final = os.path.join(out_dir, f"batch-{batch_id:05d}")
+            if os.path.exists(final):
+                # Redelivered batch already published: idempotent skip.
+                evidence["skipped_batches"].append(batch_id)
+            else:
+                tmp = final + ".tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                batch_df.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, final)  # atomic publish on this fs
+                evidence["written_batches"].append(batch_id)
+            if armed["on"] and batch_id == 2:
+                # Injected crash in the worst-case window: the side
+                # effect is published, the streaming commit is not.
+                armed["on"] = False
+                evidence["failed_injected"] = True
+                raise RuntimeError("injected sink failure (post-write, pre-commit)")
+
+        def incarnation() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(os.path.join(src, "chunk_*"))
+            )
+            from jsmr_spark.compat import cents
+
+            out = stream.select(
+                "event_id",
+                "user_id",
+                cents(F.col("value")).alias("vc"),
+            )
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+
+        with _replay_shuffle_clamp(spark):
+            try:
+                incarnation()
+                raise AssertionError("injected failure did not surface")
+            except Exception as e:  # noqa: BLE001 — the injected failure
+                if "injected sink failure" not in str(e):
+                    raise
+            incarnation()  # restart from the same checkpoint
+
+        final_rows = (
+            spark.read.parquet(os.path.join(out_dir, "batch-*"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum("vc") / 100.0).alias("spend"),
+            )
+        )
+        # Materialize before the temp dir is deleted.
+        rows = final_rows.collect()
+        df = spark.createDataFrame(rows, "user_id long, n_events long, spend double")
+        return df, evidence
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

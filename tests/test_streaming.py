@@ -208,3 +208,34 @@ def test_tumbling_stream_on_rocksdb_state_store(spark):
     assert streamed, "stream emitted nothing under RocksDB"
     for k, n in streamed.items():
         assert batch.get(k) == n, f"window {k}: rocksdb={n} batch={batch.get(k)}"
+
+
+def test_exactly_once_sink_survives_injected_failure(spark):
+    """The idempotent foreachBatch sink must (1) actually hit the
+    injected post-publish/pre-commit failure, (2) skip the redelivered
+    batch on restart, and (3) deliver every input row exactly once —
+    totals equal to the batch aggregate, in count AND exact cents."""
+    from jsmr_spark.compat import cents
+    from jsmr_spark.io import load_table
+    from jsmr_spark.streaming.core import run_exactly_once_sink_stream
+    from tests.conftest import SF_DIR
+
+    df, evidence = run_exactly_once_sink_stream(spark, SF_DIR)
+    assert evidence["failed_injected"]
+    assert evidence["skipped_batches"] == [2], evidence
+    assert sorted(evidence["written_batches"]) == list(range(6)), evidence
+
+    got = {r["user_id"]: (r["n_events"], r["spend"]) for r in df.collect()}
+    expected = {
+        r["user_id"]: (r["n"], r["spend"])
+        for r in (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(cents(F.col("value"))) / 100.0).alias("spend"),
+            )
+            .collect()
+        )
+    }
+    assert got == expected
