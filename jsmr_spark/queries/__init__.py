@@ -24,6 +24,7 @@ from jsmr_spark.queries import (  # noqa: F401
     dedup,
     dedup_extra,
     filters,
+    graph,
     joins,
     multimodal_blob,
     pipeline,

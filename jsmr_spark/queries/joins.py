@@ -864,3 +864,88 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_tpch_q4",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): date-windowed orders
+    having AT LEAST ONE late lineitem, counted per priority. The
+    fixture has no l_commitdate/l_receiptdate, so "late" is the
+    shipdate > orderdate + 90 days proxy — the correlated-EXISTS shape
+    is unchanged.
+
+    Plan: Catalyst rewrites the EXISTS into a LEFT SEMI join on
+    l_orderkey with the date comparison as the join residual — the
+    fact-fact semi never duplicates orders however many lineitems
+    match, and the priority count is a map-side-combined aggregate
+    over the (already filtered) semi output. At 100 TB both facts
+    shuffle once on orderkey; the orders date window is pushed to the
+    parquet scan."""
+    o = t(spark, sf_dir, "orders").alias("o")
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            l,
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_tpch_q13",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the two-level
+    group-by-of-a-group-by — orders per customer INCLUDING zero-order
+    customers (left join, count of the nullable side), then the
+    distribution of those counts. The zero bucket is the part a naive
+    inner-join version silently drops.
+
+    Plan: one shuffle on custkey for the outer join + first count
+    (map-side combine on the orders side), then a second tiny shuffle
+    on c_count whose cardinality is bounded by max orders-per-customer
+    — the classic big-shuffle-then-small-shuffle funnel. At 100 TB
+    the first join is the only real cost and AQE handles any custkey
+    skew."""
+    c = t(spark, sf_dir, "customer").alias("c")
+    o = t(spark, sf_dir, "orders").alias("o")
+    return (
+        c.join(o, F.col("c.c_custkey") == F.col("o.o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )

@@ -370,3 +370,42 @@ def test_round4_batch3_key_invariants(spark):
     assert len(q6) == 1 and q6[0].n_items >= 0
     q19 = get_query("q_tpch_q19").fn(spark, sf).collect()
     assert len(q19) == 1 and q19[0].n_items >= 0
+
+
+def test_pagerank_and_tpch_shape_invariants(spark):
+    """Invariants for q_graph_pagerank / q_tpch_q4 / q_tpch_q13."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # PageRank: rank mass is (approximately, by integer truncation)
+    # conserved; all ranks positive; rnk is a permutation of 1..N
+    # consistent with pr_scaled descending.
+    pr = sorted(get_query("q_graph_pagerank").fn(spark, sf).collect(), key=lambda r: r.rnk)
+    n = spark.read.parquet(f"{sf}/nation.parquet").count()
+    assert [r.rnk for r in pr] == list(range(1, n + 1))
+    assert all(r.pr_scaled > 0 for r in pr)
+    for a, b in zip(pr, pr[1:]):
+        assert (a.pr_scaled, b.n_name) > (b.pr_scaled, a.n_name) or a.pr_scaled > b.pr_scaled or (
+            a.pr_scaled == b.pr_scaled and a.n_name < b.n_name
+        )
+    total = sum(r.pr_scaled for r in pr)
+    # dangling loss + truncation only ever LOWER the total
+    assert total <= 1_000_000_000
+    assert total > 500_000_000  # and never collapse it
+
+    # Q4: every priority bucket present has n_orders >= 1 and the semi
+    # join can never exceed the date-window order count.
+    q4 = get_query("q_tpch_q4").fn(spark, sf).collect()
+    assert q4 and all(r.n_orders >= 1 for r in q4)
+    n_window = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter("o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'")
+        .count()
+    )
+    assert sum(r.n_orders for r in q4) <= n_window
+
+    # Q13: custdist sums to the customer count (zero bucket included).
+    q13 = get_query("q_tpch_q13").fn(spark, sf).collect()
+    n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert sum(r.custdist for r in q13) == n_cust

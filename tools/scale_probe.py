@@ -37,7 +37,15 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # the full curation chain)
           "q_sim_ann_pq", "q_upsert_merge", "q_tpch_q5", "q_text_ngram_lm",
           "q_tpch_q10", "q_tpch_q18", "q_multimodal_dedup",
-          "sink_compact_partitioned", "q_pipeline_end2end"]
+          "sink_compact_partitioned", "q_pipeline_end2end",
+          # round-4 batch 3: chunk-census line dedup, OHLC resample,
+          # SCD2 windows, blocked fuzzy join, scan-agg TPC-H shapes,
+          # and the exactly-once sink (side-effect wall, like
+          # sink_compact: real micro-batches at 10x the rows)
+          "q_text_line_dedup", "q_ts_resample", "q_scd2_history",
+          "q_join_fuzzy", "q_tpch_q6", "q_tpch_q19",
+          "stream_exactly_once_sink",
+          "q_graph_pagerank", "q_tpch_q4", "q_tpch_q13"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
