@@ -470,3 +470,39 @@ def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.regr_avgy(y, x)).alias("avg_y"),
         )
     )
+
+
+@query(
+    "q_sketch_bitmap_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap aggregation — the scale-path
+    alternative to shuffling raw values into count(DISTINCT): each
+    partition builds fixed-size bitmap partials (bitmap_construct_agg
+    over bitmap_bit_position), partials OR-merge in the combiner, and
+    the final count sums bitmap_count per 32768-id bucket. The shuffle
+    carries one ≤4KB bitmap per (group, bucket) per partition instead
+    of one row per distinct value — at 100 TB with billions of ids per
+    group this is the difference between a bounded exchange and a
+    distinct-row explosion (same mergeability story as HLL, but exact;
+    the approximate twin is q_agg_approx_distinct).
+
+    The two-level form (bucket group-by, then sum of counts) is the
+    general one: ids above 32768 land in higher buckets — exercised at
+    10x probe scale where user_ids are shifted by 1e9 per replica.
+    Oracle: plain count(DISTINCT) — the values must agree exactly."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bkt")
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm")
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+    )

@@ -949,3 +949,234 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+
+
+@query(
+    "q_tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}))
+             / 10000.0::DOUBLE AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by year — 4 fact/dim joins plus TWO independent broadcast
+    nation lookups (supplier side and customer side) and a symmetric
+    pair predicate.
+
+    Plan: both nation copies broadcast (they filter to one row each
+    after predicate pushdown through the OR — Catalyst derives
+    n_name IN (A,B) for each side); the fact chain shuffles on
+    orderkey then custkey/suppkey; the 2-year shipdate window pushes
+    to the lineitem scan. Exact cents x basis points."""
+    s = t(spark, sf_dir, "supplier").alias("s")
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    pair = (
+        (F.col("n1.n_name") == "NATION_3") & (F.col("n2.n_name") == "NATION_7")
+    ) | ((F.col("n1.n_name") == "NATION_7") & (F.col("n2.n_name") == "NATION_3"))
+    return (
+        s.join(l, F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .join(c, F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(F.broadcast(n1), F.col("s.s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c.c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(
+            pair
+            & (F.col("l.l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l.l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l.l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l.l_extendedprice")) * (100 - pct(F.col("l.l_discount"))))
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum({sql_cents("l_extendedprice")} * (100 - {sql_pct("l_discount")}))
+               AS total_bp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_bp / 10000.0::DOUBLE AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_bp = (SELECT max(total_bp) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    return the supplier(s) achieving the maximum — the
+    aggregate-then-filter-by-global-aggregate pattern (upstream models
+    it as a view + scalar subquery).
+
+    Exactness makes the tie semantics portable: revenue is compared in
+    exact basis-point LONGS (ties are real equality, not float
+    coincidence), and all maximal suppliers are returned, as in the
+    spec. Plan: one keyed aggregate over the date-windowed scan, then a
+    1-row max aggregate broadcast against the (already tiny,
+    supplier-cardinality) revenue table — the fact table is scanned
+    once."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount")))).alias(
+            "total_bp"
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("total_bp").alias("mx")))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_bp") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_bp") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17",
+    f"""
+    WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5'),
+    li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN pp ON l.l_partkey = pp.p_partkey
+    ),
+    avgq AS (SELECT l_partkey, avg(l_quantity) AS aq FROM li GROUP BY l_partkey)
+    SELECT sum({sql_cents("li.l_extendedprice")}) / 100.0 / 7.0::DOUBLE AS avg_yearly,
+           count(*) AS n_items
+    FROM li JOIN avgq ON li.l_partkey = avgq.l_partkey
+    WHERE li.l_quantity < 0.2 * avgq.aq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    brand whose quantity is below 20% of that part's OWN average
+    quantity — the correlated-scalar-aggregate query, implemented in
+    its decorrelated form (per-part average once, joined back) on both
+    engines so the plan is explicit: this is what Catalyst/DuckDB
+    rewrite the correlated subquery into anyway.
+
+    Determinism: quantities are integral doubles, so per-part sum and
+    count are exact and avg/0.2-scaling are identical IEEE ops on both
+    engines. Revenue sums exact cents. Plan at 100 TB: the brand
+    filter broadcasts a small part-id set; lineitem is scanned ONCE,
+    semi-reduced, and the per-part aggregate + back-join shuffle on
+    l_partkey (same key both times, one exchange reused)."""
+    pp = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(avgq.withColumnRenamed("l_partkey", "ak"), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    f"""
+    WITH pos AS (
+      SELECT sum({sql_cents("c_acctbal")}) AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+      FROM customer c, pos
+      WHERE {sql_cents("c.c_acctbal")} * pos.n > pos.s
+    )
+    SELECT r.c_mktsegment,
+           count(*) AS n_custs,
+           sum({sql_cents("r.c_acctbal")}) / 100.0::DOUBLE AS total_acctbal
+    FROM rich r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = r.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    GROUP BY r.c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance with NO RECENT orders (none since
+    1999 — the fixture's order history covers every customer, so the
+    spec's never-ordered predicate is windowed; the anti-join shape is
+    unchanged), grouped by market segment (no phone country code in
+    the fixture, so segment is the grouping). Three classic pieces in one query: a global
+    scalar aggregate threshold, an anti join against the fact table,
+    and a final rollup.
+
+    Exactness: the above-average comparison is EXACT integer
+    cross-multiplication — cents(balance) * N > sum_cents — no
+    division, no float threshold, so boundary customers land
+    identically on both engines. Plan: the 1-row (sum, count)
+    aggregate broadcasts; the anti join shuffles customer vs the
+    orders custkey projection (at 100 TB: orders side reduces to
+    distinct custkeys map-side via the semi-anti optimization);
+    segment rollup is map-side-combined."""
+    c = t(spark, sf_dir, "customer")
+    pos = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            F.sum(cents(F.col("c_acctbal"))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(pos)
+        .filter(cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_acctbal"),
+        )
+    )

@@ -359,3 +359,34 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"batch 2 was not redelivered+skipped: {evidence}"
     )
     return df
+
+
+_ORD_SQL_EV = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '#' || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "stream_cdc_apply",
+    f"""
+    SELECT user_id, event_type,
+           max_by({sql_cents("value")}, {_ORD_SQL_EV}) / 100.0::DOUBLE AS last_value,
+           count(*) AS n_updates
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC table maintenance: the event stream is applied to
+    a keyed table one micro-batch at a time (foreachBatch full-outer
+    MERGE with newest-ord-wins semantics and an atomic version swap —
+    the lakehouse MERGE INTO loop). The FINAL table must equal the
+    batch "latest value + update count per (user_id, event_type)"
+    aggregate the oracle computes directly over events — a lost batch,
+    a stale-version read, or wrong merge precedence all fail the hash.
+    The streaming twin of q_upsert_merge (one-shot CDC apply) and
+    q_dedup_latest (read-side latest-wins). See jsmr_spark/streaming/
+    core.py: run_cdc_apply_stream."""
+    from jsmr_spark.streaming.core import run_cdc_apply_stream
+
+    return run_cdc_apply_stream(spark, sf_dir)

@@ -597,3 +597,131 @@ def run_exactly_once_sink_stream(
         return df, evidence
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: maintain a keyed TABLE (latest value +
+    update count per (user_id, event_type)) from a change stream, one
+    merge per micro-batch — the foreachBatch + MERGE pattern every
+    lakehouse ingest job runs (Delta/Iceberg MERGE INTO keyed on the
+    primary key; here the table is versioned parquet with an atomic
+    directory swap).
+
+    Per batch: aggregate the incoming changes per key (latest value by
+    a total (epoch_us, event_id) order, plus a count), full-outer-merge
+    into the current table version (newer ord wins the value; counts
+    add), write version N+1, atomically repoint. Ord comparison — not
+    arrival order — decides the winner, so the merge is correct even
+    if batches arrived out of order.
+
+    Scale shape: the per-batch merge is ONE keyed shuffle of
+    (batch-keys + table), and the table stays value-compacted (one row
+    per key). At 100 TB the parquet-version table becomes a
+    transactional format and the merge becomes its MERGE INTO; the
+    query graph is identical. Returns the final table — value-checked
+    by the registered key against the batch aggregate over all events."""
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        tbl_root = os.path.join(base, "table")
+        os.makedirs(tbl_root)
+        state = {"version": 0}  # version 0 = empty table
+
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+        ord_col = F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lit("#"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+
+        def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            from jsmr_spark.compat import cents
+
+            incoming = (
+                batch_df.select(
+                    "user_id",
+                    "event_type",
+                    cents(F.col("value")).alias("vc"),
+                    ord_col.alias("ord"),
+                )
+                .groupBy("user_id", "event_type")
+                .agg(
+                    F.max_by("vc", F.col("ord")).alias("vc"),
+                    F.max("ord").alias("ord"),
+                    F.count(F.lit(1)).alias("n_updates"),
+                )
+            )
+            if state["version"] > 0:
+                cur = spark.read.parquet(
+                    os.path.join(tbl_root, f"v{state['version']:04d}")
+                )
+                i = incoming.alias("i")
+                c = cur.alias("c")
+                merged = (
+                    i.join(
+                        c,
+                        (F.col("i.user_id") == F.col("c.user_id"))
+                        & (F.col("i.event_type") == F.col("c.event_type")),
+                        "full_outer",
+                    )
+                    .select(
+                        F.coalesce(F.col("i.user_id"), F.col("c.user_id")).alias("user_id"),
+                        F.coalesce(F.col("i.event_type"), F.col("c.event_type")).alias(
+                            "event_type"
+                        ),
+                        # newer ord wins the value — NULL-safe via coalesce
+                        # of the comparison chain
+                        F.when(
+                            F.col("c.ord").isNull() | (F.col("i.ord") > F.col("c.ord")),
+                            F.col("i.vc"),
+                        )
+                        .otherwise(F.col("c.vc"))
+                        .alias("vc"),
+                        F.greatest(
+                            F.coalesce(F.col("i.ord"), F.col("c.ord")),
+                            F.coalesce(F.col("c.ord"), F.col("i.ord")),
+                        ).alias("ord"),
+                        (
+                            F.coalesce(F.col("i.n_updates"), F.lit(0))
+                            + F.coalesce(F.col("c.n_updates"), F.lit(0))
+                        ).alias("n_updates"),
+                    )
+                )
+            else:
+                merged = incoming
+            nxt = os.path.join(tbl_root, f"v{state['version'] + 1:04d}")
+            tmp = nxt + ".tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, nxt)  # atomic version publish
+            state["version"] += 1
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(os.path.join(src, "chunk_*"))
+        )
+        with _replay_shuffle_clamp(spark):
+            q = (
+                stream.writeStream.foreachBatch(apply_batch)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        final = spark.read.parquet(
+            os.path.join(tbl_root, f"v{state['version']:04d}")
+        ).select(
+            "user_id",
+            "event_type",
+            (F.col("vc") / 100.0).alias("last_value"),
+            "n_updates",
+        )
+        rows = final.collect()
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, last_value double, n_updates long"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

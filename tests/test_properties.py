@@ -409,3 +409,54 @@ def test_pagerank_and_tpch_shape_invariants(spark):
     q13 = get_query("q_tpch_q13").fn(spark, sf).collect()
     n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
     assert sum(r.custdist for r in q13) == n_cust
+
+
+def test_tpch_suite_and_cdc_invariants(spark):
+    """Invariants for Q7/Q15/Q17/Q22, the bitmap distinct, and the
+    streaming CDC apply."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # Q7: only the two nations appear, on both sides, never self-pairs.
+    q7 = get_query("q_tpch_q7").fn(spark, sf).collect()
+    assert q7
+    for r in q7:
+        assert {r.supp_nation, r.cust_nation} == {"NATION_3", "NATION_7"}
+        assert r.supp_nation != r.cust_nation
+        assert r.l_year in (1996, 1997)
+
+    # Q15: all returned suppliers share the (single) maximal revenue.
+    q15 = get_query("q_tpch_q15").fn(spark, sf).collect()
+    assert len({r.total_revenue for r in q15}) == 1
+
+    # Q17: selected item count is a subset of the brand's lineitems.
+    q17 = get_query("q_tpch_q17").fn(spark, sf).collect()[0]
+    assert q17.n_items >= 0
+
+    # Q22: every segment count positive; customers are recent-order-free
+    # by construction (oracle-checked) — here check totals are positive.
+    for r in get_query("q_tpch_q22").fn(spark, sf).collect():
+        assert r.n_custs >= 1 and r.total_acctbal > 0
+
+    # bitmap distinct == naive countDistinct
+    got = {
+        r.event_type: r.n_users
+        for r in get_query("q_sketch_bitmap_distinct").fn(spark, sf).collect()
+    }
+    exp = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+    # CDC apply: n_updates sums to the event count; keys are unique.
+    cdc = get_query("stream_cdc_apply").fn(spark, sf).collect()
+    keys = [(r.user_id, r.event_type) for r in cdc]
+    assert len(keys) == len(set(keys))
+    assert sum(r.n_updates for r in cdc) == spark.read.parquet(
+        f"{sf}/events.parquet"
+    ).count()

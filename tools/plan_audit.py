@@ -43,7 +43,12 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # recall@10 instrumentation: candidates x 1-row
                      # broadcast hit-count (same shape as the LSH/IVF
                      # siblings above).
-                     "q_sim_ann_pq"}
+                     "q_sim_ann_pq",
+                     # customers x 1-row broadcast (sum, count) global
+                     # threshold aggregate — the Q22 above-average
+                     # filter shape (q_tpch_q15's max-filter variant
+                     # collapses to an equi-join and needs no entry).
+                     "q_tpch_q22"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
