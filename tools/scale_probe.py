@@ -45,7 +45,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_text_line_dedup", "q_ts_resample", "q_scd2_history",
           "q_join_fuzzy", "q_tpch_q6", "q_tpch_q19",
           "stream_exactly_once_sink",
-          "q_graph_pagerank", "q_tpch_q4", "q_tpch_q13"]
+          "q_graph_pagerank", "q_tpch_q4", "q_tpch_q13",
+          "q_tpch_q7", "q_tpch_q15", "q_tpch_q17", "q_tpch_q22",
+          "q_sketch_bitmap_distinct", "stream_cdc_apply"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
