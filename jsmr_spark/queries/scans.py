@@ -476,3 +476,40 @@ def sink_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "lang string, was_fragmented boolean, n_files_after int, n_docs long, sum_chars long",
     )
+
+
+@query(
+    "source_python_datasource",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DataSource (Spark 4 pyspark.sql.datasource API):
+    the documents table read through a user-defined source that splits
+    the file into row-group partitions and yields pyarrow RecordBatches
+    (see jsmr_spark/pyds.py for the contract discussion) — the
+    connector surface for systems with no JVM reader. The per-lang
+    aggregate over the custom-source read must match the oracle's
+    aggregate over the native read: a dropped row group, a duplicated
+    partition, or a column misread all fail the hash."""
+    from jsmr_spark import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format(pyds.PYDS_NAME)
+        .option("path", f"{sf_dir}/documents.parquet")
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -271,3 +271,97 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.element_at("embedding", 1).cast("double") / nrm).alias("u0"),
         r4(F.element_at("embedding", 64).cast("double") / nrm).alias("u_last"),
     )
+
+
+MV_TOKENS = 4  # vectors per multi-vector document (vec_id div 4 groups)
+MAXSIM_TOP_K = 10
+
+
+_MAXSIM_ORACLE = f"""
+    WITH cn AS (
+      SELECT vec_id // {MV_TOKENS} AS mv_doc, vec_id % {MV_TOKENS} AS tok,
+             embedding, {_NORM_ONE_DD} AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT tok, embedding, nrm FROM cn WHERE mv_doc = 0),
+    cv AS (SELECT mv_doc, embedding, nrm FROM cn WHERE mv_doc <> 0),
+    sims AS (
+      SELECT cv.mv_doc, qv.tok AS qtok,
+             list_aggregate(list_transform(qv.embedding, (x, i) ->
+               CAST(x AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)), 'sum')
+               / (qv.nrm * cv.nrm) AS sim
+      FROM cv, qv
+    ),
+    m AS (
+      SELECT mv_doc,
+             max(CASE WHEN qtok = 0 THEN sim END) AS m0,
+             max(CASE WHEN qtok = 1 THEN sim END) AS m1,
+             max(CASE WHEN qtok = 2 THEN sim END) AS m2,
+             max(CASE WHEN qtok = 3 THEN sim END) AS m3
+      FROM sims GROUP BY mv_doc
+    )
+    SELECT mv_doc, maxsim_score, rnk FROM (
+      SELECT mv_doc, round(m0 + m1 + m2 + m3, 4) AS maxsim_score,
+             row_number() OVER (ORDER BY round(m0 + m1 + m2 + m3, 4) DESC, mv_doc) AS rnk
+      FROM m
+    ) x WHERE rnk <= {MAXSIM_TOP_K}
+"""
+
+
+@query("q_sim_maxsim", _MAXSIM_ORACLE)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    operator): documents are groups of {MV_TOKENS} token vectors
+    (vec_id div {MV_TOKENS}); the query is group 0; a document's score
+    is sum over query tokens of the MAX cosine against any of its own
+    token vectors. This is the modern retrieval scorer single-vector
+    cosine cannot express — a token must find its best counterpart,
+    not an average.
+
+    Plan shape (the q_sim_cosine_topk lesson applied): the
+    {MV_TOKENS} query vectors + norms are collected once at plan-build
+    time and inlined as literals, so the corpus side is a pure NARROW
+    map (each token row computes {MV_TOKENS} sims), followed by ONE
+    keyed max-aggregate per document and a TakeOrdered top-{MAXSIM_TOP_K}
+    — no join, no exchange except the per-doc aggregate. At 100 TB the
+    aggregate is map-side-combined (max is algebraic) and token rows of
+    one document need not be co-located.
+
+    Determinism: per-pair sims use the same sequential-sum kernel and
+    operand order as the oracle (see _probe_sims parity note); the
+    4-way score sum is written in fixed textual order m0+m1+m2+m3 on
+    both engines — never a float sum over an unordered group."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < MV_TOKENS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qlits = []
+    for r in qrows:
+        vals = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in vals:
+            acc += x * x
+        qlits.append((int(r.vec_id), F.array(*[F.lit(x) for x in vals]), math.sqrt(acc)))
+
+    c = emb.filter(F.expr(f"vec_id div {MV_TOKENS}") != 0).select(
+        F.expr(f"vec_id div {MV_TOKENS}").alias("mv_doc"),
+        "embedding",
+        _norm(F.col("embedding")).alias("cnrm"),
+    )
+    sim_cols = [
+        (_dot(ql, F.col("embedding")) / (F.lit(qn) * F.col("cnrm"))).alias(f"s{tok}")
+        for tok, ql, qn in qlits
+    ]
+    m = (
+        c.select("mv_doc", *sim_cols)
+        .groupBy("mv_doc")
+        .agg(*[F.max(f"s{tok}").alias(f"m{tok}") for tok, _, _ in qlits])
+    )
+    score = r4(F.col("m0") + F.col("m1") + F.col("m2") + F.col("m3"))
+    scored = m.select("mv_doc", score.alias("maxsim_score"))
+    keys = [F.desc("maxsim_score"), F.asc("mv_doc")]
+    top = scored.orderBy(*keys).limit(MAXSIM_TOP_K)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))

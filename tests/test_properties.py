@@ -460,3 +460,38 @@ def test_tpch_suite_and_cdc_invariants(spark):
     assert sum(r.n_updates for r in cdc) == spark.read.parquet(
         f"{sf}/events.parquet"
     ).count()
+
+
+def test_maxsim_and_pyds_invariants(spark):
+    """Invariants for q_sim_maxsim and the custom Python DataSource."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # MaxSim: scores bounded by 4 (sum of 4 cosines <= 4), rank is
+    # 1..k consistent with descending score, query doc excluded.
+    rows = sorted(get_query("q_sim_maxsim").fn(spark, sf).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.mv_doc != 0
+        assert -4.0 <= r.maxsim_score <= 4.0
+    for a, b in zip(rows, rows[1:]):
+        assert a.maxsim_score >= b.maxsim_score
+
+    # Python DataSource: the custom read round-trips the native read
+    # exactly (row-group partition assignment loses/dupes nothing).
+    from jsmr_spark import pyds
+
+    pyds.register(spark)
+    custom = (
+        spark.read.format(pyds.PYDS_NAME)
+        .option("path", f"{sf}/documents.parquet")
+        .load()
+    )
+    native = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    assert custom.count() == native.count()
+    assert sorted(map(tuple, custom.collect())) == sorted(map(tuple, native.collect()))
+    # genuinely partition-parallel
+    assert custom.rdd.getNumPartitions() == pyds.PYDS_PARALLELISM
