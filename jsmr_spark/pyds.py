@@ -47,6 +47,18 @@ class DocsDataSource(DataSource):
         return _DocsReader(self.options)
 
 
+def _list_files(path: str) -> list[str]:
+    """A parquet 'table' is a single file (the fixtures) or a directory
+    of part files (any Spark-written dataset) — handle both, like a
+    real connector must."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
 class _DocsReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.path = options.get("path")
@@ -58,10 +70,15 @@ class _DocsReader(DataSourceReader):
     def read(self, partition):
         import pyarrow.parquet as pq
 
-        f = pq.ParquetFile(self.path)
-        for rg in range(f.num_row_groups):
-            if rg % self.n == partition.value:
-                yield from f.read_row_group(rg, columns=PYDS_COLUMNS).to_batches()
+        # Global (file, row-group) index mod-assigned to partitions —
+        # every task opens only the files whose row groups it owns.
+        idx = 0
+        for fp in _list_files(self.path):
+            f = pq.ParquetFile(fp)
+            for rg in range(f.num_row_groups):
+                if idx % self.n == partition.value:
+                    yield from f.read_row_group(rg, columns=PYDS_COLUMNS).to_batches()
+                idx += 1
 
 
 def register(spark) -> None:
