@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from jsmr_spark.compat import cents, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.queries.dedup import hex12_sql
 from jsmr_spark.queries.dedup_extra import EMB_COS_MIN
@@ -846,4 +847,59 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         )
+    )
+
+
+@query(
+    "q_observe_metrics",
+    f"""
+    SELECT (SELECT count(*) FROM orders) AS n_scanned,
+           (SELECT sum({sql_cents("o_totalprice")}) FROM orders) AS scanned_cents,
+           count(*) AS n_selected,
+           sum({sql_cents("o_totalprice")}) AS selected_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe(): accumulator metrics
+    (row count + exact-cents sum) are collected ON THE SCAN, before the
+    filter, while the very same single pass computes the post-filter
+    aggregate — the production pattern for data-quality counters
+    (rows read / rows kept / bytes billed) WITHOUT a second scan of a
+    100 TB input. The oracle recomputes both stages' numbers
+    independently; a metric observed on the wrong side of the filter,
+    or an action that double-fires the observation, fails the hash.
+
+    Note the contrast with the naive form (two aggregates + a join =
+    two scans or a cached materialization): observe() rides the
+    existing task metrics channel at zero extra I/O."""
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_metrics")
+    o = t(spark, sf_dir, "orders")
+    selected = (
+        o.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scanned"),
+            F.sum(cents(F.col("o_totalprice"))).alias("scanned_cents"),
+        )
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(cents(F.col("o_totalprice"))).alias("selected_cents"),
+        )
+    )
+    sel_row = selected.collect()[0]  # triggers the pass; obs.get blocks on it
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_scanned"],
+                m["scanned_cents"],
+                sel_row["n_selected"],
+                sel_row["selected_cents"],
+            )
+        ],
+        "n_scanned long, scanned_cents long, n_selected long, selected_cents long",
     )

@@ -318,3 +318,43 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.missing").alias("absent"),
         (F.col("p.k").cast("int") * 2).alias("k_doubled"),
     )
+
+
+@query(
+    "q_json_variant",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through the Spark 4 VARIANT type:
+    parse_json builds a binary variant per row (ONE parse, reusable for
+    any number of path extractions — unlike get_json_object, which
+    re-parses per call; that cost is measured in q_map_funcs' history),
+    then variant_get extracts a typed field for aggregation.
+
+    VARIANT is the lakehouse answer to schema-less JSON columns: the
+    binary encoding is columnar-shreddable and predicate-pushable in
+    Spark 4 table formats, so at 100 TB the variant column scans like
+    any other and never re-parses text. The oracle reaches the same
+    values through DuckDB's JSON path functions — the surface differs,
+    the semantics must not."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

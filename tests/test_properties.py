@@ -514,3 +514,22 @@ def test_reachability_invariants(spark):
     assert all(0 <= d <= REACH_MAX_HOPS for d in dist.values())
     assert len(rows) == len(dist)  # one row per nation
     assert sorted(dist.values())[0] == 0 and list(dist.values()).count(0) == 1
+
+
+def test_variant_and_observe_invariants(spark):
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # variant: per-type sums consistent with direct JSON extraction
+    rows = get_query("q_json_variant").fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.min_k <= r.max_k
+        assert r.min_k * r.n_events <= r.sum_k <= r.max_k * r.n_events
+
+    # observe: scan-side metrics dominate filter-side ones
+    m = get_query("q_observe_metrics").fn(spark, sf).collect()[0]
+    assert m.n_selected <= m.n_scanned
+    assert m.selected_cents <= m.scanned_cents
+    assert m.n_scanned == spark.read.parquet(f"{sf}/orders.parquet").count()
