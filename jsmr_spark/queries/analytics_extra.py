@@ -370,3 +370,82 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).alias("version"),
     )
+
+
+@query(
+    "q_join_point_in_time",
+    """
+    WITH hist AS (
+      SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 10 <> 0
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM hist
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    scd AS (
+      SELECT user_id,
+             event_type AS state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    ),
+    obs AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0
+    )
+    SELECT o.event_id, o.user_id, s.state
+    FROM obs o
+    JOIN scd s
+      ON s.user_id = o.user_id
+     AND s.valid_from <= o.ts
+     AND (s.valid_to IS NULL OR o.ts < s.valid_to)
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join (feature-store training-set construction):
+    observation rows (the event_id % 10 == 0 slice stands in for label
+    rows) are enriched with the state that was valid AT OBSERVATION
+    TIME — the SCD2 interval containing the observation's ts, built
+    from the OTHER 90% of the stream — never a later state (the
+    leakage every naive latest-state join commits). Composes
+    q_scd2_history's interval build with interval-containment.
+
+    Intervals within a user are disjoint, so each observation matches
+    at most one history row; observations before a user's first
+    recorded state have no feature value and drop (inner join), as in
+    a real training-set build.
+
+    Shape at 100 TB: the history build is one user_id shuffle; the
+    containment join is an equi-join on user_id with the interval
+    bounds as residual — within a user's partition the candidate set
+    is that user's own handful of intervals, nothing quadratic. For
+    heavily-versioned keys the standard refinement is bucketing both
+    sides by (user, month) — noted, not needed at fixture
+    cardinalities."""
+    ev = t(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_id") % 10 != 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        hist.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    scd = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    obs = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", F.col("user_id").alias("obs_user"), F.col("ts").alias("obs_ts")
+    )
+    return obs.join(
+        scd,
+        (F.col("user_id") == F.col("obs_user"))
+        & (F.col("valid_from") <= F.col("obs_ts"))
+        & (F.col("valid_to").isNull() | (F.col("obs_ts") < F.col("valid_to"))),
+    ).select("event_id", F.col("obs_user").alias("user_id"), "state")

@@ -533,3 +533,39 @@ def test_variant_and_observe_invariants(spark):
     assert m.n_selected <= m.n_scanned
     assert m.selected_cents <= m.scanned_cents
     assert m.n_scanned == spark.read.parquet(f"{sf}/orders.parquet").count()
+
+
+def test_point_in_time_join_invariants(spark):
+    """No leakage: each observation's joined state must be the state of
+    the LAST history change at or before the observation ts (checked
+    against a per-user python replay), and at most one row per
+    observation."""
+    from collections import defaultdict
+
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_join_point_in_time").fn(spark, sf).collect()
+    assert rows
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+    ev = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    hist = defaultdict(list)
+    for r in ev:
+        if r.event_id % 10 != 0:
+            if not hist[r.user_id] or hist[r.user_id][-1][1] != r.event_type:
+                hist[r.user_id].append((r.ts, r.event_type))
+    expected = {}
+    for r in ev:
+        if r.event_id % 10 == 0:
+            past = [s for s in hist[r.user_id] if s[0] <= r.ts]
+            if past:
+                expected[r.event_id] = past[-1][1]
+    assert {r.event_id: r.state for r in rows} == expected
