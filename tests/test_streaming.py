@@ -239,3 +239,42 @@ def test_exactly_once_sink_survives_injected_failure(spark):
         )
     }
     assert got == expected
+
+
+def test_transform_with_state_gated_or_working(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) needs a
+    protobuf wheel for its state-server protocol; this sandbox has
+    none. The runner must either work (protobuf present) and agree
+    with the batch aggregate, or fail fast with the documented
+    NotImplementedError — never crash mid-stream."""
+    from jsmr_spark.compat import cents
+    from jsmr_spark.streaming.core import run_transform_with_state_stream
+
+    try:
+        raw = run_transform_with_state_stream(spark, SF_DIR)
+    except NotImplementedError as e:
+        assert "protobuf" in str(e)
+        return
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window
+    final = (
+        raw.withColumn(
+            "rn",
+            F.row_number().over(
+                w.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "vc")
+    )
+    got = {r.user_id: (r.n_events, r.vc) for r in final.collect()}
+    exp = {
+        r.user_id: (r.n, r.vc)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("vc"),
+        )
+        .collect()
+    }
+    assert got == exp
