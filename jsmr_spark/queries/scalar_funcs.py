@@ -272,15 +272,17 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL k flows through: element_at and the value sum go NULL,
     matching the oracle's NULL arithmetic.
 
-    Perf (VERDICT r3 #4, profiled at sf0.1): the JSON parse is 0.23s of
-    the wall; the former `F.aggregate(map_values, lambda)` fold cost
-    ~0.5s more because a lambda HOF falls out of whole-stage codegen.
-    Summing the two map_values entries via element_at keeps map_values
-    in the exercised surface (lambda HOFs stay covered by
-    q_array_funcs) and cut exec 1.27s -> ~0.78s; from_json vs
-    get_json_object measured equal (1.17 vs 1.24s), so the single-parse
-    rewrite was not taken."""
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    Perf (VERDICT r3 #4, profiled at sf0.1): the JSON parse is the
+    floor. History: the `F.aggregate(map_values, lambda)` fold cost
+    ~0.5s extra (lambda HOFs fall out of whole-stage codegen) — summing
+    the two map_values entries via element_at cut exec 1.27s -> 0.78s
+    (lambda HOFs stay covered by q_array_funcs); from_json measured
+    equal to get_json_object (1.17 vs 1.24s) so that rewrite was not
+    taken; the round-4 VARIANT path (parse_json + try_variant_get)
+    measured 0.79s vs get_json_object's 1.35s best-of-3 and IS taken —
+    the binary variant extraction skips the per-row text re-parse
+    while the MapType machinery downstream is unchanged."""
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
     m = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
     vals = F.map_values(m)
     return t(spark, sf_dir, "events").select(
