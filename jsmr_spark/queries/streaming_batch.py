@@ -390,3 +390,28 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_cdc_apply_stream
 
     return run_cdc_apply_stream(spark, sf_dir)
+
+
+@query(
+    "stream_python_source",
+    """
+    SELECT CAST(range % 20 AS BIGINT) AS user_key,
+           count(*) AS n,
+           sum(range) AS sum_v
+    FROM range(0, 5000)
+    GROUP BY 1
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded ingest through a USER-DEFINED Python streaming
+    connector (DataSourceStreamReader: real offset management, per-batch
+    partition planning, commit acks — the plug-in surface for systems
+    with no JVM connector; see jsmr_spark/streaming/core.py:
+    run_python_stream_source). The deterministic counter sequence makes
+    the converged complete-mode aggregate closed-form: the oracle
+    recomputes it from range(); skipped/duplicated batches or
+    overlapping partition plans fail the hash. Batch twin of
+    stream_rate_source, with the connector itself under our control."""
+    from jsmr_spark.streaming.core import run_python_stream_source
+
+    return run_python_stream_source(spark)

