@@ -513,3 +513,69 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+N_CORRUPT_LINES = 7
+
+
+@query(
+    "source_json_corrupt",
+    f"""
+    SELECT (SELECT count(*) FROM documents) AS n_good,
+           {N_CORRUPT_LINES} AS n_corrupt,
+           (SELECT sum(n_chars) FROM documents) AS good_chars
+    """,
+)
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input contract of the JSON source: a staged JSONL file
+    carries one record per document PLUS {N_CORRUPT_LINES} deliberately
+    broken lines (truncated object, bare text, unclosed string...);
+    the read runs PERMISSIVE with columnNameOfCorruptRecord, so bad
+    lines land in the corrupt column with every schema field NULL
+    instead of failing the job — the production posture for 100 TB of
+    scraped JSONL, where FAILFAST on line 3 billion is not an option
+    (the FAILFAST twin is source_csv, which proves the strict mode).
+
+    Value check: good-row count, corrupt-row count, and the good rows'
+    n_chars sum must all reconcile with the source table — a silently
+    dropped good row, or a bad line parsed as garbage values, fails
+    the hash."""
+    base = os.path.join(tempfile.gettempdir(), f"jsmr_corrupt_{uuid.uuid4().hex[:8]}")
+    try:
+        docs = t(spark, sf_dir, "documents")
+        docs.select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+        ).coalesce(1).write.mode("overwrite").text(base)
+        bad_lines = [
+            '{"doc_id": 1, "lang": "en"',  # truncated object
+            "this is not json at all",
+            '{"doc_id": "NaN...',  # unclosed string
+            "[1, 2,",  # truncated array
+            '{"doc_id": }',  # missing value
+            "}{",  # reversed braces
+            '{"n_chars": "12 ',  # unclosed string value
+        ][:N_CORRUPT_LINES]
+        with open(os.path.join(base, "part-corrupt.txt"), "w") as fh:
+            fh.write("\n".join(bad_lines) + "\n")
+
+        parsed = (
+            spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(base)
+        )
+        row = parsed.agg(
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).alias("n_good"),
+            F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_corrupt"),
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))).alias(
+                "good_chars"
+            ),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["n_good"], row["n_corrupt"], row["good_chars"])],
+            "n_good long, n_corrupt int, good_chars long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
