@@ -903,3 +903,72 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_scanned long, scanned_cents long, n_selected long, selected_cents long",
     )
+
+
+_JOBSPEC = {
+    "source": "lineitem",
+    "ops": [
+        {"op": "filter", "expr": "l_returnflag = 'R'"},
+        {
+            "op": "derive",
+            "name": "rev_bp",
+            "expr": (
+                "cast(floor(abs(l_extendedprice * 100.0) + 0.5) * "
+                "signum(l_extendedprice * 100.0) as bigint) * "
+                "(100 - cast(floor(abs(l_discount * 100.0) + 0.5) * "
+                "signum(l_discount * 100.0) as bigint))"
+            ),
+        },
+        {
+            "op": "join",
+            "right": {"source": "supplier"},
+            "on": "l_suppkey = s_suppkey",
+            "broadcast": True,
+        },
+        {
+            "op": "join",
+            "right": {"source": "nation"},
+            "on": "s_nationkey = n_nationkey",
+            "broadcast": True,
+        },
+        {
+            "op": "group",
+            "keys": ["n_name"],
+            "aggs": {
+                "revenue": "sum(rev_bp) / cast(10000.0 as double)",
+                "n_items": "count(1)",
+            },
+        },
+    ],
+}
+
+
+@query(
+    "q_jobspec_pipeline",
+    f"""
+    SELECT n.n_name,
+           sum({sql_cents("l.l_extendedprice")} * (100 - {sql_cents("l.l_discount")}))
+             / 10000.0::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY n.n_name
+    """,
+)
+def q_jobspec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's job-as-config model: this query is built from a
+    pure-JSON job specification (filter -> exact-cents derive ->
+    broadcast dim joins -> keyed aggregate) compiled by
+    jsmr_spark/jobspec.py — no DataFrame code in the job definition,
+    only data. A JsMr user's coordinator-submitted JSON job maps onto
+    this surface; their map/reduce CODE maps onto jsmr_spark/mr.py.
+
+    The spec compiles to ONE lazy Catalyst plan (op boundaries do not
+    materialize), so broadcast hints, pushdown, and partial aggregation
+    all apply exactly as in the handwritten twin — the oracle here IS
+    that twin, so the hash proves spec-compiled == handwritten."""
+    from jsmr_spark.jobspec import compile_job
+
+    return compile_job(spark, sf_dir, _JOBSPEC)

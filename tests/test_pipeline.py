@@ -90,3 +90,44 @@ def test_stratified_sample_bounds(spark):
     for r in q_sample_stratified(spark, SF_DIR).collect():
         assert 0 <= r["n_sampled"] <= r["n_total"]
         assert abs(r["sample_rate"] - r["n_sampled"] / r["n_total"]) < 1e-4
+
+
+def test_jobspec_compiles_to_same_plan_results(spark):
+    """A job spec must compile to the same results as the handwritten
+    DataFrame twin, op by op (filter/derive/join/group round-trip)."""
+    from pyspark.sql import functions as F
+
+    from jsmr_spark.compat import cents, pct
+    from jsmr_spark.jobspec import compile_job
+    from jsmr_spark.queries.pipeline import _JOBSPEC
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.n_name: (r.revenue, r.n_items)
+        for r in compile_job(spark, SF_DIR, _JOBSPEC).collect()
+    }
+    from jsmr_spark.io import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem").filter("l_returnflag = 'R'")
+    s = load_table(spark, SF_DIR, "supplier")
+    n = load_table(spark, SF_DIR, "nation")
+    exp = {
+        r.n_name: (r.revenue, r.n_items)
+        for r in (
+            l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                (
+                    F.sum(
+                        cents(F.col("l_extendedprice"))
+                        * (100 - pct(F.col("l_discount")))
+                    )
+                    / 10000.0
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp
