@@ -972,3 +972,143 @@ def q_jobspec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.jobspec import compile_job
 
     return compile_job(spark, sf_dir, _JOBSPEC)
+
+
+FUNNEL_SHORT_MIN = 120  # chars; ~10th percentile of the corpus
+
+
+_FUNNEL_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE doc_id % 100 <> 7
+    ),
+    canon AS (
+      SELECT md5(text) AS h, min(doc_id) AS keeper FROM corpus GROUP BY md5(text)
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {hex12_sql("md5(sg)")} AS hv FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM toks WHERE len(s) >= 3) u
+    ),
+    bench AS (
+      SELECT DISTINCT {hex12_sql("md5(sg)")} AS hv FROM (
+        SELECT unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM (SELECT string_split(text, ' ') AS s FROM documents
+              WHERE doc_id % 100 = 7 AND len(string_split(text, ' ')) >= 3) b) u
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(len(sg) - len(list_distinct(sg)) AS DOUBLE) / len(sg) AS dup_frac
+      FROM (
+        SELECT doc_id,
+               list_transform(s[1:len(s)-2],
+                              (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2])) AS sg
+        FROM toks WHERE len(s) >= 3) x
+    ),
+    flags AS (
+      SELECT c.doc_id,
+             (c.doc_id <> canon.keeper) AS is_dup,
+             (c.n_chars < {FUNNEL_SHORT_MIN}) AS is_short,
+             coalesce(rep.dup_frac > 0.2, FALSE) AS is_rep,
+             EXISTS (SELECT 1 FROM sh JOIN bench USING (hv)
+                     WHERE sh.doc_id = c.doc_id) AS is_contam
+      FROM corpus c
+      JOIN canon ON md5(c.text) = canon.h
+      LEFT JOIN rep ON rep.doc_id = c.doc_id
+    )
+    SELECT CASE WHEN is_dup THEN '1_exact_dup'
+                WHEN is_short THEN '2_too_short'
+                WHEN is_rep THEN '3_repetitious'
+                WHEN is_contam THEN '4_contaminated'
+                ELSE '5_pass' END AS rule,
+           count(*) AS n_docs
+    FROM flags GROUP BY 1
+"""
+
+
+@query("q_curation_funnel", _FUNNEL_ORACLE)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel ATTRIBUTION: every corpus document is assigned
+    the FIRST rule that rejects it — exact duplicate, too short,
+    within-doc repetition, benchmark contamination — or `pass`. Where
+    q_pipeline_end2end produces the surviving corpus, this produces
+    the report a data team actually reads: how much each rule costs,
+    under the same precedence the filter chain applies. First-fail
+    attribution (not independent flags) is what makes per-rule counts
+    sum to the corpus size.
+
+    Shape at 100 TB: one md5 census for the dup flag (16-byte keyed
+    shuffle), one broadcast bench-shingle semi-join for contamination,
+    a narrow HOF map for repetition, then a single CASE + tiny
+    aggregate. Rules are flags on ONE pass over the corpus — adding a
+    rule adds a column, not a scan."""
+    from jsmr_spark.queries.dedup import _shingles
+    from jsmr_spark.queries.text_extra import BENCH_MOD, BENCH_RESIDUE, REP_THRESHOLD
+
+    corpus = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % BENCH_MOD) != BENCH_RESIDUE
+    )
+    canon = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+
+    toks = F.split(F.col("text"), " ")
+    shingle_expr = (
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )
+    rep = (
+        corpus.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(shingle_expr).alias("sg"))
+        .select(
+            "doc_id",
+            (
+                (F.size("sg") - F.size(F.array_distinct("sg"))).cast("double")
+                / F.size("sg")
+            ).alias("dup_frac"),
+        )
+    )
+
+    sh = _shingles(spark, sf_dir)
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_RESIDUE
+    bench = F.broadcast(sh.filter(is_bench).select("hv").distinct())
+    contam = (
+        sh.filter(~is_bench)
+        .join(bench, "hv")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+
+    flags = (
+        corpus.select("doc_id", "n_chars", F.md5("text").alias("h"))
+        .join(canon, "h")
+        .join(rep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+            (F.col("n_chars") < FUNNEL_SHORT_MIN).alias("is_short"),
+            F.coalesce(F.col("dup_frac") > REP_THRESHOLD, F.lit(False)).alias(
+                "is_rep"
+            ),
+            F.coalesce(F.col("is_contam"), F.lit(False)).alias("is_contam"),
+        )
+    )
+    rule = (
+        F.when(F.col("is_dup"), "1_exact_dup")
+        .when(F.col("is_short"), "2_too_short")
+        .when(F.col("is_rep"), "3_repetitious")
+        .when(F.col("is_contam"), "4_contaminated")
+        .otherwise("5_pass")
+    )
+    return flags.select(rule.alias("rule")).groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -569,3 +569,24 @@ def test_point_in_time_join_invariants(spark):
             if past:
                 expected[r.event_id] = past[-1][1]
     assert {r.event_id: r.state for r in rows} == expected
+
+
+def test_curation_funnel_partitions_corpus(spark):
+    """First-fail attribution must PARTITION the corpus: per-rule
+    counts sum to the non-benchmark doc count, and rule labels come
+    from the fixed five-rule vocabulary. (The exact-dup rule fires 0
+    at the small SFs — the fixtures have no byte-identical texts below
+    sf0.1, where 8 duplicate groups exist and the rule is exercised.)"""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_curation_funnel").fn(spark, sf).collect()
+    allowed = {"1_exact_dup", "2_too_short", "3_repetitious", "4_contaminated", "5_pass"}
+    assert {r.rule for r in rows} <= allowed
+    n_corpus = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter("doc_id % 100 <> 7")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_corpus
