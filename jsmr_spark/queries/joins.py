@@ -1180,3 +1180,155 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q8",
+    f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             n2.n_name AS supp_nation,
+             {sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}) AS v
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) AS DOUBLE)
+                 / sum(v), 4) AS mkt_share,
+           count(*) AS n_items
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    STANDARD-part revenue sold into ASIA-region customers, by order
+    year — the conditional-share-of-total rollup over a 7-table join
+    (two independent nation lookups again, plus the region dim chained
+    off the customer side).
+
+    Exactness: the share is one double division of two exact
+    basis-point integer sums (conditional numerator in fixed CASE
+    form), rounded r4 — no float accumulation anywhere. Plan: region,
+    both nations, and the type-filtered part side all broadcast; the
+    fact chain shuffles orderkey then custkey; date window pushes to
+    the orders scan."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").alias("p")
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").alias("r")
+    v = cents(F.col("l.l_extendedprice")) * (100 - pct(F.col("l.l_discount")))
+    vol = (
+        l.join(F.broadcast(p), F.col("p.p_partkey") == F.col("l.l_partkey"))
+        .join(o, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .join(c, F.col("c.c_custkey") == F.col("o.o_custkey"))
+        .join(F.broadcast(n1), F.col("c.c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r.r_regionkey"))
+        .join(t(spark, sf_dir, "supplier").alias("s"), F.col("s.s_suppkey") == F.col("l.l_suppkey"))
+        .join(F.broadcast(n2), F.col("s.s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o.o_orderdate").cast("int").alias("o_year"),
+            F.col("n2.n_name").alias("supp_nation"),
+            v.alias("v"),
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0))
+    return vol.groupBy("o_year").agg(
+        r4(num.cast("double") / F.sum("v")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q_tpch_q21",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    all_sup AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    multi AS (
+      SELECT l_orderkey FROM all_sup GROUP BY l_orderkey HAVING count(*) >= 2
+    ),
+    sole_late AS (
+      SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s.s_name, numwait, rnk FROM (
+      SELECT late.l_suppkey, count(*) AS numwait,
+             row_number() OVER (ORDER BY count(*) DESC, late.l_suppkey) AS rnk
+      FROM late
+      JOIN multi ON late.l_orderkey = multi.l_orderkey
+      JOIN sole_late ON late.l_orderkey = sole_late.l_orderkey
+      GROUP BY late.l_suppkey
+    ) x JOIN supplier s ON s.s_suppkey = x.l_suppkey
+    WHERE rnk <= 10
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the multi-supplier orders where THAT supplier was the
+    ONLY late one — upstream's EXISTS(other supplier) AND NOT
+    EXISTS(other late supplier) pair, implemented in the decorrelated
+    form both optimizers rewrite it into: a late (order, supplier) set,
+    an order-has-≥2-suppliers set, and an order-has-exactly-1-late-
+    supplier set, intersected by keyed joins ("late" uses the fixture's
+    shipdate > orderdate + 90d proxy, as in q_tpch_q4; numwait counts
+    qualifying ORDERS per supplier — the distinct form, identical on
+    both engines by construction).
+
+    Plan at 100 TB: three aggregates over the same orderkey-shuffled
+    lineitem projection (the exchange is reused), two cheap keyed
+    joins, a supplier-sized count, TakeOrdered top-10. No correlated
+    execution, nothing quadratic."""
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    late = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .filter(F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    multi = (
+        all_sup.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    counts = (
+        late.join(multi, "l_orderkey")
+        .join(sole_late, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    keys = [F.desc("numwait"), F.asc("l_suppkey")]
+    top = counts.orderBy(*keys).limit(10)
+    ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+    s = t(spark, sf_dir, "supplier")
+    return ranked.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_name", "numwait", "rnk"
+    )

@@ -590,3 +590,22 @@ def test_curation_funnel_partitions_corpus(spark):
         .count()
     )
     assert sum(r.n_docs for r in rows) == n_corpus
+
+
+def test_q8_q21_invariants(spark):
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # Q8: market share is a valid fraction per year, years in window.
+    for r in get_query("q_tpch_q8").fn(spark, sf).collect():
+        assert r.o_year in (1996, 1997)
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.n_items >= 1
+
+    # Q21: ranks 1..k consistent with numwait desc; suppliers unique.
+    rows = sorted(get_query("q_tpch_q21").fn(spark, sf).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r.s_name for r in rows}) == len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.numwait >= b.numwait
