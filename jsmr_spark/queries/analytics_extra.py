@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.compat import cents, r4, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
@@ -449,3 +449,140 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_from") <= F.col("obs_ts"))
         & (F.col("valid_to").isNull() | (F.col("obs_ts") < F.col("valid_to"))),
     ).select("event_id", F.col("obs_user").alias("user_id"), "state")
+
+
+_HR_US = 3_600_000_000  # microseconds per hour
+
+
+@query(
+    "q_ts_interpolate",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             sum({sql_cents("value")}) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi,
+                                                  INTERVAL 1 hour)) AS bucket) g
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             epoch_us(s.bucket) // {_HR_US} AS h,
+             hourly.vc AS v
+      FROM spine s LEFT JOIN hourly
+        ON s.event_type = hourly.event_type AND s.bucket = hourly.bucket
+    ),
+    w AS (
+      SELECT event_type, bucket, h, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT event_type, bucket,
+           round(CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN pv IS NULL OR nv IS NULL THEN NULL
+             ELSE pv + (nv - pv) * (h - ph) / (nh - ph)
+           END / 100.0, 4) AS value,
+           (v IS NULL) AS filled
+    FROM w
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION over gaps: the hourly spine per
+    event_type (q_gap_fill's calendar pattern) left-joins the real
+    hourly totals; missing hours get the straight line between the
+    nearest observed neighbors via IGNORE-NULLS window frames
+    (last_value backward / first_value forward carry both the value
+    and its hour position). Leading/trailing gaps have no second
+    anchor and stay NULL — interpolation, not extrapolation.
+
+    Determinism: anchors are exact cent longs and hour indices are
+    exact integers (epoch_us div 3600e6), so the interpolation is ONE
+    double division of exact integer products, written in identical
+    textual order on both engines, then r4 — no float accumulation.
+
+    Shape at 100 TB: one keyed hourly aggregate, a generated spine
+    (rows = hours x types, never data-sized), and two windows over the
+    spine partitioned by type — the windows run over the SPINE
+    cardinality, not the event count."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("v"))
+    )
+    bounds = F.broadcast(
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.expr(f"unix_micros(bucket) div {_HR_US}").alias("h"),
+        "v",
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_obs = F.expr("CASE WHEN v IS NOT NULL THEN h END")
+    w = j.select(
+        "event_type",
+        "bucket",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(h_obs, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(h_obs, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.expr(
+        "CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) "
+        "WHEN pv IS NULL OR nv IS NULL THEN NULL "
+        "ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END / 100.0"
+    )
+    return w.select(
+        "event_type",
+        "bucket",
+        r4(interp).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )

@@ -609,3 +609,34 @@ def test_q8_q21_invariants(spark):
     assert len({r.s_name for r in rows}) == len(rows)
     for a, b in zip(rows, rows[1:]):
         assert a.numwait >= b.numwait
+
+
+def test_interpolation_invariants(spark):
+    """Interpolated values lie between their anchors; observed hours
+    keep their exact totals; the spine covers hours x types exactly."""
+    from collections import defaultdict
+
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_ts_interpolate").fn(spark, sf).collect()
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(r)
+    spine_sizes = {len(v) for v in per_type.values()}
+    assert len(spine_sizes) == 1  # identical spine per type
+    for rs in per_type.values():
+        rs.sort(key=lambda r: r.bucket)
+        observed = [(i, r.value) for i, r in enumerate(rs) if not r.filled]
+        for i, r in enumerate(rs):
+            if r.filled and r.value is not None:
+                prev = max((o for o in observed if o[0] < i), key=lambda o: o[0])
+                nxt = min((o for o in observed if o[0] > i), key=lambda o: o[0])
+                lo, hi = sorted((prev[1], nxt[1]))
+                assert lo - 1e-6 <= r.value <= hi + 1e-6
+            if r.filled and r.value is None:
+                # only at the edges: no anchor on one side
+                assert not any(o[0] < i for o in observed) or not any(
+                    o[0] > i for o in observed
+                )

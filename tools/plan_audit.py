@@ -48,7 +48,12 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # threshold aggregate — the Q22 above-average
                      # filter shape (q_tpch_q15's max-filter variant
                      # collapses to an equi-join and needs no entry).
-                     "q_tpch_q22"}
+                     "q_tpch_q22",
+                     # event-type list x 1-row broadcast (min, max)
+                     # bounds aggregate generating the hourly spine —
+                     # the calendar-spine shape (same as q_gap_fill's
+                     # broadcast spine, via crossJoin here).
+                     "q_ts_interpolate"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
