@@ -50,7 +50,7 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_sketch_bitmap_distinct", "stream_cdc_apply",
           "q_sim_maxsim", "source_python_datasource", "q_graph_reachability",
           "q_jobspec_pipeline", "source_json_corrupt", "q_curation_funnel",
-          "q_tpch_q8", "q_tpch_q21"]
+          "q_tpch_q8", "q_tpch_q21", "q_ts_interpolate"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
