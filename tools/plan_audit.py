@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Keys whose purpose is the flagged construct.
 ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_api",
+                # Arrow-batched numpy partial-Gram accumulation IS the
+                # operator (distributed exact-integer covariance):
+                "q_embed_pca_power",
                 "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_framesample",
                 "q_sim_threshold_pairs", "q_dedup_embedding",
                 "stream_watermark_late"}
