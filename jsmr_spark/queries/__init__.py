@@ -37,6 +37,7 @@ from jsmr_spark.queries import (  # noqa: F401
     streaming_batch,
     text,
     text_extra,
+    tpch_partsupp,
     udfs,
     windows,
 )

@@ -234,3 +234,40 @@ def test_aqe_skew_join_split(spark):
             else:
                 spark.conf.set(k, v)
     assert "skew=true" in plan, plan
+
+
+def test_partsupp_q2_min_join_is_hash_equi(spark):
+    """Q2's decorrelated min-cost selection must be hash equi-joins on
+    (partkey, cost) — never a nested loop — and the dim chain must
+    broadcast; the top-100 must cut via TakeOrdered before the rank
+    window."""
+    plan = _plan(spark, "q_tpch_q2")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partsupp_q9_compound_key_join(spark):
+    """Q9 joins lineitem back onto the derived partsupp on the compound
+    (partkey, suppkey) key — both sides must meet in ONE keyed shuffle
+    join, with the part filter broadcast."""
+    plan = _plan(spark, "q_tpch_q9")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # partial aggregation before the nation x year exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_partsupp_q16_not_in_is_anti_join(spark):
+    """Q16's NOT IN supplier exclusion must decorrelate to a broadcast
+    anti-join (suppkey is non-null), not a nested-loop NOT-IN scan."""
+    plan = _plan(spark, "q_tpch_q16")
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partsupp_q20_in_is_semi_join(spark):
+    """Q20's nested IN must become a left-semi join onto supplier."""
+    plan = _plan(spark, "q_tpch_q20")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

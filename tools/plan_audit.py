@@ -52,6 +52,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # filter shape (q_tpch_q15's max-filter variant
                      # collapses to an equi-join and needs no entry).
                      "q_tpch_q22",
+                     # per-part values x 1-row broadcast global-total
+                     # threshold — Q11's important-stock fraction cut
+                     # (same shape as q_tpch_q22's above-average filter).
+                     "q_tpch_q11",
                      # event-type list x 1-row broadcast (min, max)
                      # bounds aggregate generating the hourly spine —
                      # the calendar-spine shape (same as q_gap_fill's

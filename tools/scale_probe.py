@@ -50,7 +50,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_sketch_bitmap_distinct", "stream_cdc_apply",
           "q_sim_maxsim", "source_python_datasource", "q_graph_reachability",
           "q_jobspec_pipeline", "source_json_corrupt", "q_curation_funnel",
-          "q_tpch_q8", "q_tpch_q21", "q_ts_interpolate"]
+          "q_tpch_q8", "q_tpch_q21", "q_ts_interpolate",
+          # derived-partsupp TPC-H shapes (queries/tpch_partsupp.py):
+          # the view is itself a keyed aggregate over lineitem, so each
+          # probe covers derivation + the query's own joins
+          "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
