@@ -26,9 +26,11 @@ from jsmr_spark.queries import (  # noqa: F401
     filters,
     graph,
     joins,
+    lakehouse,
     multimodal_blob,
     pipeline,
     pivot_bucket,
+    runtime_filter,
     scalar_funcs,
     scans,
     similarity,
@@ -37,6 +39,7 @@ from jsmr_spark.queries import (  # noqa: F401
     streaming_batch,
     text,
     text_extra,
+    timeseries,
     tpch_partsupp,
     udfs,
     windows,

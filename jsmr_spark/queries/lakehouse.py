@@ -1,0 +1,260 @@
+"""Lakehouse layout + maintenance patterns: incremental aggregate
+maintenance and Z-order clustered writes with zone-map pruning.
+
+Both keys target the table-management layer a 100 TB deployment lives
+and dies by:
+
+  * q_incremental_agg is the materialized-view delta algebra — merge a
+    stored partial-aggregate state with a new-data delta instead of
+    recomputing the world. Only algebraic aggregates (count/sum/min/
+    max, and anything derivable from them at read time, like avg)
+    survive the merge; the key demonstrates exactly that contract.
+  * sink_zorder is the clustered-write + data-skipping story: interleave
+    the bits of two query dimensions into one sort key, bucket the
+    write by its prefix, and a 2-D box predicate then prunes most
+    buckets from their min/max zone maps alone — multi-dimensional
+    locality from a 1-D layout, which a plain sort on either single
+    column cannot give both dimensions at once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, r4, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+CUTOFF = "1999-01-01"
+
+
+@query(
+    "q_incremental_agg",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           sum({sql_cents("o_totalprice")}) AS sum_cents,
+           min({sql_cents("o_totalprice")}) AS min_cents,
+           max({sql_cents("o_totalprice")}) AS max_cents,
+           round(CAST(sum({sql_cents("o_totalprice")}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100.0, 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a stored partial-aggregate
+    state (orders before the cutoff) merged with a fresh delta batch
+    (orders on/after it) must equal the full recompute — which is
+    exactly what the oracle computes.
+
+    The merge uses the partial-aggregate algebra: counts and sums add,
+    mins/maxes fold, and avg is DERIVED from merged sum/count at read
+    time (averaging stored averages would weight batches, not rows —
+    the classic incremental-pipeline bug this key exists to pin).
+    Every key overlaps both batches, so the merge path is genuinely
+    exercised, not a disjoint union.
+
+    Shape at 100 TB: the state side is a tiny pre-aggregated table;
+    only the delta scans raw data. Daily refresh cost is O(delta), not
+    O(history) — the same contract as q_merge_dedup on the dedup side."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_orderdate"),
+        cents(F.col("o_totalprice")).alias("pc"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("pc").alias("sum_cents"),
+            F.min("pc").alias("min_cents"),
+            F.max("pc").alias("max_cents"),
+        )
+
+    state = partial(orders.where(F.col("o_orderdate") < F.lit(CUTOFF)))
+    delta = partial(orders.where(F.col("o_orderdate") >= F.lit(CUTOFF)))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .withColumn(
+            "avg_price",
+            r4(
+                F.col("sum_cents").cast("double")
+                / F.col("n_orders").cast("double")
+                / F.lit(100.0)
+            ),
+        )
+    )
+
+
+# --- Z-order clustered sink ------------------------------------------
+
+N_ZBITS = 8  # bits per dimension -> 16-bit z value
+ZBUCKET_SHIFT = 12  # keep the top 4 z bits -> 16 write buckets
+# Probe box for the skipping demo: one year of dates x one price band.
+PROBE_DAY_LO = "1997-01-01"
+PROBE_DAY_HI = "1997-12-31"
+PROBE_CENTS_LO = 10_000_000  # 100k
+PROBE_CENTS_HI = 20_000_000  # 200k
+
+
+def _interleave_expr(x: str, y: str) -> str:
+    """SQL expression interleaving the low N_ZBITS bits of x (even
+    positions) and y (odd positions) — identical text works in Spark
+    SQL and DuckDB (both support &, >>, << on integers)."""
+    terms = []
+    for i in range(N_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_sql() -> str:
+    """Shared bucket-derivation SQL (DuckDB oracle side).
+
+    epoch-day and price-cents are normalized to [0, 2^N_ZBITS) with
+    exact integer arithmetic against the table's own min/max, then
+    bit-interleaved; the write bucket is the z prefix."""
+    day = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01')"
+    pc = sql_cents("o_totalprice")
+    return f"""
+    WITH src AS (
+      SELECT {day} AS d, {pc} AS pc FROM orders
+    ),
+    bounds AS (
+      SELECT min(d) AS dlo, max(d) AS dhi, min(pc) AS plo, max(pc) AS phi
+      FROM src
+    ),
+    norm AS (
+      SELECT d, pc,
+             ((d - dlo) * {(1 << N_ZBITS) - 1}) // (CASE WHEN dhi > dlo THEN dhi - dlo ELSE 1 END) AS nx,
+             ((pc - plo) * {(1 << N_ZBITS) - 1}) // (CASE WHEN phi > plo THEN phi - plo ELSE 1 END) AS ny
+      FROM src CROSS JOIN bounds
+    ),
+    z AS (
+      SELECT d, pc, ({_interleave_expr("nx", "ny")}) >> {ZBUCKET_SHIFT} AS zbucket
+      FROM norm
+    )
+    SELECT CAST(zbucket AS INTEGER) AS zbucket,
+           count(*) AS n_rows,
+           CAST(min(d) AS INTEGER) AS min_day, CAST(max(d) AS INTEGER) AS max_day,
+           min(pc) AS min_cents, max(pc) AS max_cents,
+           (min(d) <= (DATE '{PROBE_DAY_HI}' - DATE '1970-01-01')
+            AND max(d) >= (DATE '{PROBE_DAY_LO}' - DATE '1970-01-01')
+            AND min(pc) <= {PROBE_CENTS_HI}
+            AND max(pc) >= {PROBE_CENTS_LO}) AS scanned
+    FROM z GROUP BY zbucket
+    """
+
+
+@query("sink_zorder", _zorder_sql())
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet sink + zone-map pruning proof.
+
+    Orders are laid out on a 16-bit Z-value interleaving epoch-day and
+    price-cents (each min/max-normalized to 8 bits with exact integer
+    arithmetic — no float binning at bucket edges), written to one
+    parquet directory per 4-bit Z prefix, and re-read to build the
+    per-bucket zone map (min/max of both dimensions + row count). The
+    `scanned` column evaluates a fixed 2-D box probe against the zone
+    map exactly the way a lakehouse reader prunes row groups: a bucket
+    is scanned iff its [min,max] envelope intersects the box.
+
+    The oracle recomputes bucket assignment and zone maps straight from
+    the source table, so the write+re-read round trip must preserve
+    every row and the clustering math must agree bit for bit; the
+    pruning claim itself is therefore value-checked, not asserted.
+
+    Shape at 100 TB: the z computation is one narrow map after a 1-row
+    global min/max aggregate; the clustered write is the only shuffle
+    (repartition on zbucket). Z-ordering pays once at write time and
+    every 2-D selective reader thereafter skips ~ (box area / domain
+    area) of the files instead of one dimension's worth."""
+    day = "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'))"
+    src = t(spark, sf_dir, "orders").select(
+        F.expr(day).alias("d"), cents(F.col("o_totalprice")).alias("pc")
+    )
+    bounds = src.agg(
+        F.min("d").alias("dlo"),
+        F.max("d").alias("dhi"),
+        F.min("pc").alias("plo"),
+        F.max("pc").alias("phi"),
+    )
+    hi = (1 << N_ZBITS) - 1
+    norm = src.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        "pc",
+        F.expr(
+            f"((d - dlo) * {hi}) DIV (CASE WHEN dhi > dlo THEN dhi - dlo ELSE 1 END)"
+        ).alias("nx"),
+        F.expr(
+            f"((pc - plo) * {hi}) DIV (CASE WHEN phi > plo THEN phi - plo ELSE 1 END)"
+        ).alias("ny"),
+    )
+    zed = norm.select(
+        "d",
+        "pc",
+        F.expr(f"({_interleave_expr('nx', 'ny')}) >> {ZBUCKET_SHIFT}")
+        .cast("int")
+        .alias("zbucket"),
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_zorder_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        (
+            zed.repartition(F.col("zbucket"))
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(out_dir)
+        )
+        back = spark.read.parquet(out_dir)
+        probe_lo = F.expr(f"datediff(DATE '{PROBE_DAY_LO}', DATE '1970-01-01')")
+        probe_hi = F.expr(f"datediff(DATE '{PROBE_DAY_HI}', DATE '1970-01-01')")
+        res = (
+            back.groupBy("zbucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("d").alias("min_day"),
+                F.max("d").alias("max_day"),
+                F.min("pc").alias("min_cents"),
+                F.max("pc").alias("max_cents"),
+            )
+            .select(
+                F.col("zbucket").cast("int").alias("zbucket"),
+                "n_rows",
+                "min_day",
+                "max_day",
+                "min_cents",
+                "max_cents",
+                (
+                    (F.col("min_day") <= probe_hi)
+                    & (F.col("max_day") >= probe_lo)
+                    & (F.col("min_cents") <= F.lit(PROBE_CENTS_HI))
+                    & (F.col("max_cents") >= F.lit(PROBE_CENTS_LO))
+                ).alias("scanned"),
+            )
+        )
+        rows = res.collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "zbucket int, n_rows long, min_day int, max_day int, "
+        "min_cents long, max_cents long, scanned boolean",
+    )

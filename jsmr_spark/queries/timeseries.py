@@ -1,0 +1,226 @@
+"""Rolling time-series analytics: truncated EWMA, z-score anomaly
+flagging, rolling distinct users (DAU/WAU).
+
+Three shapes every metrics/feature pipeline runs over an event stream,
+each kept cross-engine exact by the repo's integer-first recipe
+(compat.py): aggregate in exact integer cents, derive every double from
+those integers through an IDENTICAL expression tree on both engines
+(IEEE 754 +,-,*,/,sqrt are correctly rounded, so identical integer
+inputs + identical expression shape = bit-identical doubles), and
+round(,4) only for final presentation.
+
+EWMA gets the strongest treatment: the weighted sum itself stays in
+BIGINT by scaling the alpha=1/2 weights to powers of two, so the
+rolling numerator/denominator are exact integers and the only float op
+is one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import cents, r4, sql_cents
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+# EWMA window: alpha = 1/2 over the last K events. 2^-lag weights drop
+# below 1e-6 of the total past lag 20, so the truncation IS the
+# operator's definition here (both engines compute the same truncated
+# sum — no "close enough" tail argument needed).
+EWMA_K = 20
+
+
+@query(
+    "q_ts_ewma",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, {sql_cents("value")} AS vc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           CAST(count(*) AS INTEGER) AS n_win,
+           sum(b.vc * (CAST(1 AS BIGINT) << ({EWMA_K} - 1 - (a.rn - b.rn)))) AS ewma_num,
+           (CAST(1 AS BIGINT) << {EWMA_K})
+             - (CAST(1 AS BIGINT) << ({EWMA_K} - CAST(count(*) AS INTEGER))) AS ewma_den,
+           round(CAST(sum(b.vc * (CAST(1 AS BIGINT) << ({EWMA_K} - 1 - (a.rn - b.rn)))) AS DOUBLE)
+                 / CAST((CAST(1 AS BIGINT) << {EWMA_K})
+                        - (CAST(1 AS BIGINT) << ({EWMA_K} - CAST(count(*) AS INTEGER))) AS DOUBLE)
+                 / 100.0, 4) AS ewma
+    FROM o a JOIN o b
+      ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {EWMA_K - 1} AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exponentially-weighted moving average of event value per
+    user (alpha = 1/2, truncated at the last K=20 events), emitted for
+    every event.
+
+    Exactness: with alpha = 1/2 the weights scale to powers of two, so
+    num = sum(vc_i << (K-1-lag_i)) and den = 2^K - 2^(K-n) are exact
+    BIGINTs (max ~5.5e10 at the fixture value range) and the only
+    float op is the single final division — bit-identical on both
+    engines. The oracle computes the same integers via a rank-band
+    self-join; Spark computes them via a 20-row window collect_list +
+    indexed HOF fold (one shuffle on user_id, no self-join).
+
+    Shape at 100 TB: one keyed shuffle to sort each user's history,
+    then a narrow 20-element fold per row. State is bounded by K, not
+    history length — the same recurrence a streaming job would keep."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", cents(F.col("value")).alias("vc"))
+        .withColumn("arr", F.collect_list("vc").over(w))
+        .withColumn("n_win", F.size("arr"))
+        # arr is oldest..newest (frame order); element i has lag n-1-i,
+        # so its scaled weight is 2^(K-1-(n-1-i)) = 2^(K-n) * 2^i:
+        # fold sum(vc_i << i) once, then shift the whole sum by K-n.
+        .withColumn(
+            "inner",
+            F.expr(
+                "aggregate(transform(arr, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "n_win",
+            F.expr(f"shiftleft(inner, {EWMA_K} - n_win)").alias("ewma_num"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {EWMA_K}) "
+                f"- shiftleft(CAST(1 AS BIGINT), {EWMA_K} - n_win)"
+            ).alias("ewma_den"),
+        )
+        .withColumn(
+            "ewma",
+            r4(
+                F.col("ewma_num").cast("double")
+                / F.col("ewma_den").cast("double")
+                / F.lit(100.0)
+            ),
+        )
+    )
+
+
+@query(
+    "q_ts_zscore",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value, {sql_cents("value")} AS vc FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(vc) AS s1, sum(vc * vc) AS s2
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((CAST(e.vc AS DOUBLE)
+                   - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                        - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                          * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))), 4) AS z
+    FROM e JOIN s ON s.event_type = e.event_type
+    WHERE CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+            - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+              * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)) > 0
+      AND abs((CAST(e.vc AS DOUBLE)
+                - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+              / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                     - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                       * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))) >= 3.0
+    """,
+)
+def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flagging: events whose value sits >= 3 population
+    standard deviations from their event_type's mean.
+
+    Both engines aggregate the SAME exact integers (n, sum cents, sum
+    cents^2 — the sum-of-squares fits BIGINT at ~1.4e15 for the fixture
+    range) and then derive mean/variance/z through the identical double
+    expression tree, so z is bit-identical and the >= 3.0 threshold
+    cannot flip between engines — no epsilon argument required.
+
+    Shape at 100 TB: one map-side-combined hash-agg to a handful of
+    per-type rows, broadcast back over the stream, narrow filter. The
+    anomaly scan never shuffles the event rows themselves."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", cents(F.col("value")).alias("vc")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    mean_c = F.col("s1").cast("double") / F.col("n").cast("double")
+    var_c = F.col("s2").cast("double") / F.col("n").cast("double") - mean_c * mean_c
+    z = (F.col("vc").cast("double") - mean_c) / F.sqrt(var_c)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((var_c > F.lit(0.0)) & (F.abs(z) >= F.lit(3.0)))
+        .select("event_id", "event_type", "value", r4(z).alias("z"))
+    )
+
+
+@query(
+    "q_win_rolling_distinct",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    d AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN p.day = d.day THEN user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+           round(CAST(count(DISTINCT CASE WHEN p.day = d.day THEN user_id END) AS DOUBLE)
+                 / CAST(count(DISTINCT user_id) AS DOUBLE), 4) AS stickiness
+    FROM d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (DAU / WAU / stickiness).
+
+    Rolling COUNT DISTINCT does not decompose into window partials
+    (distinct is not subtractable), so the scalable formulation is:
+    reduce the stream to distinct (day, user) pairs once, then fan each
+    pair out to the <= 7 days whose trailing window it falls in via a
+    range join against the tiny day spine, and count distinct per day.
+
+    Shape at 100 TB: the (day, user) dedup is the only row-scale
+    shuffle; the spine side is O(days) and broadcasts (a nested-loop
+    broadcast join against ~thousands of spine rows is free). The
+    7-day fan-out multiplies the deduped pairs, never the raw events."""
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = pairs.select(F.col("day").alias("d_day")).distinct()
+    dau = F.count_distinct(
+        F.when(F.col("day") == F.col("d_day"), F.col("user_id"))
+    ).cast("long")
+    wau = F.count_distinct("user_id").cast("long")
+    return (
+        pairs.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("d_day"))
+            & (F.col("day") >= F.date_sub(F.col("d_day"), 6)),
+        )
+        .groupBy("d_day")
+        .agg(dau.alias("dau"), wau.alias("wau"))
+        .select(
+            F.col("d_day").alias("day"),
+            "dau",
+            "wau",
+            r4(F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -666,3 +666,99 @@ def test_embed_stats_and_pca_invariants(spark):
     comps = {r.dim: r.component_scaled for r in pca}
     assert max(abs(v) for v in comps.values()) == 1_000_000
     assert math.isfinite(sum(v * v for v in comps.values()))
+
+
+def test_timeseries_lakehouse_runtime_filter_invariants(spark):
+    """Algebraic invariants for the rolling-analytics / lakehouse /
+    runtime-filter keys, independent of the oracle's concrete values."""
+    from pyspark.sql import functions as F
+
+    from jsmr_spark.queries.timeseries import EWMA_K
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    n_events = events.count()
+    vlo, vhi = events.agg(F.min("value"), F.max("value")).first()
+
+    # EWMA: one row per event; den is exactly 2^K - 2^(K-n); the
+    # weighted average stays inside the observed value range.
+    ewma = get_query("q_ts_ewma").fn(spark, sf).collect()
+    assert len(ewma) == n_events
+    for r in ewma:
+        assert 1 <= r.n_win <= EWMA_K
+        assert r.ewma_den == (1 << EWMA_K) - (1 << (EWMA_K - r.n_win))
+        assert vlo - 1e-3 <= r.ewma <= vhi + 1e-3
+
+    # z-score: every flagged row is >= 3 sigma (up to presentation
+    # rounding) and flags are a strict subset of the stream.
+    zs = get_query("q_ts_zscore").fn(spark, sf).collect()
+    assert 0 < len(zs) < n_events
+    for r in zs:
+        assert abs(r.z) >= 2.9999
+
+    # rolling distinct: DAU never exceeds WAU; stickiness in (0, 1];
+    # one row per distinct active day.
+    rd = get_query("q_win_rolling_distinct").fn(spark, sf).collect()
+    n_days = events.select(F.to_date("ts")).distinct().count()
+    assert len(rd) == n_days
+    for r in rd:
+        assert 1 <= r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+
+    # bloom runtime filter: exactly the plain semi-join aggregate (the
+    # false-positive recheck must be lossless both directions).
+    from jsmr_spark.compat import cents
+    from jsmr_spark.queries.runtime_filter import SEGMENT
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    keys = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .where(F.col("c_mktsegment") == SEGMENT)
+        .select("c_custkey")
+    )
+    expected = {
+        (r.month, r.n_orders, r.sum_cents)
+        for r in orders.join(
+            keys, orders.o_custkey == keys.c_custkey, "left_semi"
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            cents(F.col("o_totalprice")).alias("pc"),
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("pc").alias("sum_cents"))
+        .collect()
+    }
+    got = {
+        (r.month, r.n_orders, r.sum_cents)
+        for r in get_query("q_join_bloom").fn(spark, sf).collect()
+    }
+    assert got == expected
+
+    # incremental agg: merged state+delta equals the full recompute.
+    full = {
+        (r.o_orderpriority, r.o_orderstatus, r.n_orders, r.sum_cents)
+        for r in orders.select(
+            "o_orderpriority", "o_orderstatus", cents(F.col("o_totalprice")).alias("pc")
+        )
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("pc").alias("sum_cents"))
+        .collect()
+    }
+    inc = {
+        (r.o_orderpriority, r.o_orderstatus, r.n_orders, r.sum_cents)
+        for r in get_query("q_incremental_agg").fn(spark, sf).collect()
+    }
+    assert inc == full
+
+    # z-order sink: buckets partition the table (row counts sum), ids
+    # stay in the 4-bit prefix domain, zone maps are ordered, and the
+    # box probe actually prunes (at least one bucket skipped).
+    zb = get_query("sink_zorder").fn(spark, sf).collect()
+    assert sum(r.n_rows for r in zb) == orders.count()
+    assert all(0 <= r.zbucket < 16 for r in zb)
+    for r in zb:
+        assert r.min_day <= r.max_day and r.min_cents <= r.max_cents
+    assert any(not r.scanned for r in zb), "probe box pruned nothing"

@@ -60,7 +60,12 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # bounds aggregate generating the hourly spine —
                      # the calendar-spine shape (same as q_gap_fill's
                      # broadcast spine, via crossJoin here).
-                     "q_ts_interpolate"}
+                     "q_ts_interpolate",
+                     # distinct (day,user) pairs x broadcast day spine
+                     # range band (<=7 days) — rolling COUNT DISTINCT
+                     # cannot use window partials; the spine side is
+                     # O(days) and broadcasts.
+                     "q_win_rolling_distinct"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
