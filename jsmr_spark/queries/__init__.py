@@ -27,10 +27,12 @@ from jsmr_spark.queries import (  # noqa: F401
     graph,
     joins,
     lakehouse,
+    ml_cluster,
     multimodal_blob,
     pipeline,
     pivot_bucket,
     runtime_filter,
+    sampling_geo,
     scalar_funcs,
     scans,
     similarity,

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsmr_spark.queries.common import t
+from jsmr_spark.queries.sampling_geo import GEO_PTS_SQL, geo_edges_sql, geo_pairs
 from jsmr_spark.registry import query
 
 PR_SCALE = 1_000_000_000  # rank unit: 1e9 (sum of all ranks ~= PR_SCALE)
@@ -277,3 +278,79 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SPARK_RECURSION)
+
+
+# Denser radius than q_geo_gridjoin's 50 km: at the fixture densities
+# a 50 km graph has edges but essentially no closed triangles (a 0-row
+# result would make the hash check vacuous); 100 km yields 37 / 1228 /
+# 300k triangles at sf0.001/0.01/0.1.
+TRI_RADIUS = 100_000
+
+@query(
+    "q_graph_triangles",
+    f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({geo_edges_sql(TRI_RADIUS)}),
+    tri AS (
+      SELECT e1.user_a AS a, e1.user_b AS b, e2.user_b AS c
+      FROM e e1
+      JOIN e e2 ON e2.user_a = e1.user_b
+      JOIN e e3 ON e3.user_a = e1.user_a AND e3.user_b = e2.user_b
+    )
+    SELECT user_id, count(*) AS n_triangles
+    FROM (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY user_id
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the spatial-proximity graph (edges
+    = user pairs within GEO_RADIUS, from sampling_geo.geo_pairs).
+
+    Standard distributed triangle enumeration over ORIENTED edges
+    (a < b everywhere): wedges come from joining the edge list to
+    itself on the middle vertex (b = a'), the closing edge (a, c) is
+    verified with a second equi-join, and each triangle {a<b<c} is
+    found exactly once — no division by 3, no symmetric-edge blowup.
+    Per-node counts then explode the 3 corners and sum.
+
+    Shape at 100 TB: two keyed equi-joins on vertex ids; the oriented
+    edge list keeps every wedge unique so the join output is the wedge
+    count, the quantity that actually bounds triangle work. (The
+    classic refinement — orient by degree instead of id to cap hub
+    wedges — is one extra degree join away and changes nothing
+    downstream.) The edge list itself comes from the blocked spatial
+    join, never an all-pairs product; the oracle builds the same
+    edges the honest O(N^2) way and must agree."""
+    # Materialize the edge list ONCE (localCheckpoint, same pattern as
+    # the CC loop in pipeline.py): the three join aliases would
+    # otherwise each re-execute the whole blocked spatial join — the
+    # audited plan dropped from 46 exchanges to the two wedge joins.
+    # Unlike reachability's nations^2 edge set this one scales with
+    # the data, so it stays distributed (no driver collect).
+    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b").localCheckpoint()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.user_b") == F.col("e2.user_a"))
+        .join(
+            e3,
+            (F.col("e3.user_a") == F.col("e1.user_a"))
+            & (F.col("e3.user_b") == F.col("e2.user_b")),
+        )
+        .select(
+            F.col("e1.user_a").alias("a"),
+            F.col("e1.user_b").alias("b"),
+            F.col("e2.user_b").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return corners.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1,0 +1,176 @@
+"""Deterministic distributed k-means (Lloyd iterations) over the
+embedding corpus — hash-exact across engines.
+
+Floating k-means is unreproducible across engines AND across cluster
+sizes (centroid means accumulate in partition order), so this
+implementation keeps every Lloyd step in exact arithmetic:
+
+  * vectors quantize to integers once (1e-4 grid, same recipe as the
+    PCA/embed-stats keys);
+  * a centroid is stored as (count n, per-dim integer sum S), never as
+    a floating mean;
+  * the assignment argmin compares dist_j = sum_d (n_j*x_d - S_d)^2
+    / n_j^2 — the numerator is an exact BIGINT (max ~8.6e15 at the
+    fixture range), the single division is the same IEEE op on both
+    engines, and ties break on cluster id.
+
+Initialization is the k lowest vec_ids (deterministic, no seeded
+sampling), and the operator runs a FIXED two Lloyd iterations — the
+point is the distributed iteration shape, not convergence; production
+would loop the same plan until movement stops.
+
+The relational form is long format ((vec_id, dim, x) x (cid, dim, S,
+n) equi-join on dim, keyed integer sums) — exactly what survives at
+scale: partial aggregates shuffle one row per (point, cluster), and
+the centroid table (k x dims rows) broadcasts.
+
+Scaling note: the BIGINT headroom bound is n_max^2 * xq_max^2 * dims
+< 2^63; at the 1e-4 quantization and these 64-dim unit-ish vectors
+that holds to ~20k points per cluster — past that, drop the
+quantization to 1e-3 (the bound scales with the square of the grid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.compat import r4
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+KM_K = 4
+KM_DIMS = 64
+KM_QSCALE = 10_000
+
+
+def _points_sql() -> str:
+    return f"""
+      SELECT vec_id, CAST(r.i AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[r.i] AS DOUBLE) * {KM_QSCALE}, 0) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range(1, {KM_DIMS + 1}) r(i)
+    """
+
+
+def _assign_sql(cents: str) -> str:
+    """SQL for one Lloyd assignment: argmin over exact scaled distances."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY CAST(sum((c.n * p.x - c.s) * (c.n * p.x - c.s)) AS DOUBLE)
+                          / CAST(c.n * c.n AS DOUBLE), c.cid
+               ) AS rk
+        FROM pts p JOIN {cents} c ON c.dim = p.dim
+        GROUP BY p.vec_id, c.cid, c.n
+      ) WHERE rk = 1
+    """
+
+
+@query(
+    "q_kmeans_lloyd",
+    f"""
+    WITH pts AS ({_points_sql()}),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {KM_K})
+    ),
+    cent0 AS (
+      SELECT i.cid, p.dim, p.x AS s, CAST(1 AS BIGINT) AS n
+      FROM init i JOIN pts p ON p.vec_id = i.vec_id
+    ),
+    assign1 AS ({_assign_sql("cent0")}),
+    cent1 AS (
+      SELECT a.cid, p.dim, sum(p.x) AS s, count(*) AS n
+      FROM assign1 a JOIN pts p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    ),
+    assign2 AS ({_assign_sql("cent1")}),
+    cent2 AS (
+      SELECT a.cid, p.dim, sum(p.x) AS s, count(*) AS n
+      FROM assign2 a JOIN pts p ON p.vec_id = a.vec_id
+      GROUP BY a.cid, p.dim
+    )
+    SELECT CAST(cid AS INTEGER) AS cid, dim, n AS n_points,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {KM_QSCALE}.0, 4) AS mean_val
+    FROM cent2
+    """,
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations of k-means (k=4) over the
+    embeddings; output is the final centroid table in long format
+    (cid, dim, cluster size, per-dim mean).
+
+    See the module docstring for the exactness argument; the oracle
+    replays the identical integer algebra in recursive CTE form, so a
+    single flipped assignment anywhere in either iteration fails the
+    hash."""
+    pts = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            # half-away-from-zero in primitive doubles (compat.py
+            # recipe); x*1e4 CAN tie at .5 on dyadic float32 values and
+            # both engines round those away from zero.
+            (
+                F.floor(F.abs(F.col("v").cast("double") * KM_QSCALE) + F.lit(0.5))
+                * F.signum(F.col("v").cast("double"))
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+
+    init = (
+        pts.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+        )
+    )
+    cent = init.join(pts, "vec_id").select(
+        "cid", "dim", F.col("x").alias("s"), F.lit(1).cast("long").alias("n")
+    )
+
+    def lloyd_assign(cent: DataFrame) -> DataFrame:
+        d2 = F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        )
+        dist = d2.cast("double") / (F.col("n") * F.col("n")).cast("double")
+        scored = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid", "n")
+            .agg(dist.alias("dist"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        return scored.withColumn("rk", rk).where(F.col("rk") == 1).select(
+            "vec_id", "cid"
+        )
+
+    def recompute(assign: DataFrame) -> DataFrame:
+        return (
+            assign.join(pts, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+
+    for _ in range(2):
+        cent = recompute(lloyd_assign(cent))
+
+    return cent.select(
+        F.col("cid").cast("int").alias("cid"),
+        "dim",
+        F.col("n").alias("n_points"),
+        r4(
+            F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(KM_QSCALE))
+        ).alias("mean_val"),
+    )

@@ -1,0 +1,188 @@
+"""Deterministic sampling and grid-blocked spatial join.
+
+  * q_sample_reservoir — the distributed form of per-group uniform
+    k-sampling. A driver-side reservoir does not scale and a seeded
+    rand() is engine-specific, so the portable implementation ranks
+    each group by a cryptographic hash of the row key: md5 is uniform,
+    identical on both engines, and turns sampling into a deterministic
+    per-group top-k. Re-running on any cluster size yields the same
+    sample — the property training-data pipelines need for
+    reproducible holdouts.
+
+  * q_geo_gridjoin — the radius-join blocking pattern: bucket points
+    into R-sized grid cells, generate candidates only from the 3x3
+    neighborhood, verify the exact distance predicate. The fixtures
+    ship no geo columns, so planar coordinates are derived
+    deterministically from user_id (exact integer math on both
+    engines); the grid-blocking topology is the operator. Distances
+    stay exact: the radius test is an integer dx^2+dy^2 compare and
+    the reported distance is sqrt of that exact integer (correctly
+    rounded IEEE, bit-identical cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsmr_spark.queries.common import t
+from jsmr_spark.registry import query
+
+SAMPLE_K = 50
+
+GEO_DOMAIN = 1_000_000  # 1000 km square, meters
+GEO_RADIUS = 50_000  # 50 km radius -> cell size == radius
+GEO_PX, GEO_PY = 9_973, 31_511  # coordinate-derivation primes
+
+
+@query(
+    "q_sample_reservoir",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {SAMPLE_K}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language uniform K-sample via hash ranking:
+    order each group by md5(doc_id) and keep the first K.
+
+    md5 of the decimal doc_id string is byte-identical on both engines
+    and uniform over the key space, so this is an unbiased sample that
+    is also exactly reproducible — unlike rand(seed), which no two
+    engines (or even two partitionings) evaluate identically.
+
+    Shape at 100 TB: one keyed shuffle on the group column and a
+    per-group top-K window. For groups too hot for one reducer the
+    refinement is the two-pass trick: pre-filter on a hash prefix
+    (md5 < epsilon-quantile estimate) before ranking — same operator,
+    one extra narrow filter."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SAMPLE_K)
+    )
+
+
+# Shared with q_graph_triangles (graph.py): the oracle-side edge set in
+# CTE form — the honest all-pairs join the blocked Spark path must match.
+GEO_PTS_SQL = f"""
+      SELECT DISTINCT user_id,
+             (user_id * {GEO_PX}) % {GEO_DOMAIN} AS x,
+             (user_id * {GEO_PY}) % {GEO_DOMAIN} AS y
+      FROM events
+"""
+
+
+def geo_edges_sql(radius: int = GEO_RADIUS) -> str:
+    """Oracle edge CTE (all-pairs) at the given radius."""
+    return f"""
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON a.user_id < b.user_id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {radius * radius}
+    """
+
+
+GEO_EDGES_SQL = geo_edges_sql()
+
+
+def geo_pairs(spark: SparkSession, sf_dir: str, radius: int = GEO_RADIUS) -> DataFrame:
+    """Blocked radius self-join: all (user_a < user_b) pairs within
+    `radius` (cell size == radius), with the exact integer squared
+    distance as `d2`.
+
+    Grid-cell blocking: candidates come only from the 3x3 neighborhood
+    of radius-sized cells; each true pair matches for exactly one
+    neighbor offset (it differs by at most one cell index per axis),
+    so no dedup pass is needed."""
+    pts = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") * GEO_PX % GEO_DOMAIN).alias("x"),
+            (F.col("user_id") * GEO_PY % GEO_DOMAIN).alias("y"),
+        )
+        .withColumn("cx", F.expr(f"x DIV {radius}"))
+        .withColumn("cy", F.expr(f"y DIV {radius}"))
+    )
+    offsets = (
+        spark.range(9)
+        .select(
+            (F.col("id") % 3 - 1).alias("dx"),
+            (F.col("id") / 3).cast("long").alias("dy"),
+        )
+        .select("dx", (F.col("dy") - 1).alias("dy"))
+    )
+    a = pts.alias("a").crossJoin(F.broadcast(offsets))
+    b = pts.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") + F.col("dx") == F.col("b.cx"))
+            & (F.col("a.cy") + F.col("dy") == F.col("b.cy"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where(d2 <= F.lit(radius * radius))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            d2.alias("d2"),
+        )
+    )
+
+
+@query(
+    "q_geo_gridjoin",
+    f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({GEO_EDGES_SQL})
+    SELECT user_a, user_b,
+           CAST(round(sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT) AS dist_m
+    FROM e
+    """,
+)
+def q_geo_gridjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (all point pairs within 50 km) via grid-cell
+    blocking: points bucket into radius-sized cells, candidate pairs
+    come only from the 3x3 cell neighborhood, and the exact integer
+    dx^2+dy^2 predicate verifies each candidate. The oracle does the
+    honest all-pairs cross join — at fixture scale that is fine, at
+    100 TB only the blocked form survives (candidates scale with local
+    density, not N^2).
+
+    Each true pair is generated exactly once: a pair within the radius
+    differs by at most one cell index per axis, and the (a-offsets x
+    b-exact-cell, a < b) join matches it for exactly one offset.
+
+    Coordinates are synthetic (prime-multiplied user_id modulo a
+    1000 km square — the fixtures have no geo columns) but exact:
+    integer positions, integer squared distances, and a correctly-
+    rounded IEEE sqrt for the reported distance, so the radius test
+    can never flip between engines (no trig in the hash path)."""
+    return geo_pairs(spark, sf_dir).select(
+        "user_a",
+        "user_b",
+        # floor(sqrt+0.5) == round-half-away; sqrt(int) can never
+        # land exactly on x.5, so this matches DuckDB round(,0).
+        F.floor(F.sqrt(F.col("d2").cast("double")) + F.lit(0.5))
+        .cast("long")
+        .alias("dist_m"),
+    )

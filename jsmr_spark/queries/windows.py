@@ -242,3 +242,39 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "q_win_ntile",
+    f"""
+    WITH q AS (
+      SELECT event_type, {sql_cents("value")} AS vc,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      FROM events
+    )
+    SELECT event_type, quartile,
+           count(*) AS n_events,
+           min(vc) AS min_cents,
+           max(vc) AS max_cents
+    FROM q GROUP BY event_type, quartile
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile assignment per event_type, summarized per bucket.
+
+    ntile's distribution rule (first n%k buckets get one extra row) is
+    SQL-standard and identical on both engines, and the ORDER BY
+    carries the event_id tiebreak so equal values land in the same
+    bucket everywhere. One keyed exchange + in-partition sort, then a
+    map-side-combined summary aggregate."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = t(spark, sf_dir, "events").select(
+        "event_type",
+        cents(F.col("value")).alias("vc"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("vc").alias("min_cents"),
+        F.max("vc").alias("max_cents"),
+    )

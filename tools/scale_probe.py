@@ -54,7 +54,18 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # derived-partsupp TPC-H shapes (queries/tpch_partsupp.py):
           # the view is itself a keyed aggregate over lineitem, so each
           # probe covers derivation + the query's own joins
-          "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20"]
+          "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+          # round-4 batch 5: rolling analytics (per-user window fold,
+          # broadcast-stats anomaly scan, day-spine rolling distinct),
+          # the bloom runtime filter, delta-maintained aggregate, the
+          # z-order clustered write (side-effect wall, like
+          # sink_compact), hash-ranked sampling, the grid-blocked
+          # spatial join + triangle enumeration over its edges,
+          # 2-iteration exact k-means, and ntile quartiles
+          "q_ts_ewma", "q_ts_zscore", "q_win_rolling_distinct",
+          "q_join_bloom", "q_incremental_agg", "sink_zorder",
+          "q_sample_reservoir", "q_geo_gridjoin", "q_kmeans_lloyd",
+          "q_graph_triangles", "q_win_ntile"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
