@@ -415,3 +415,44 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_python_stream_source
 
     return run_python_stream_source(spark)
+
+
+@query(
+    "stream_ewma",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, ts, {_VAL_C} AS vc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    last AS (SELECT user_id, max(rn) AS mrn FROM o GROUP BY user_id)
+    SELECT a.user_id,
+           CAST(count(*) AS INTEGER) AS n_win,
+           round(CAST(sum(b.vc * (CAST(1 AS BIGINT) << (19 - (a.rn - b.rn)))) AS DOUBLE)
+                 / CAST((CAST(1 AS BIGINT) << 20)
+                        - (CAST(1 AS BIGINT) << (20 - CAST(count(*) AS INTEGER))) AS DOUBLE)
+                 / 100.0, 4) AS ewma
+    FROM o a
+    JOIN last l ON l.user_id = a.user_id AND a.rn = l.mrn
+    JOIN o b ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.user_id, a.rn
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling EWMA: the q_ts_ewma recurrence as a custom
+    applyInPandasWithState operator (state = last K=20 cents values per
+    user, bounded by K not history), replayed through ordered file
+    chunks. VALUE-CHECKED: the converged stream state must equal the
+    batch window's value at each user's LAST event — the oracle
+    computes exactly that with the same power-of-two integer algebra,
+    so a lost micro-batch, mis-ordered state update, or drifted
+    arithmetic fails the hash. See streaming/core.py run_ewma_stream."""
+    from jsmr_spark.streaming.core import run_ewma_stream
+
+    raw = run_ewma_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_total"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_win", "ewma")
+    )

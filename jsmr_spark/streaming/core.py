@@ -910,3 +910,85 @@ def run_python_stream_source(spark: SparkSession) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ts_ewma: per-user truncated EWMA (alpha=1/2,
+    K=20) as a custom stateful operator via applyInPandasWithState.
+
+    State per user is the last K event values in exact integer cents —
+    bounded by K, not by history — and every update replays the same
+    power-of-two integer algebra as the batch key: num = sum(vc_i <<
+    (K-1-lag)), den = 2^K - 2^(K-n), one final float division, the
+    identical half-away r4. The staged chunks arrive in global
+    (ts, event_id) order and each micro-batch is sorted the same way,
+    so the converged stream state MUST equal the batch window's value
+    at each user's last event — which is exactly what the oracle pins.
+
+    Emits (user, cumulative n_total, n_win, ewma) in update mode; the
+    caller keeps the max-n_total row per user as the converged value.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    K = 20
+
+    def update_ewma(key, pdfs, state: GroupState):
+        (user_id,) = key
+        vals, n_total = state.get if state.exists else ([], 0)
+        vals = list(vals)
+        parts = [pdf for pdf in pdfs]
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        n_total += len(pdf)
+        vc = (pdf["value"] * 100).round().astype("int64").tolist()
+        vals = (vals + vc)[-K:]
+        n = len(vals)
+        num = sum(v << (K - n + i) for i, v in enumerate(vals))
+        den = (1 << K) - (1 << (K - n))
+        x = num / den / 100.0
+        ewma = math.floor(abs(x) * 1e4 + 0.5) * (1 if x >= 0 else -1) / 1e4
+        state.update((vals, n_total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_total": [n_total],
+                "n_win": [n],
+                "ewma": [ewma],
+            }
+        )
+
+    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "chunk_*"))
+        )
+        transformed = (
+            stream.select("user_id", "ts", "event_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_ewma,
+                outputStructType="user_id long, n_total long, n_win int, ewma double",
+                stateStructType="vals array<long>, n_total long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"ewma_{uuid.uuid4().hex[:8]}"
+        with _replay_shuffle_clamp(spark):
+            q = (
+                transformed.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
