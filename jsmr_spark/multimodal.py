@@ -312,3 +312,34 @@ def framesample_pipeline(docs: DataFrame) -> DataFrame:
     return with_video.select("doc_id", "video").mapInPandas(
         framesample_batches, SAMPLED_SCHEMA
     )
+
+
+# --- perceptual (average) hash ---------------------------------------
+
+
+def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched average-hash: decode each blob, collapse RGB to
+    per-pixel integer gray sums, and set bit i iff pixel i is brighter
+    than the image mean (compared as n*gray > total — exact integers,
+    no float mean). 16 pixels -> a 16-bit perceptual hash."""
+    for pdf in batches:
+        out_doc, out_hash = [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, _c, px = decode_image(bytes(blob))
+            n = w * h
+            gray = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(n)]
+            total = sum(gray)
+            ph = 0
+            for i, gv in enumerate(gray):
+                if n * gv > total:
+                    ph |= 1 << i
+            out_doc.append(doc_id)
+            out_hash.append(ph)
+        yield pd.DataFrame({"doc_id": out_doc, "phash": out_hash})
+
+
+def phash_pipeline(docs: DataFrame) -> DataFrame:
+    """doc_id/text -> (doc_id, phash) via synthesized blobs + the real
+    decode path (the hash sees actual parsed pixel bytes, not text)."""
+    blobs = synthesize_blob_col(docs).select("doc_id", "blob")
+    return blobs.mapInPandas(phash_batches, "doc_id long, phash long")

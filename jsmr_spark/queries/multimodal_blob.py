@@ -13,7 +13,7 @@ against first-principles digest offsets."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import r4
@@ -244,4 +244,70 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+def _bytes_dd(hexpr: str) -> str:
+    """DuckDB expression: the 16 byte values of an md5 hex digest as a
+    list (hex pair -> int, same strpos math as _hexsum_dd)."""
+    return (
+        "list_transform(range(1, 17), j -> "
+        f"(strpos('0123456789abcdef', ({hexpr})[CAST(j*2-1 AS INT)]) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', ({hexpr})[CAST(j*2 AS INT)]) - 1))"
+    )
+
+
+_PHASH_ORACLE = f"""
+    WITH bl AS (
+      SELECT doc_id,
+             {_bytes_dd("md5(text || '0')")}
+               || {_bytes_dd("md5(text || '1')")}
+               || {_bytes_dd("md5(text || '2')")} AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               b[CAST(3*i+1 AS INT)] + b[CAST(3*i+2 AS INT)] + b[CAST(3*i+3 AS INT)]) AS gray
+      FROM bl
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(range(0, 16), i ->
+               CASE WHEN 16 * gray[CAST(i+1 AS INT)] > list_aggregate(gray, 'sum')
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END), 'sum')
+               AS BIGINT) AS phash
+      FROM g
+    )
+    SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same
+    FROM ph
+"""
+
+
+@query("q_multimodal_phash", _PHASH_ORACLE)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average) hash over the decoded image bytes: bit i is
+    set iff pixel i's integer gray sum beats the image mean (n*gray >
+    total — exact, no float mean), giving a 16-bit hash; output is
+    every doc's hash plus its equal-hash group size — the image-corpus
+    near-dup grouping that byte-exact dedup (q_multimodal_dedup)
+    cannot see, since perceptually-identical re-encodes differ in
+    bytes but share the hash.
+
+    VALUE-CHECKED end to end: the oracle recomputes all 48 pixel bytes
+    from the md5 chain with hex math and derives the identical hash,
+    so a mis-parsed header, channel-order swap, or thresholding drift
+    in the Arrow pipeline fails on every row.
+
+    Shape at 100 TB: decode + hash is a narrow Arrow map (bytes never
+    leave the executor); grouping shuffles 8-byte hashes only. Hamming
+    <= t widening uses the q_dedup_simhash pigeonhole byte-block join
+    on the same column."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from jsmr_spark.multimodal import phash_pipeline
+
+    hashes = phash_pipeline(docs)
+    w = Window.partitionBy("phash")
+    return hashes.select(
+        "doc_id", "phash", F.count(F.lit(1)).over(w).alias("n_same")
     )
