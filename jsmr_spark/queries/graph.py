@@ -325,13 +325,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream.) The edge list itself comes from the blocked spatial
     join, never an all-pairs product; the oracle builds the same
     edges the honest O(N^2) way and must agree."""
+    return triangles_frame(spark, sf_dir)
+
+
+def triangles_frame(
+    spark: SparkSession, sf_dir: str, radius: int = TRI_RADIUS
+) -> DataFrame:
+    """Triangle-count frame at an explicit radius — the scale probe
+    re-runs it with radius/sqrt(10) at 10x rows (constant expected
+    neighbors per point) to separate the algorithm's scaling from the
+    synthetic domain's densification; the registered key and oracle
+    keep TRI_RADIUS."""
     # Materialize the edge list ONCE (localCheckpoint, same pattern as
     # the CC loop in pipeline.py): the three join aliases would
     # otherwise each re-execute the whole blocked spatial join — the
     # audited plan dropped from 46 exchanges to the two wedge joins.
     # Unlike reachability's nations^2 edge set this one scales with
     # the data, so it stays distributed (no driver collect).
-    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b").localCheckpoint()
+    e = geo_pairs(spark, sf_dir, radius).select("user_a", "user_b").localCheckpoint()
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")

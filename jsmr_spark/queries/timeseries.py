@@ -224,3 +224,98 @@ def q_win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+@query(
+    "q_funnel_ordered",
+    f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t1, c.t2, p.t3,
+           CAST(3 AS INTEGER) - CASE WHEN p.t3 IS NULL THEN 1 ELSE 0 END
+             - CASE WHEN c.t2 IS NULL THEN 1 ELSE 0 END AS stage,
+           epoch_us(c.t2) - epoch_us(v.t1) AS us_view_click,
+           epoch_us(p.t3) - epoch_us(c.t2) AS us_click_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step strictly-ordered conversion funnel (view -> click ->
+    purchase), each step within 7 days of the previous, anchored on
+    each user's FIRST view (first-touch attribution — the standard
+    product-analytics funnel definition; a later view opening a better
+    chain is deliberately not credited).
+
+    Every timestamp is an exact min over a filtered join — no floats
+    anywhere, inter-step latencies are exact integer microseconds, so
+    the hash check is trivial. NULL propagation encodes drop-off: a
+    user stalls at the stage whose min is empty.
+
+    Shape at 100 TB: three keyed aggregates + two broadcast-or-shuffle
+    joins on user_id, all map-side-combinable. This composes with the
+    streaming funnel (q_stream_funnel) which tracks the same chain
+    incrementally; here the whole history is folded in one pass."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(3)
+        - F.when(F.col("t3").isNull(), 1).otherwise(0)
+        - F.when(F.col("t2").isNull(), 1).otherwise(0)
+    ).cast("int")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            stage.alias("stage"),
+            (F.unix_micros("t2") - F.unix_micros("t1")).alias("us_view_click"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("us_click_purchase"),
+        )
+    )

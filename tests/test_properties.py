@@ -833,3 +833,40 @@ def test_sampling_geo_cluster_window_invariants(spark):
         assert max(counts) - min(counts) <= 1
         for lo, hi in zip(rows, rows[1:]):
             assert lo.max_cents <= hi.min_cents
+
+
+def test_phash_and_stream_ewma_invariants(spark):
+    """Invariants for the perceptual-hash grouping and the streaming
+    EWMA's batch-equivalence contract."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # phash: 16-bit domain, one row per document, group sizes are
+    # consistent (sum of per-group size over distinct hashes == docs).
+    ph = get_query("q_multimodal_phash").fn(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(ph) == n_docs
+    groups = {}
+    for r in ph:
+        assert 0 <= r.phash < (1 << 16)
+        groups.setdefault(r.phash, []).append(r.n_same)
+    for phash, sizes in groups.items():
+        assert sizes == [len(sizes)] * len(sizes)
+
+    # stream EWMA: one converged row per user, window bounded by K,
+    # and every (n_win, ewma) pair appears among the batch q_ts_ewma
+    # rows for that user — the stream state can only ever BE one of
+    # the batch window values (the per-user differential oracle pins
+    # it to the last one specifically).
+    batch = {}
+    for r in get_query("q_ts_ewma").fn(spark, sf).collect():
+        batch.setdefault(r.user_id, set()).add((r.n_win, r.ewma))
+    stream = {
+        r.user_id: (r.n_win, r.ewma)
+        for r in get_query("stream_ewma").fn(spark, sf).collect()
+    }
+    assert set(stream) == set(batch)
+    for uid, pair in stream.items():
+        assert 1 <= pair[0] <= 20
+        assert pair in batch[uid]
