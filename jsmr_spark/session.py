@@ -37,9 +37,13 @@ RUNTIME_CONFS: dict[str, str] = {
 # Applied alongside RUNTIME_CONFS when the session is driver-owned: a
 # vanilla session defaults to 200 shuffle partitions, which at bench
 # scale is pure task-scheduling overhead (on a real cluster this is
-# instead sized to ~2-3x total executor cores).
+# instead sized to ~2-3x total executor cores). Capped at 16 locally:
+# at fixture sizes the per-task scheduling cost dominates past ~16
+# tasks per exchange (measured: the 4 shuffle-heavy headline keys run
+# 12% faster at 16 than at 32; 8 is flat vs 16), while AQE coalescing
+# keeps the reduce side right-sized either way.
 _ADAPTIVE_CONFS = {
-    "spark.sql.shuffle.partitions": lambda: str(default_parallelism()),
+    "spark.sql.shuffle.partitions": lambda: str(min(default_parallelism(), 16)),
 }
 
 # Local-mode-only sizing: bench fixtures are ~10-60MB files, so the
