@@ -116,3 +116,53 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("pc").alias("sum_cents"))
     )
+
+
+_NAAJ_SQL = """
+    WITH probe AS (
+      SELECT o_orderkey, nullif(o_custkey % 100, 50) AS pk, {pc} AS cents
+      FROM orders
+    ),
+    excl AS (
+      SELECT c_custkey % 100 AS xk FROM customer WHERE c_acctbal < 0
+    )
+    SELECT count(*) AS n_kept,
+           sum(cents) AS sum_cents,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE pk IS NULL)
+             AS n_null_probes
+    FROM probe WHERE pk NOT IN (SELECT xk FROM excl)
+"""
+
+
+@query(
+    "q_join_null_aware",
+    _NAAJ_SQL.format(pc=sql_cents("o_totalprice")),
+)
+def q_join_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware NOT IN anti-join — the three-valued-logic operator a
+    plain anti-join gets WRONG: a NULL probe key can never satisfy
+    NOT IN (x <> NULL is unknown), and one NULL in the subquery would
+    empty the whole result. The probe side here carries real NULLs
+    (nullif residue), so an implementation that silently rewrites
+    NOT IN to left-anti keeps ~1/100 extra rows and fails the hash
+    (the residue is chosen to produce NULL probes at every fixture
+    scale, sf0.001 included).
+
+    Spark plans this as a null-aware broadcast anti-join — the
+    physical node prints as `BroadcastHashJoin [...] LeftAnti,
+    BuildRight, true`, the trailing flag being isNullAwareAntiJoin; a
+    broadcast-only strategy precisely because general null-aware anti
+    semantics do not decompose into a keyed shuffle without handling
+    the NULL-matches-everything row asymmetrically. The identical SQL
+    runs on both engines, and the n_null_probes column pins the
+    excluded NULL count so the semantics difference is visible in the
+    output, not just implied.
+
+    Shape at 100 TB: the exclusion side is an aggregated dim (here
+    negative-balance residues) — broadcast-sized by construction. A
+    fact-sized NOT IN subquery is an anti-pattern at any scale; the
+    rewrite is NOT EXISTS (null-safe predicate made explicit), which
+    shuffles as a plain anti-join."""
+    from jsmr_spark.queries.common import sql as run_sql
+
+    return run_sql(spark, sf_dir, _NAAJ_SQL.format(pc=sql_cents("o_totalprice")))

@@ -870,3 +870,11 @@ def test_phash_and_stream_ewma_invariants(spark):
     for uid, pair in stream.items():
         assert 1 <= pair[0] <= 20
         assert pair in batch[uid]
+
+    # NULL-aware NOT IN: the fixture must actually produce NULL probe
+    # keys (or the three-valued-logic branch is untested), and kept +
+    # excluded-by-match + excluded-as-NULL partitions the orders.
+    naaj = get_query("q_join_null_aware").fn(spark, sf).collect()[0]
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert naaj.n_null_probes > 0
+    assert 0 < naaj.n_kept <= n_orders - naaj.n_null_probes

@@ -66,8 +66,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_join_bloom", "q_incremental_agg", "sink_zorder",
           "q_sample_reservoir", "q_geo_gridjoin", "q_kmeans_lloyd",
           "q_graph_triangles", "q_win_ntile",
-          # batch 6: ordered funnel (3 keyed min-aggregates + joins)
-          "q_funnel_ordered"]
+          # batch 6: ordered funnel (3 keyed min-aggregates + joins),
+          # null-aware anti join, perceptual-hash map, streaming EWMA
+          # (replay side-effect wall, like stream_exactly_once_sink)
+          "q_funnel_ordered", "q_join_null_aware", "q_multimodal_phash",
+          "stream_ewma"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
