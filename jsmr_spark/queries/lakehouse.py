@@ -258,3 +258,94 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zbucket int, n_rows long, min_day int, max_day int, "
         "min_cents long, max_cents long, scanned boolean",
     )
+
+
+@query(
+    "q_quality_constraints",
+    """
+    SELECT 'pk_unique_orders' AS constraint_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'not_null_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+           count(*) FILTER (WHERE o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'positive_price',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           count(*) FILTER (WHERE o_totalprice <= 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'date_in_range',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                                    OR o_orderdate >= TIMESTAMP '2010-01-01')
+                AS BIGINT),
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                               OR o_orderdate >= TIMESTAMP '2010-01-01') = 0
+    FROM orders
+    """,
+)
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report (the dbt-test /
+    Deequ-verification shape): PK uniqueness, FK orphan count, NOT
+    NULL, and two domain checks, each emitted as (constraint, checked,
+    violations, ok) — data, not assertions, so downstream gating can
+    join on it and the oracle hash-checks every count.
+
+    Shape at 100 TB: uniqueness and null/domain checks are one
+    map-side-combined aggregate per table scan (all five constraints
+    here share two scans); the FK check is a broadcast-or-shuffle
+    anti-join counted, never materialized. This is the verification
+    pass a lakehouse runs after every batch commit, expressed in the
+    same declarative plan Catalyst optimizes like any other query."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    pk = orders.agg(
+        F.lit("pk_unique_orders").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_violations"),
+        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("ok"),
+    )
+    n_li = lineitem.count()
+    orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).count()
+    fk = spark.createDataFrame(
+        [("fk_lineitem_orders", n_li, orphans, orphans == 0)],
+        "constraint_name string, n_checked long, n_violations long, ok boolean",
+    )
+
+    def check(name: str, bad: F.Column) -> DataFrame:
+        return orders.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(bad, 1)).alias("n_violations"),
+            (F.count(F.when(bad, 1)) == 0).alias("ok"),
+        )
+
+    nn = check("not_null_custkey", F.col("o_custkey").isNull())
+    pp = check("positive_price", F.col("o_totalprice") <= 0)
+    dr = check(
+        "date_in_range",
+        (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+    )
+    return pk.unionByName(fk).unionByName(nn).unionByName(pp).unionByName(dr)
