@@ -319,3 +319,151 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("t3") - F.unix_micros("t2")).alias("us_click_purchase"),
         )
     )
+
+
+@query(
+    "q_stats_ttest",
+    f"""
+    WITH m AS (
+      SELECT event_type, count(*) AS n,
+             sum({sql_cents("value")}) AS s1,
+             sum({sql_cents("value")} * {sql_cents("value")}) AS s2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM m WHERE event_type = 'view') AS n1,
+        (SELECT n FROM m WHERE event_type = 'click') AS n2,
+        (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) FROM m WHERE event_type = 'view') AS m1,
+        (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) FROM m WHERE event_type = 'click') AS m2,
+        (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE) FROM m WHERE event_type = 'view') AS v1,
+        (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n - 1 AS DOUBLE) FROM m WHERE event_type = 'click') AS v2
+    )
+    SELECT n1, n2,
+           round((m1 - m2) / 100.0, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(
+             (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)),
+             4) AS welch_df
+    FROM w
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the 'view' and 'click' value
+    distributions — the A/B-test readout every experimentation
+    pipeline computes over event streams.
+
+    Cross-engine exactness by the integer-moments recipe: each group
+    reduces to exact (n, sum-cents, sum-cents^2) BIGINTs, and mean /
+    sample variance / t statistic / Welch-Satterthwaite df all derive
+    through the identical double expression tree, so the statistics
+    are bit-identical before the presentation round. (No p-value on
+    purpose: the CDF needs an incomplete-beta from libm, which is not
+    correctly rounded — the t and df pair IS the portable result, and
+    any table lookup downstream is exact.)
+
+    Shape at 100 TB: one filtered map-side-combined aggregate to two
+    rows; everything after is driver-free scalar algebra in the plan."""
+    vc = cents(F.col("value"))
+    m = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select("event_type", vc.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("s1"),
+            F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+        )
+    )
+    a = m.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    b = m.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    j = a.crossJoin(b)
+    m1 = F.col("a1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("b1").cast("double") / F.col("n2").cast("double")
+    v1 = (
+        F.col("a2").cast("double")
+        - F.col("a1").cast("double") * F.col("a1").cast("double") / F.col("n1").cast("double")
+    ) / (F.col("n1") - 1).cast("double")
+    v2 = (
+        F.col("b2").cast("double")
+        - F.col("b1").cast("double") * F.col("b1").cast("double") / F.col("n2").cast("double")
+    ) / (F.col("n2") - 1).cast("double")
+    se1 = v1 / F.col("n1").cast("double")
+    se2 = v2 / F.col("n2").cast("double")
+    return j.select(
+        "n1",
+        "n2",
+        r4((m1 - m2) / F.lit(100.0)).alias("mean_diff"),
+        r4((m1 - m2) / F.sqrt(se1 + se2)).alias("t_stat"),
+        r4(
+            (se1 + se2) * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1).cast("double")
+                + se2 * se2 / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "q_path_mining",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    ),
+    paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n_occurrences
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, path) AS INTEGER) AS rank
+    FROM paths
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def q_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the 20 most frequent 3-step event-type
+    sequences across all users (per-user order by ts with event_id
+    tiebreak; windows never cross users).
+
+    One keyed window (two lags share a single sort), a narrow trigram
+    concat, a map-side-combined count, and a TakeOrdered top-20 whose
+    (count DESC, path) tiebreak makes the ranking deterministic. The
+    rank column encodes order so the hash check is order-insensitive.
+
+    Shape at 100 TB: identical — the per-user window partitions by a
+    high-cardinality key, path cardinality is |event_types|^3, and
+    only the tiny counted table reaches the top-k heap."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    paths = (
+        seq.where(F.col("p2").isNotNull())
+        .select(
+            F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type")).alias(
+                "path"
+            )
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
+    )
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return paths.withColumn("rank", F.row_number().over(wr).cast("int"))

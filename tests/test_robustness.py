@@ -1,0 +1,64 @@
+"""Planner-configuration independence: results must not depend on how
+the engine schedules or adapts the plan.
+
+The differential harness proves Spark == DuckDB under ONE engine
+configuration. This tier proves the Spark side is also invariant to
+the knobs a cluster operator actually turns — AQE on/off and the
+shuffle partition count — by re-running a family-spanning sample of
+keys on a second SparkSession (isolated SQLConf, same JVM) configured
+differently and comparing canonical row sets. Any operator leaking
+partition-count dependence (per-partition ids, accumulation-order
+floats, first()-style nondeterminism) fails here even though both
+configurations would individually hash-match some oracle run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jsmr_spark.registry import get_query
+from jsmr_spark.session import ensure_engine_confs
+from tests.conftest import SF_DIR, canon_rows
+
+# One representative per family: scan-agg, multiway join, window,
+# banded dedup, tf-idf text, inlined-probe similarity, iterative
+# clustering, windowed-fold EWMA, salted skew agg, hash-ranked sample,
+# null-aware anti join, constraint report.
+KEYS = [
+    "q_agg_q1",
+    "q_join_multiway",
+    "q_win_rank",
+    "q_dedup_minhash",
+    "q_text_tfidf",
+    "q_sim_cosine_topk",
+    "q_kmeans_lloyd",
+    "q_ts_ewma",
+    "q_agg_skew_salted",
+    "q_sample_reservoir",
+    "q_join_null_aware",
+    "q_quality_constraints",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_spark(spark):
+    """Second session, isolated SQLConf: AQE fully off, shuffle
+    partition count deliberately small and odd-sized."""
+    s2 = spark.newSession()
+    ensure_engine_confs(s2)
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    return s2
+
+
+@pytest.mark.parametrize("name", KEYS)
+def test_result_invariant_to_planner_config(spark, alt_spark, name):
+    fn = get_query(name).fn
+    base = fn(spark, SF_DIR)
+    alt = fn(alt_spark, SF_DIR)
+    b_cols, b_rows = canon_rows(base.columns, [tuple(r) for r in base.collect()])
+    a_cols, a_rows = canon_rows(alt.columns, [tuple(r) for r in alt.collect()])
+    assert b_cols == a_cols
+    assert b_rows == a_rows, f"{name}: result depends on planner config"

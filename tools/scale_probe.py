@@ -70,7 +70,8 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # null-aware anti join, perceptual-hash map, streaming EWMA
           # (replay side-effect wall, like stream_exactly_once_sink)
           "q_funnel_ordered", "q_join_null_aware", "q_multimodal_phash",
-          "stream_ewma", "q_quality_constraints"]
+          "stream_ewma", "q_quality_constraints", "q_stats_ttest",
+          "q_path_mining"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
