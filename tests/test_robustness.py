@@ -37,6 +37,15 @@ KEYS = [
     "q_sample_reservoir",
     "q_join_null_aware",
     "q_quality_constraints",
+    # side-effect + Python-surface families: the clustered sink's
+    # zone maps, the materialized-edge triangle count, the Arrow
+    # phash map, the funnel chain, and the two newest analytics keys
+    "sink_zorder",
+    "q_graph_triangles",
+    "q_multimodal_phash",
+    "q_funnel_ordered",
+    "q_stats_ttest",
+    "q_path_mining",
 ]
 
 
