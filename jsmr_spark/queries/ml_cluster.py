@@ -174,3 +174,183 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(KM_QSCALE))
         ).alias("mean_val"),
     )
+
+
+# --- end-to-end vector-corpus pipeline --------------------------------
+
+VP_STAT_SCALE = 100  # coarse grid for the outlier statistic (see note)
+
+
+def _vp_oracle() -> str:
+    """CTE chain replaying the whole vector pipeline.
+
+    Two quantization grids on purpose: the OUTLIER statistic uses a
+    coarse 1e-2 grid so its sum-of-squares-of-squares stays in BIGINT
+    (fine-grid n2^2 would overflow at corpus scale), while the
+    CLUSTER distances reuse the fine 1e-4 grid of q_kmeans_lloyd.
+    Both sides derive the mean +/- 2 sigma fence through the identical
+    double expression tree from exact integer moments."""
+    return f"""
+    WITH pts AS ({_points_sql()}),
+    coarse AS (
+      SELECT vec_id,
+             sum(CAST(round(CAST(embedding[r.i] AS DOUBLE) * {VP_STAT_SCALE}, 0) AS BIGINT)
+                 * CAST(round(CAST(embedding[r.i] AS DOUBLE) * {VP_STAT_SCALE}, 0) AS BIGINT))
+               AS n2
+      FROM embeddings CROSS JOIN range(1, {KM_DIMS + 1}) r(i)
+      GROUP BY vec_id
+    ),
+    fence AS (
+      SELECT count(*) AS n, sum(n2) AS s1, sum(n2 * n2) AS s2 FROM coarse
+    ),
+    kept AS (
+      SELECT c.vec_id, c.n2
+      FROM coarse c CROSS JOIN fence f
+      WHERE CAST(c.n2 AS DOUBLE)
+              >= CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE)
+                 - 2.0 * sqrt(CAST(f.s2 AS DOUBLE) / CAST(f.n AS DOUBLE)
+                              - (CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE))
+                                * (CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE)))
+        AND CAST(c.n2 AS DOUBLE)
+              <= CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE)
+                 + 2.0 * sqrt(CAST(f.s2 AS DOUBLE) / CAST(f.n AS DOUBLE)
+                              - (CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE))
+                                * (CAST(f.s1 AS DOUBLE) / CAST(f.n AS DOUBLE)))
+    ),
+    kpts AS (
+      SELECT p.* FROM pts p JOIN kept k ON k.vec_id = p.vec_id
+    ),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM kpts ORDER BY vec_id LIMIT {KM_K})
+    ),
+    cent0 AS (
+      SELECT i.cid, p.dim, p.x AS s, CAST(1 AS BIGINT) AS n
+      FROM init i JOIN kpts p ON p.vec_id = i.vec_id
+    ),
+    assign1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY CAST(sum((c.n * p.x - c.s) * (c.n * p.x - c.s)) AS DOUBLE)
+                          / CAST(c.n * c.n AS DOUBLE), c.cid
+               ) AS rk
+        FROM kpts p JOIN cent0 c ON c.dim = p.dim
+        GROUP BY p.vec_id, c.cid, c.n
+      ) WHERE rk = 1
+    )
+    SELECT CAST(a.cid AS INTEGER) AS cid, e.label,
+           count(*) AS n_vecs,
+           sum(k.n2) AS sum_n2,
+           round(CAST(sum(k.n2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / {VP_STAT_SCALE * VP_STAT_SCALE}.0, 4) AS mean_sq_norm
+    FROM assign1 a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN kept k ON k.vec_id = a.vec_id
+    GROUP BY a.cid, e.label
+    """
+
+
+@query("q_pipeline_vectors", _vp_oracle())
+def q_pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE vector-corpus maintenance pipeline as one lazy DAG —
+    the embedding-side twin of q_pipeline_end2end's text chain:
+
+      quantize -> corpus norm statistics -> mean+/-2sigma outlier trim
+      -> deterministic centroid init over the SURVIVORS -> one exact
+      Lloyd assignment -> per (cluster, label) accounting.
+
+    Stage interactions are what this key checks (the fence derives
+    from moments of the pre-trim corpus; the init picks the lowest
+    surviving ids, so a wrongly-trimmed vector shifts every cluster),
+    against a single CTE-chain oracle. All arithmetic follows the
+    integer-first recipe; the outlier statistic runs on a coarser
+    integer grid than the distances so both stay in BIGINT (see
+    _vp_oracle docstring).
+
+    Shape at 100 TB: narrow quantize map, one 1-row moment aggregate
+    broadcast back as a filter, the k x dims centroid broadcast, one
+    keyed argmin aggregate, one final group-by. No driver state, no
+    all-pairs anything."""
+    emb = t(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            (
+                F.floor(F.abs(F.col("v").cast("double") * KM_QSCALE) + F.lit(0.5))
+                * F.signum(F.col("v").cast("double"))
+            )
+            .cast("long")
+            .alias("x"),
+            (
+                F.floor(F.abs(F.col("v").cast("double") * VP_STAT_SCALE) + F.lit(0.5))
+                * F.signum(F.col("v").cast("double"))
+            )
+            .cast("long")
+            .alias("xc"),
+        )
+    )
+    coarse = pts.groupBy("vec_id").agg(F.sum(F.col("xc") * F.col("xc")).alias("n2"))
+    fence = coarse.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n2").alias("s1"),
+        F.sum(F.col("n2") * F.col("n2")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    kept = (
+        coarse.crossJoin(F.broadcast(fence))
+        .where(
+            (F.col("n2").cast("double") >= mean - F.lit(2.0) * sd)
+            & (F.col("n2").cast("double") <= mean + F.lit(2.0) * sd)
+        )
+        .select("vec_id", "n2")
+    )
+    kpts = pts.join(kept.select("vec_id"), "vec_id")
+
+    init = (
+        kpts.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+        )
+    )
+    cent0 = init.join(kpts, "vec_id").select(
+        "cid", "dim", F.col("x").alias("s"), F.lit(1).cast("long").alias("n")
+    )
+    d2 = F.sum(
+        (F.col("n") * F.col("x") - F.col("s"))
+        * (F.col("n") * F.col("x") - F.col("s"))
+    )
+    dist = d2.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    scored = (
+        kpts.join(F.broadcast(cent0), "dim")
+        .groupBy("vec_id", "cid", "n")
+        .agg(dist.alias("dist"))
+    )
+    rk = F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "cid"))
+    assign = (
+        scored.withColumn("rk", rk).where(F.col("rk") == 1).select("vec_id", "cid")
+    )
+    return (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .join(kept, "vec_id")
+        .groupBy(F.col("cid").cast("int").alias("cid"), "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n2").alias("sum_n2"),
+            r4(
+                F.sum("n2").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(VP_STAT_SCALE * VP_STAT_SCALE))
+            ).alias("mean_sq_norm"),
+        )
+    )

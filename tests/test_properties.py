@@ -878,3 +878,22 @@ def test_phash_and_stream_ewma_invariants(spark):
     n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
     assert naaj.n_null_probes > 0
     assert 0 < naaj.n_kept <= n_orders - naaj.n_null_probes
+
+
+def test_vector_pipeline_invariants(spark):
+    """The vector-pipeline composite must really trim (fence excludes a
+    nonzero minority), partition the survivors across clusters, and
+    keep per-group means inside the corpus norm range."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_pipeline_vectors").fn(spark, sf).collect()
+    n_total = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    kept = sum(r.n_vecs for r in rows)
+    assert 0 < kept < n_total, "outlier fence trimmed nothing (or everything)"
+    assert kept >= 0.8 * n_total, "fence should keep the bulk of the corpus"
+    assert {r.cid for r in rows} <= set(range(4))
+    for r in rows:
+        assert r.n_vecs >= 1
+        assert r.mean_sq_norm > 0.0

@@ -72,7 +72,15 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      "q_geo_gridjoin",
                      # inherits geo_pairs' 9-row offset fan-out; the
                      # wedge + closing-edge joins are equi-joins.
-                     "q_graph_triangles"}
+                     "q_graph_triangles",
+                     # vectors x 1-row broadcast moment-fence aggregate
+                     # (the outlier-trim stage) — same shape as
+                     # q_quantile_bins' cutpoint crossJoin.
+                     "q_pipeline_vectors",
+                     # crossJoin of the two single-row per-group moment
+                     # aggregates (view x click) — 1x1 by construction,
+                     # same shape as q_profile_columns.
+                     "q_stats_ttest"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.

@@ -71,7 +71,7 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # (replay side-effect wall, like stream_exactly_once_sink)
           "q_funnel_ordered", "q_join_null_aware", "q_multimodal_phash",
           "stream_ewma", "q_quality_constraints", "q_stats_ttest",
-          "q_path_mining"]
+          "q_path_mining", "q_pipeline_vectors"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
