@@ -166,3 +166,81 @@ def test_events_loader_requires_utc_for_ntz(spark, tmp_path):
     finally:
         jio.ensure_engine_confs = old_fn
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_not_in_with_null_in_subquery_is_empty(spark):
+    """Three-valued-logic contract behind q_join_null_aware: one NULL
+    anywhere in the NOT IN subquery makes the predicate UNKNOWN for
+    every probe row — the result must be EMPTY, not 'rows that match
+    nothing'. A left-anti rewrite returns 2 rows here and is wrong."""
+    spark.createDataFrame([(1,), (2,), (3,)], "k int").createOrReplaceTempView(
+        "naaj_probe"
+    )
+    spark.createDataFrame([(1,), (None,)], "x int").createOrReplaceTempView(
+        "naaj_excl"
+    )
+    got = spark.sql(
+        "SELECT k FROM naaj_probe WHERE k NOT IN (SELECT x FROM naaj_excl)"
+    ).count()
+    assert got == 0
+
+
+def test_funnel_requires_strict_order(spark):
+    """q_funnel_ordered's chain must be strictly ordered: a purchase
+    BEFORE the first qualifying click cannot complete the funnel, and
+    a click at exactly the first-view timestamp does not count (ts >
+    t1, not >=)."""
+    import datetime as dt
+
+    from jsmr_spark.queries import timeseries as ts_mod
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: purchase BEFORE click -> stalls at stage 2
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 5), ev(3, 1, "click", 10),
+        # user 2: click exactly at first-view ts -> not counted, stage 1
+        ev(4, 2, "view", 0), ev(5, 2, "click", 0),
+        # user 3: proper chain -> stage 3
+        ev(6, 3, "view", 0), ev(7, 3, "click", 5), ev(8, 3, "purchase", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    orig = ts_mod.t
+    ts_mod.t = lambda sp, sf, name: df  # the funnel only reads events
+    try:
+        out = {r.user_id: r.stage for r in
+               get_query("q_funnel_ordered").fn(spark, "unused").collect()}
+    finally:
+        ts_mod.t = orig
+    assert out == {1: 2, 2: 1, 3: 3}
+
+
+def test_ewma_single_event_equals_value(spark):
+    """A user's first EWMA must equal that event's value exactly
+    (n_win=1 -> num/den collapses to vc/100)."""
+    import datetime as dt
+
+    from jsmr_spark.queries import timeseries as ts_mod
+    from jsmr_spark.registry import get_query
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2020, 1, 1), 7, "view", 123.45, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = ts_mod.t
+    ts_mod.t = lambda sp, sf, name: df
+    try:
+        rows = get_query("q_ts_ewma").fn(spark, "unused").collect()
+    finally:
+        ts_mod.t = orig
+    assert len(rows) == 1
+    assert rows[0].n_win == 1
+    assert rows[0].ewma == 123.45
