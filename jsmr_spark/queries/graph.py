@@ -78,7 +78,7 @@ _PAGERANK_ORACLE = f"""
       LEFT JOIN it2 ON it2.node = e.src
       GROUP BY nodes.node
     )
-    SELECT n.n_name, it3.pr AS pr_scaled,
+    SELECT n.n_name, CAST(it3.pr AS BIGINT) AS pr_scaled,
            CAST(row_number() OVER (ORDER BY it3.pr DESC, n.n_name) AS INTEGER) AS rnk
     FROM it3 JOIN nation n ON n.n_nationkey = it3.node
 """

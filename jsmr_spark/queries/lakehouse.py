@@ -39,7 +39,7 @@ CUTOFF = "1999-01-01"
     f"""
     SELECT o_orderpriority, o_orderstatus,
            count(*) AS n_orders,
-           sum({sql_cents("o_totalprice")}) AS sum_cents,
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS sum_cents,
            min({sql_cents("o_totalprice")}) AS min_cents,
            max({sql_cents("o_totalprice")}) AS max_cents,
            round(CAST(sum({sql_cents("o_totalprice")}) AS DOUBLE)

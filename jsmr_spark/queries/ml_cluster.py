@@ -242,7 +242,7 @@ def _vp_oracle() -> str:
     )
     SELECT CAST(a.cid AS INTEGER) AS cid, e.label,
            count(*) AS n_vecs,
-           sum(k.n2) AS sum_n2,
+           CAST(sum(k.n2) AS BIGINT) AS sum_n2,
            round(CAST(sum(k.n2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                  / {VP_STAT_SCALE * VP_STAT_SCALE}.0, 4) AS mean_sq_norm
     FROM assign1 a

@@ -42,7 +42,7 @@ _DECODE_ORACLE = f"""
     SELECT lang,
            count(*) AS n_blobs,
            59 * count(*) AS total_bytes,
-           sum(byte_sum) AS pixel_value_sum,
+           CAST(sum(byte_sum) AS BIGINT) AS pixel_value_sum,
            sum(byte_sum) / (48.0 * count(*)) AS avg_pixel_byte,
            CAST(4 AS INT) AS min_width,
            CAST(4 AS INT) AS max_height
@@ -104,7 +104,7 @@ _RESIZE_ORACLE = f"""
            count(*) AS n_images,
            CAST(2 AS INT) AS out_w,
            CAST(2 AS INT) AS out_h,
-           sum(byte_sum) AS pixel_value_sum,
+           CAST(sum(byte_sum) AS BIGINT) AS pixel_value_sum,
            sum(byte_sum) / (12.0 * count(*)) AS avg_resized_byte,
            12 * count(*) AS total_resized_bytes
     FROM bs GROUP BY lang
@@ -158,9 +158,9 @@ _FSAMP_ORACLE = f"""
     )
     SELECT source,
            count(*) AS n_videos,
-           sum(n) AS total_frames,
-           sum((n + 1) // 2) AS total_sampled,
-           sum(bs) AS pixel_value_sum,
+           CAST(sum(n) AS BIGINT) AS total_frames,
+           CAST(sum((n + 1) // 2) AS BIGINT) AS total_sampled,
+           CAST(sum(bs) AS BIGINT) AS pixel_value_sum,
            sum(bs) / CAST(sum(npix) AS DOUBLE) AS avg_sampled_byte
     FROM s GROUP BY source
 """

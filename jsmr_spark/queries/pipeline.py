@@ -107,7 +107,7 @@ def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_total,
-           sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            round(CAST(sum(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 4) AS sample_rate
     FROM b GROUP BY lang
@@ -380,13 +380,13 @@ N_SHARDS = 16
     ),
     cum AS (
       SELECT doc_id, lang, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS start_off
+               - n_tokens AS BIGINT) AS start_off
       FROM toks
     )
     SELECT doc_id, lang, n_tokens, start_off,
-           start_off // {PACK_BUDGET} AS pack_bin
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS pack_bin
     FROM cum
     """,
 )
@@ -432,7 +432,7 @@ _SHARD_DUCK = f"({hex12_sql('md5(CAST(doc_id AS VARCHAR))')} % {N_SHARDS})"
     f"""
     SELECT {_SHARD_DUCK} AS shard,
            count(*) AS n_docs,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY shard
     """,
@@ -782,7 +782,7 @@ def _e2e_oracle() -> str:
     )
     SELECT split, lang,
            count(*) AS n_docs,
-           sum(CAST(n_tokens AS BIGINT)) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM labeled GROUP BY split, lang
     """
 
@@ -854,9 +854,9 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_observe_metrics",
     f"""
     SELECT (SELECT count(*) FROM orders) AS n_scanned,
-           (SELECT sum({sql_cents("o_totalprice")}) FROM orders) AS scanned_cents,
+           (SELECT CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) FROM orders) AS scanned_cents,
            count(*) AS n_selected,
-           sum({sql_cents("o_totalprice")}) AS selected_cents
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS selected_cents
     FROM orders
     WHERE o_orderstatus = 'F'
     """,

@@ -42,7 +42,7 @@ def _bit(col: Column, salt: str | None) -> Column:
     f"""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            count(*) AS n_orders,
-           sum({sql_cents("o_totalprice")}) AS sum_cents
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS sum_cents
     FROM orders
     WHERE o_custkey IN (
       SELECT c_custkey FROM customer WHERE c_mktsegment = '{SEGMENT}'
@@ -127,7 +127,7 @@ _NAAJ_SQL = """
       SELECT c_custkey % 100 AS xk FROM customer WHERE c_acctbal < 0
     )
     SELECT count(*) AS n_kept,
-           sum(cents) AS sum_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
            (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE pk IS NULL)
              AS n_null_probes
     FROM probe WHERE pk NOT IN (SELECT xk FROM excl)

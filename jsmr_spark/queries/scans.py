@@ -99,7 +99,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SINK_AGG_ORACLE = f"""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           sum({sql_cents("o_totalprice")}) AS sum_price_cents
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS sum_price_cents
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
 """
@@ -186,7 +186,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(count(*) AS BIGINT) AS n_lines_written,
            CAST(count(*) AS BIGINT) AS n_lines_reread,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            true AS roundtrip_ok
     FROM documents
     """,
@@ -274,7 +274,7 @@ N_COMPACT_FILES = 4
     SELECT CAST(least({N_SMALL_FILES}, count(*)) AS INTEGER) AS n_files_before,
            CAST(least({N_COMPACT_FILES}, count(*)) AS INTEGER) AS n_files_after,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     """,
 )
@@ -366,7 +366,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS n,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents GROUP BY lang
@@ -409,7 +409,7 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
            true AS was_fragmented,
            1 AS n_files_after,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -483,7 +483,7 @@ def sink_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents
@@ -523,7 +523,7 @@ N_CORRUPT_LINES = 7
     f"""
     SELECT (SELECT count(*) FROM documents) AS n_good,
            {N_CORRUPT_LINES} AS n_corrupt,
-           (SELECT sum(n_chars) FROM documents) AS good_chars
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS good_chars
     """,
 )
 def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,7 +216,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT d.lang, e.label,
            count(*) AS n,
-           sum(d.n_chars) AS sum_chars,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
            round(avg(d.n_chars), 4) AS avg_chars,
            min(d.doc_id) AS min_doc,
            max(d.doc_id) AS max_doc
@@ -467,7 +467,7 @@ _PCA_ORACLE = f"""
     w3 AS (SELECT gn.i, sum(gn.v * v2.x) AS w FROM gn JOIN v2 ON gn.j = v2.j GROUP BY gn.i),
     m3 AS (SELECT max(abs(w)) AS m FROM w3),
     v3 AS (SELECT i AS j, w * {_PCA_VSCALE} // (SELECT m FROM m3) AS x FROM w3)
-    SELECT CAST(j AS INTEGER) AS dim, x AS component_scaled FROM v3
+    SELECT CAST(j AS INTEGER) AS dim, CAST(x AS BIGINT) AS component_scaled FROM v3
 """
 
 

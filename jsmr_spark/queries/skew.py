@@ -37,7 +37,7 @@ def _salt(col: str) -> F.Column:
     f"""
     SELECT c.c_mktsegment,
            count(*) AS n_orders,
-           sum({sql_cents("o.o_totalprice")}) AS total_cents
+           CAST(sum({sql_cents("o.o_totalprice")}) AS BIGINT) AS total_cents
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,

@@ -258,7 +258,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(time_bucket(INTERVAL 1 day, h) AS TIMESTAMP) AS day,
            event_type,
-           sum(n) AS n,
+           CAST(sum(n) AS BIGINT) AS n,
            sum(cents) / 100.0::DOUBLE AS sum_value,
            count(*) AS n_hours
     FROM hourly GROUP BY 1, 2
@@ -297,7 +297,7 @@ def q_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(v % 50 AS BIGINT) AS user_key,
            count(*) AS n,
-           sum(v) AS sum_value
+           CAST(sum(v) AS BIGINT) AS sum_value
     FROM (SELECT unnest(range(0, 5000)) AS v)
     GROUP BY user_key
     """,
@@ -397,7 +397,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(range % 20 AS BIGINT) AS user_key,
            count(*) AS n,
-           sum(range) AS sum_v
+           CAST(sum(range) AS BIGINT) AS sum_v
     FROM range(0, 5000)
     GROUP BY 1
     """,

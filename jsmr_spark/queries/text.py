@@ -111,7 +111,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            round(avg(n_chars), 4) AS avg_chars,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars

@@ -41,7 +41,7 @@ EWMA_K = 20
     )
     SELECT a.user_id, a.event_id,
            CAST(count(*) AS INTEGER) AS n_win,
-           sum(b.vc * (CAST(1 AS BIGINT) << ({EWMA_K} - 1 - (a.rn - b.rn)))) AS ewma_num,
+           CAST(sum(b.vc * (CAST(1 AS BIGINT) << ({EWMA_K} - 1 - (a.rn - b.rn)))) AS BIGINT) AS ewma_num,
            (CAST(1 AS BIGINT) << {EWMA_K})
              - (CAST(1 AS BIGINT) << ({EWMA_K} - CAST(count(*) AS INTEGER))) AS ewma_den,
            round(CAST(sum(b.vc * (CAST(1 AS BIGINT) << ({EWMA_K} - 1 - (a.rn - b.rn)))) AS DOUBLE)

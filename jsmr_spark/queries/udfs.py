@@ -181,7 +181,7 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            count(*) AS n,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
            round(sum(l_quantity) / CAST(count(*) AS DOUBLE), 4) AS mean_qty
     FROM lineitem
     GROUP BY l_returnflag
@@ -290,7 +290,8 @@ def q_mr_chain_dfhist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udf_mapinarrow",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(round(l_extendedprice*100,0) AS BIGINT) * l_quantity AS qty_price_cents
+           CAST(round(l_extendedprice*100,0) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) AS qty_price_cents
     FROM lineitem
     WHERE l_quantity >= 30
     """,

@@ -164,8 +164,8 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_quantity,
            CAST(count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
                                RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_10,
-           sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
-                               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS qty_within_10
+           CAST(sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_within_10
     FROM lineitem
     """,
 )
