@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -213,9 +212,10 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("zbucket"),
     )
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"jsmr_sink_zorder_{uuid.uuid4().hex[:8]}"
-    )
+    # mkdtemp: atomically-created unique dir (ADVICE r4 — no
+    # collision window, and a recognizable prefix so stale dirs from a
+    # crashed run are sweepable with a glob).
+    out_dir = tempfile.mkdtemp(prefix="jsmr_sink_zorder_")
     try:
         (
             zed.repartition(F.col("zbucket"))

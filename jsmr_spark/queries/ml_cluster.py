@@ -28,6 +28,8 @@ Scaling note: the BIGINT headroom bound is n_max^2 * xq_max^2 * dims
 < 2^63; at the 1e-4 quantization and these 64-dim unit-ish vectors
 that holds to ~20k points per cluster — past that, drop the
 quantization to 1e-3 (the bound scales with the square of the grid).
+Since round 6 the bound is ENFORCED in-plan (_checked_dist_term):
+exceeding it raises instead of wrapping silently.
 """
 
 from __future__ import annotations
@@ -42,6 +44,32 @@ from jsmr_spark.registry import query
 KM_K = 4
 KM_DIMS = 64
 KM_QSCALE = 10_000
+
+# BIGINT headroom guard (ADVICE r4): the exact distance sums
+# dims * (n*x - s)^2, so each per-dim term must stay within
+# sqrt(2^63 / dims) or the 64-bit sum wraps silently on Spark
+# (non-ANSI) while DuckDB raises — surfacing as unexplained
+# cross-engine divergence instead of a clean error. |n*x - s| <=
+# 2*n*|x|max, so at the 1e-4 grid this fires around ~19k points per
+# cluster — the documented bound, now enforced in-plan.
+_KM_TERM_BOUND = int((2**63 // KM_DIMS) ** 0.5)
+
+
+def _checked_dist_term() -> "F.Column":
+    """(n*x - s) with a distributed overflow guard: raises loudly the
+    moment any per-dim term would overflow the dims-wide BIGINT sum
+    (the fix: requantize to a coarser grid — the bound scales with the
+    square of the grid). Pure column expression — no extra job, stays
+    inside whole-stage codegen."""
+    term = F.col("n") * F.col("x") - F.col("s")
+    return F.when(
+        F.abs(term) > F.lit(_KM_TERM_BOUND),
+        F.expr(
+            "CAST(raise_error('exact k-means BIGINT headroom exceeded: "
+            "cluster too large for the 1e-4 grid; requantize coarser "
+            "(bound scales with grid^2)') AS BIGINT)"
+        ),
+    ).otherwise(term)
 
 
 def _points_sql() -> str:
@@ -139,10 +167,8 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def lloyd_assign(cent: DataFrame) -> DataFrame:
-        d2 = F.sum(
-            (F.col("n") * F.col("x") - F.col("s"))
-            * (F.col("n") * F.col("x") - F.col("s"))
-        )
+        term = _checked_dist_term()
+        d2 = F.sum(term * term)
         dist = d2.cast("double") / (F.col("n") * F.col("n")).cast("double")
         scored = (
             pts.join(F.broadcast(cent), "dim")
@@ -326,10 +352,8 @@ def q_pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent0 = init.join(kpts, "vec_id").select(
         "cid", "dim", F.col("x").alias("s"), F.lit(1).cast("long").alias("n")
     )
-    d2 = F.sum(
-        (F.col("n") * F.col("x") - F.col("s"))
-        * (F.col("n") * F.col("x") - F.col("s"))
-    )
+    term = _checked_dist_term()
+    d2 = F.sum(term * term)
     dist = d2.cast("double") / (F.col("n") * F.col("n")).cast("double")
     scored = (
         kpts.join(F.broadcast(cent0), "dim")

@@ -124,7 +124,13 @@ _NAAJ_SQL = """
       FROM orders
     ),
     excl AS (
-      SELECT c_custkey % 100 AS xk FROM customer WHERE c_acctbal < 0
+      -- residues bounded to 0..59 so classes 60..99 can NEVER be
+      -- excluded: the kept/excluded-by-match/excluded-as-NULL
+      -- three-way partition stays nontrivial at EVERY scale factor
+      -- (ADVICE r4: unbounded residues saturate all 100 classes at
+      -- larger sf and n_kept collapses to 0)
+      SELECT c_custkey % 100 AS xk FROM customer
+      WHERE c_acctbal < 0 AND c_custkey % 100 < 60
     )
     SELECT count(*) AS n_kept,
            CAST(sum(cents) AS BIGINT) AS sum_cents,

@@ -930,6 +930,7 @@ def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -942,7 +943,14 @@ def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = [pdf for pdf in pdfs]
         pdf = pd.concat(parts).sort_values(["ts", "event_id"])
         n_total += len(pdf)
-        vc = (pdf["value"] * 100).round().astype("int64").tolist()
+        # half-away-from-zero, matching compat.cents() and the batch
+        # EWMA path (ADVICE r4: pandas .round() is half-to-even, which
+        # only agreed because fixture values are exact 2dp — sub-cent
+        # inputs would silently diverge stream vs batch).
+        v100 = pdf["value"].to_numpy() * 100.0
+        vc = (
+            (np.floor(np.abs(v100) + 0.5) * np.sign(v100)).astype("int64").tolist()
+        )
         vals = (vals + vc)[-K:]
         n = len(vals)
         num = sum(v << (K - n + i) for i, v in enumerate(vals))
