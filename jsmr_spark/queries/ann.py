@@ -94,6 +94,67 @@ def _bucket_sql(vec: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+# Corpus-adaptive plane count (VERDICT r5 #6): expected bucket size is
+# n / 2^planes, so FROZEN planes make the candidate join quadratic the
+# moment the corpus outgrows them; planes = max(8, ceil(log2(n))) keeps
+# expected bucket size ~1 and candidate pairs ~linear in n without any
+# hand-edited config. The plane family is indexed and deterministic
+# (planes_for), so growing the count EXTENDS the same family — the
+# first 8 planes are bit-identical to the frozen-8 era. MAX_PLANES
+# bounds the static expression (supports corpora to 2^32 docs; the
+# masked higher-plane dots are computed-and-discarded, a vectorized
+# per-row cost that buys a plan with no data-dependent shape).
+MAX_PLANES = 32
+_ADAPTIVE_PLANES = planes_for(MAX_PLANES)
+
+N_PLANES_SQL = "greatest(8, CAST(ceil(log2((SELECT count(*) FROM embeddings))) AS INT))"
+
+
+def _bucket_sql_adaptive(vec: str, np_expr: str) -> str:
+    """DuckDB adaptive-width LSH bucket: bit p participates iff
+    p < np_expr. Identical constants + identical masking as the Spark
+    twin below, so the oracle stays hash-exact at any corpus size."""
+    bits = []
+    for p, w in enumerate(_ADAPTIVE_PLANES):
+        lit = "[" + ", ".join(f"{x:.3f}" for x in w) + "]"
+        dot = (
+            f"list_aggregate(list_transform({vec}, (x, i) -> "
+            f"CAST(x AS DOUBLE) * ({lit}::DOUBLE[])[i]), 'sum')"
+        )
+        bits.append(
+            f"(CASE WHEN {p} < ({np_expr}) AND {dot} > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_col_adaptive(vec, np_col) -> F.Column:
+    """Spark twin of _bucket_sql_adaptive (np_col from a 1-row
+    broadcast aggregate, so the whole thing stays one lazy DAG)."""
+    out = F.lit(0).cast("long")
+    for p, w in enumerate(_ADAPTIVE_PLANES):
+        plane = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(
+            (F.lit(p) < np_col) & (dot > 0), F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def n_planes_col(src: DataFrame) -> DataFrame:
+    """1-row DataFrame with the adaptive plane count for `src` —
+    broadcast-crossJoin it into the bucketing select."""
+    return src.agg(
+        F.greatest(F.lit(8).cast("long"), F.ceil(F.log2(F.count(F.lit(1)))))
+        .cast("int")
+        .alias("np")
+    )
+
+
 def _bucket_col(vec, plane_set: list[list[float]] | None = None) -> F.Column:
     bits = []
     for p, w in enumerate(plane_set if plane_set is not None else PLANES):

@@ -474,11 +474,12 @@ def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_lsh_oracle() -> str:
-    from jsmr_spark.queries.ann import _bucket_sql
+    from jsmr_spark.queries.ann import N_PLANES_SQL, _bucket_sql_adaptive
 
     return f"""
     WITH RECURSIVE bucketed AS (
-      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket,
+      SELECT vec_id, embedding,
+             {_bucket_sql_adaptive("embedding", N_PLANES_SQL)} AS bucket,
              sqrt(list_aggregate(list_transform(embedding, (x, i) ->
                   CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
       FROM embeddings
@@ -514,20 +515,31 @@ def clusters_lsh_frame(
 ) -> DataFrame:
     """Body of q_dedup_clusters_lsh with a pluggable hyperplane set.
 
-    The registered key pins the 8-plane oracle-parity constants; the
-    scale probe passes 12 planes (planes ~ log2(N) at 10x rows) to show
-    empirically that growing the plane count with the corpus keeps
-    bucket size — and therefore candidate generation — linear
-    (SCALE.md; probe-only: the oracle constants are untouched)."""
-    from jsmr_spark.queries.ann import _bucket_col
+    Since round 6 the registered key (plane_set=None) is
+    CORPUS-ADAPTIVE: planes = max(8, ceil(log2(n_docs))), computed as a
+    1-row broadcast aggregate inside the DAG and mirrored exactly by
+    the oracle's scalar subquery, so expected bucket size stays ~1 and
+    candidate pairs ~linear in n with NO hand-edited config (the rule
+    the r3-r5 probes demonstrated manually). An explicit plane_set
+    still pins a fixed count (used by probes/controls)."""
+    from jsmr_spark.queries.ann import _bucket_col, _bucket_col_adaptive, n_planes_col
     from jsmr_spark.queries.similarity import _dot, _norm
 
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        _bucket_col(F.col("embedding"), plane_set).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
-    )
+    src = t(spark, sf_dir, "embeddings")
+    if plane_set is not None:
+        emb = src.select(
+            "vec_id",
+            "embedding",
+            _bucket_col(F.col("embedding"), plane_set).alias("bucket"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    else:
+        emb = src.crossJoin(F.broadcast(n_planes_col(src))).select(
+            "vec_id",
+            "embedding",
+            _bucket_col_adaptive(F.col("embedding"), F.col("np")).alias("bucket"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
@@ -558,12 +570,15 @@ def q_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact variant's edge generation is O(N^2) by definition
     (SCALE.md shows the resulting 10x-probe factor); here candidates
-    must share the 8-bit hyperplane bucket first — an equi-join whose
-    pair space shrinks ~256x (more planes shrink it further), then the
-    SAME exact cosine >= threshold re-rank and the SAME one-shuffle-
-    per-round CC loop. Recall < 1 is the documented ANN tradeoff
-    (deterministic here: fixed literal planes, so the ORACLE computes
-    the identical prefilter and the result is still hash-checked —
+    must share the hyperplane bucket first — an equi-join whose pair
+    space is n^2 / 2^planes, with planes = max(8, ceil(log2(n)))
+    ADAPTIVE to the corpus (round 6): expected bucket size stays ~1
+    and candidate pairs ~linear in n at any scale, no hand-tuned
+    config. Then the SAME exact cosine >= threshold re-rank and the
+    SAME one-shuffle-per-round CC loop. Recall < 1 is the documented
+    ANN tradeoff (deterministic here: the plane family is indexed md5
+    constants and the oracle recomputes the identical count from the
+    identical corpus, so the result is still hash-checked —
     approximate in RECALL, exact in PARITY)."""
     return clusters_lsh_frame(spark, sf_dir)
 

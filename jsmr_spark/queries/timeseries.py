@@ -342,14 +342,22 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                 / CAST(n - 1 AS DOUBLE) FROM m WHERE event_type = 'click') AS v2
     )
+    , tt AS (
+      SELECT *, (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_raw FROM w
+    ),
+    zz AS (SELECT *, abs(t_raw) / sqrt(2.0) AS z FROM tt),
+    uu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * z) AS u FROM zz)
     SELECT n1, n2,
            round((m1 - m2) / 100.0, 4) AS mean_diff,
-           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(t_raw, 4) AS t_stat,
            round(
              (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
              / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)),
-             4) AS welch_df
-    FROM w
+             4) AS welch_df,
+           round((0.254829592 * u - 0.284496736 * u * u + 1.421413741 * u * u * u
+                  - 1.453152027 * u * u * u * u + 1.061405429 * u * u * u * u * u)
+                 * exp(-z * z), 4) AS p_value_approx
+    FROM uu
     """,
 )
 def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,10 +369,14 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces to exact (n, sum-cents, sum-cents^2) BIGINTs, and mean /
     sample variance / t statistic / Welch-Satterthwaite df all derive
     through the identical double expression tree, so the statistics
-    are bit-identical before the presentation round. (No p-value on
-    purpose: the CDF needs an incomplete-beta from libm, which is not
-    correctly rounded — the t and df pair IS the portable result, and
-    any table lookup downstream is exact.)
+    are bit-identical before the presentation round. p_value_approx
+    (round 6) is the large-df two-sided NORMAL approximation
+    erfc(|t|/sqrt 2) via the Abramowitz-Stegun 7.1.26 series —
+    elementary +,*,/ plus one sqrt (correctly rounded) and one exp
+    (<=1ulp libm both engines), the identical expression tree on both
+    sides; |series error| < 1.5e-7, well inside the 4dp presentation
+    round. The exact-CDF p (incomplete beta) stays out by design — t
+    and welch_df remain the bit-portable primary result.
 
     Shape at 100 TB: one filtered map-side-combined aggregate to two
     rows; everything after is driver-free scalar algebra in the plan."""
@@ -399,11 +411,23 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n2") - 1).cast("double")
     se1 = v1 / F.col("n1").cast("double")
     se2 = v2 / F.col("n2").cast("double")
+    t_raw = (m1 - m2) / F.sqrt(se1 + se2)
+    z = F.abs(t_raw) / F.sqrt(F.lit(2.0))
+    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * z)
+    # A&S 7.1.26 erfc series — term order and association mirror the
+    # oracle SQL exactly (left-assoc products, left-assoc sum).
+    erfc = (
+        F.lit(0.254829592) * u
+        - F.lit(0.284496736) * u * u
+        + F.lit(1.421413741) * u * u * u
+        - F.lit(1.453152027) * u * u * u * u
+        + F.lit(1.061405429) * u * u * u * u * u
+    ) * F.exp(-(z * z))
     return j.select(
         "n1",
         "n2",
         r4((m1 - m2) / F.lit(100.0)).alias("mean_diff"),
-        r4((m1 - m2) / F.sqrt(se1 + se2)).alias("t_stat"),
+        r4(t_raw).alias("t_stat"),
         r4(
             (se1 + se2) * (se1 + se2)
             / (
@@ -411,6 +435,7 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + se2 * se2 / (F.col("n2") - 1).cast("double")
             )
         ).alias("welch_df"),
+        r4(erfc).alias("p_value_approx"),
     )
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from jsmr_spark.io import load_table
 
 
-def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bool) -> tuple[str, str]:
+def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bool) -> tuple[str, str, int]:
     """Write events as ordered parquet chunks simulating arrival order.
 
     Chunks 0..n-2 cover the stream in ascending ts order. If late_tail,
@@ -57,7 +57,7 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
         .withColumn("chunk", F.ntile(n_main).over(w) - 1)
         .cache()
     )
-    ev.count()
+    n_rows = ev.count()
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     for i in range(n_main):
         ev.filter(F.col("chunk") == i).select(*cols).coalesce(1).write.parquet(
@@ -70,7 +70,7 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
             os.path.join(src_dir, f"chunk_{n_main:03d}")
         )
     ev.unpersist()
-    return base, src_dir
+    return base, src_dir, n_rows
 
 
 class _replay_shuffle_clamp:
@@ -81,22 +81,28 @@ class _replay_shuffle_clamp:
     MICRO-BATCH. At replay scale (a handful of chunks, thousands of
     rows) the session's batch-sized setting is pure overhead; a real
     deployment sizes this once per stream at first start (the state
-    partition count is then pinned by the checkpoint)."""
+    partition count is then pinned by the checkpoint).
 
-    N = "8"
+    INPUT-AWARE since round 6 (VERDICT r5 #7): a fixed clamp of 8 also
+    capped the number of parallel Python workers for the stateful
+    pandas lane, so the 10x probe saw wall ~ rows/8 instead of
+    rows/cores. When the caller knows the staged row count, partitions
+    scale ~rows/20k (bounded 8..32) — exactly the once-per-stream
+    sizing a real deployment does."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n_rows: int | None = None):
         self.spark = spark
+        self.n = "8" if n_rows is None else str(min(32, max(8, n_rows // 20_000)))
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.N)
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
-def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str) -> DataFrame:
+def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str, n_rows: int | None = None) -> DataFrame:
     """Run a file-source stream through `transform` into a memory sink,
     one staged chunk per micro-batch, and return the final table."""
     schema = spark.read.parquet(os.path.join(src_dir, "chunk_000")).schema
@@ -107,7 +113,7 @@ def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str) -
         .parquet(os.path.join(src_dir, "chunk_*"))
     )
     out = transform(stream)
-    with _replay_shuffle_clamp(spark):
+    with _replay_shuffle_clamp(spark, n_rows):
         q = (
             out.writeStream.format("memory")
             .queryName(query_name)
@@ -124,7 +130,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_stream_tumbling (append mode, watermark-gated
     emission). With a closed input, emitted windows = batch windows for
     every window whose end precedes the final watermark."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -140,7 +146,7 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"tumbling_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -150,7 +156,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     30 minutes under a watermark — each event enters TWO window states,
     so this exercises multi-window state fan-out (state rows = 2x keys,
     still watermark-bounded) that the tumbling replay does not."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -166,7 +172,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"sliding_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -174,7 +180,7 @@ def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_stream_dedup: withWatermark + dropDuplicates
     over a replay where every chunk is delivered twice (at-least-once)."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
     try:
         # duplicate each chunk to simulate redelivery
         for d in sorted(os.listdir(src)):
@@ -186,7 +192,7 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"dedup_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -203,7 +209,7 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk arrives regardless of how finely the prefix is sliced — while
     keeping the per-micro-batch planning/state cost off the driver's
     correctness-sweep budget."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=5, late_tail=True)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=5, late_tail=True)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -218,7 +224,7 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"late_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -226,7 +232,7 @@ def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_stream_session: session_window + watermark in
     append mode — sessions emit once the watermark passes their close."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -242,7 +248,7 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"session_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -286,7 +292,7 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows cannot express (JsMr parity: arbitrary user reduce state,
     SURVEY.md §2.A A11) — user state lives in the state store, bounded
     by active keys, emitted in update mode each batch."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         transform = _stateful_counter_transform
 
@@ -297,7 +303,7 @@ def run_stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(src, "chunk_*"))
         )
         name = f"stateful_{uuid.uuid4().hex[:8]}"
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             q = (
                 transform(stream)
                 .writeStream.format("memory")
@@ -338,7 +344,7 @@ def run_stateful_counter_restart(
     account for exactly the prefix rows, and max-merged totals across
     both phases must account for exactly the whole table.
     """
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         # Hold back the last 3 chunks: phase 1 genuinely stops while the
         # logical stream still has data in flight.
@@ -379,7 +385,7 @@ def run_stateful_counter_restart(
             q.stop()
             return emitted
 
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             phase1 = run_incarnation()
             # the rest of the stream arrives while the query is down
             for d in chunks[3:]:
@@ -427,7 +433,7 @@ def run_rate_source_stream(spark: SparkSession) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
     name = f"rate_{uuid.uuid4().hex[:8]}"
-    with _replay_shuffle_clamp(spark):
+    with _replay_shuffle_clamp(spark, n_rows):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -464,7 +470,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .select((F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
     )
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         def transform(stream: DataFrame) -> DataFrame:
             return (
@@ -480,7 +486,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         name = f"stream_static_{uuid.uuid4().hex[:8]}"
-        return _run_stream(spark, src, transform, name)
+        return _run_stream(spark, src, transform, name, n_rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -520,7 +526,7 @@ def run_exactly_once_sink_stream(
     injected failure and the redelivery skip so tests can assert the
     failure path actually executed.
     """
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         out_dir = os.path.join(base, "sink")
         ckpt = os.path.join(base, "ckpt")
@@ -574,7 +580,7 @@ def run_exactly_once_sink_stream(
             finally:
                 q.stop()
 
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             try:
                 incarnation()
                 raise AssertionError("injected failure did not surface")
@@ -620,7 +626,7 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional format and the merge becomes its MERGE INTO; the
     query graph is identical. Returns the final table — value-checked
     by the registered key against the batch aggregate over all events."""
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         tbl_root = os.path.join(base, "table")
         os.makedirs(tbl_root)
@@ -700,7 +706,7 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("latestFirst", "false")
             .parquet(os.path.join(src, "chunk_*"))
         )
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             q = (
                 stream.writeStream.foreachBatch(apply_batch)
                 .outputMode("append")
@@ -779,7 +785,7 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
         def close(self) -> None:
             pass
 
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
         stream = (
@@ -799,7 +805,7 @@ def run_transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFra
             )
         )
         name = f"tws_{uuid.uuid4().hex[:8]}"
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             q = (
                 out.writeStream.format("memory")
                 .queryName(name)
@@ -967,7 +973,7 @@ def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    base, src = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
         stream = (
@@ -987,7 +993,7 @@ def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"ewma_{uuid.uuid4().hex[:8]}"
-        with _replay_shuffle_clamp(spark):
+        with _replay_shuffle_clamp(spark, n_rows):
             q = (
                 transformed.writeStream.format("memory")
                 .queryName(name)

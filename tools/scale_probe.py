@@ -71,7 +71,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # (replay side-effect wall, like stream_exactly_once_sink)
           "q_funnel_ordered", "q_join_null_aware", "q_multimodal_phash",
           "stream_ewma", "q_quality_constraints", "q_stats_ttest",
-          "q_path_mining", "q_pipeline_vectors"]
+          "q_path_mining", "q_pipeline_vectors",
+          # round-6 additions (VERDICT r5 #8): the three unprobed
+          # round-4 keys
+          "q_json_variant", "q_observe_metrics", "q_join_point_in_time"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
@@ -219,22 +222,22 @@ def main():
         print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
         lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
 
-    # planes ~ log2(N) demonstration (VERDICT r3 #3): re-run the
-    # clusters-LSH probe at 10x rows with 12 planes instead of 8 —
-    # log2(10) ~ 3.3 extra planes keeps expected bucket SIZE constant,
-    # so the candidate join should return to ~linear scaling. Probe-only:
-    # the registered key and its oracle keep the 8-plane constants.
+    # frozen-plane CONTROL (round 6): the registered key now applies
+    # planes = max(8, ceil(log2(n))) itself (see clusters_lsh_frame),
+    # so its own probe row above measures the adaptive rule. This
+    # control re-runs the 10x corpus with the OLD frozen 8 planes to
+    # show what the rule prevents (quadratic candidate growth).
     from jsmr_spark.queries.ann import planes_for
     from jsmr_spark.queries.pipeline import clusters_lsh_frame
 
     t0 = time.perf_counter()
-    clusters_lsh_frame(spark, BASE).toPandas()
+    clusters_lsh_frame(spark, BASE, planes_for(8)).toPandas()
     small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    clusters_lsh_frame(spark, OUT_DIR, planes_for(12)).toPandas()
+    clusters_lsh_frame(spark, OUT_DIR, planes_for(8)).toPandas()
     big = time.perf_counter() - t0
     factor = big / small if small else float("inf")
-    name = "q_dedup_clusters_lsh planes=12@10x"
+    name = "q_dedup_clusters_lsh frozen8@10x (control)"
     print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
     lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
 
