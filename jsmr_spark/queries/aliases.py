@@ -20,10 +20,15 @@ Round-6 rotation:
     HUGEINT oracle typing — multimodal decode/resize/framesample and
     stream_rate_source — so round 6 confirms the fix on exactly the
     keys that exposed it.
-  * ADDED: 20 never-driver-verified keys, HUGEINT-cohort first (they
-    carried the same latent defect and should get the hard signal
-    post-fix), then the newly-found q_udf_mapinarrow oracle-typing fix
-    and high-risk composites.
+  * ADDED: 46 keys — 41 never-driver-verified (HUGEINT cohort first:
+    they carried the same latent defect and should get the hard signal
+    post-fix; then sinks/graph/MR-compat/fuzzy/streaming families) and
+    5 keys whose code changed THIS round (q_stats_ttest p-value,
+    q_dedup_clusters_lsh adaptive planes, stream_ewma clamp, both
+    k-means overflow-guard sites), whose prior signal no longer covers
+    the current code. The window is now 100% aliases: every slot spends
+    the driver's budget on a key it has never checked in its current
+    form, none on re-verifying an unchanged green.
 """
 
 from __future__ import annotations
@@ -58,6 +63,39 @@ _ALIASED = (
     "q_sample_stratified",
     # oracle-typing fix found by the new type-faithful harness this round
     "q_udf_mapinarrow",
+    # round-6 batch 2: fill the remaining 26 window slots with
+    # never-driver-verified keys instead of re-verifying greens.
+    # Changed-this-round keys first (their prior signal, if any, no
+    # longer covers the current code):
+    "q_stats_ttest",          # p_value_approx column added r6
+    "q_dedup_clusters_lsh",   # adaptive plane count r6
+    "stream_ewma",            # input-aware replay clamp r6
+    "q_kmeans_lloyd",         # overflow guard r6
+    "q_pipeline_vectors",     # overflow guard r6
+    # rest of the HUGEINT cohort (fixed r6, never driver-verified):
+    "sink_csv",
+    "sink_json",
+    "sink_orc",
+    "sink_compact",
+    "sink_compact_partitioned",
+    "sink_shards",
+    "source_csv",
+    "source_text",
+    "q_text_lang_dist",
+    "q_join_skew_salted",
+    "q_embed_pca_power",
+    # high-risk never-verified families: sinks, graph, MR-compat,
+    # config-driven pipelines, fuzzy join, streaming side effects
+    "sink_zorder",
+    "q_graph_reachability",
+    "q_graph_triangles",
+    "q_join_fuzzy",
+    "q_json_funcs",
+    "q_jobspec_pipeline",
+    "q_mr_inverted_index",
+    "q_mr_chain_dfhist",
+    "stream_cdc_apply",
+    "stream_exactly_once_sink",
 )
 
 for _canonical in _ALIASED:

@@ -110,27 +110,47 @@ _ADAPTIVE_PLANES = planes_for(MAX_PLANES)
 N_PLANES_SQL = "greatest(8, CAST(ceil(log2((SELECT count(*) FROM embeddings))) AS INT))"
 
 
-def _bucket_sql_adaptive(vec: str, np_expr: str) -> str:
-    """DuckDB adaptive-width LSH bucket: bit p participates iff
-    p < np_expr. Identical constants + identical masking as the Spark
-    twin below, so the oracle stays hash-exact at any corpus size."""
-    bits = []
-    for p, w in enumerate(_ADAPTIVE_PLANES):
+def _planes_values_sql() -> str:
+    """The MAX_PLANES hyperplanes as a VALUES table (pid, w) — lets an
+    oracle JOIN on pid < np and compute only np dots per row instead of
+    MAX_PLANES masked dots (the masked form made DuckDB re-evaluate the
+    scalar subquery and all 32 dots per row: ~20x slower)."""
+    rows = []
+    for pid, w in enumerate(_ADAPTIVE_PLANES):
         lit = "[" + ", ".join(f"{x:.3f}" for x in w) + "]"
-        dot = (
-            f"list_aggregate(list_transform({vec}, (x, i) -> "
-            f"CAST(x AS DOUBLE) * ({lit}::DOUBLE[])[i]), 'sum')"
-        )
-        bits.append(
-            f"(CASE WHEN {p} < ({np_expr}) AND {dot} > 0 "
-            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
-    return "(" + " + ".join(bits) + ")"
+        rows.append(f"({pid}, {lit}::DOUBLE[])")
+    return "(VALUES " + ", ".join(rows) + ")"
+
+
+def bucketed_embeddings_sql() -> str:
+    """DuckDB CTE body: (vec_id, embedding, nrm, bucket) with the
+    corpus-adaptive bucket — planes joined, not masked. Same dot kernel
+    and the same first-8-planes bits as the Spark twin."""
+    return f"""
+      SELECT e.vec_id, any_value(e.embedding) AS embedding,
+             any_value(e.nrm) AS nrm,
+             sum(CASE WHEN list_aggregate(list_transform(e.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * pl.w[i]), 'sum') > 0
+                      THEN CAST(1 AS BIGINT) << pl.pid
+                      ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                    CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings
+      ) e
+      CROSS JOIN (SELECT {N_PLANES_SQL} AS p) np
+      JOIN {_planes_values_sql()} pl(pid, w) ON pl.pid < np.p
+      GROUP BY e.vec_id
+    """
 
 
 def _bucket_col_adaptive(vec, np_col) -> F.Column:
-    """Spark twin of _bucket_sql_adaptive (np_col from a 1-row
-    broadcast aggregate, so the whole thing stays one lazy DAG)."""
+    """Spark twin of bucketed_embeddings_sql's bucket (np_col from a
+    1-row broadcast aggregate, so the whole thing stays one lazy DAG).
+    Unlike the oracle's planes-join, the static column expression
+    computes all MAX_PLANES dots and masks — JVM-vectorized, and the
+    plan keeps a data-independent shape."""
     out = F.lit(0).cast("long")
     for p, w in enumerate(_ADAPTIVE_PLANES):
         plane = F.array(*[F.lit(x) for x in w])

@@ -474,15 +474,11 @@ def sink_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_lsh_oracle() -> str:
-    from jsmr_spark.queries.ann import N_PLANES_SQL, _bucket_sql_adaptive
+    from jsmr_spark.queries.ann import bucketed_embeddings_sql
 
     return f"""
     WITH RECURSIVE bucketed AS (
-      SELECT vec_id, embedding,
-             {_bucket_sql_adaptive("embedding", N_PLANES_SQL)} AS bucket,
-             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
-                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
-      FROM embeddings
+      {bucketed_embeddings_sql()}
     ),
     pairs AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

@@ -541,3 +541,117 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i]) for i in range(dims)], "dim int, component_scaled long"
     )
+
+
+# --- int8 embedding quantization (round 6) ----------------------------
+
+EQ_LEVELS = 127  # symmetric int8 grid: q in [-127, 127]
+EQ_ERR_SCALE = 1_000_000_000  # per-vector error fixed-point grid (1e-9)
+
+
+@query(
+    "q_embed_quantize",
+    f"""
+    WITH v AS (
+      SELECT e.vec_id, e.label,
+             list_max(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS amax,
+             e.embedding AS emb
+      FROM embeddings e
+    ),
+    q AS (
+      SELECT vec_id, label, amax,
+             CASE WHEN amax = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(emb, x ->
+                    (CAST(x AS DOUBLE)
+                     - (floor(abs(CAST(x AS DOUBLE) * {EQ_LEVELS} / amax) + 0.5)
+                        * sign(CAST(x AS DOUBLE)) * amax / {EQ_LEVELS}))
+                    * (CAST(x AS DOUBLE)
+                     - (floor(abs(CAST(x AS DOUBLE) * {EQ_LEVELS} / amax) + 0.5)
+                        * sign(CAST(x AS DOUBLE)) * amax / {EQ_LEVELS}))), 'sum')
+             END AS err
+      FROM v
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CAST(floor(err * {EQ_ERR_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_err_scaled,
+           round(CAST(sum(CAST(floor(err * {EQ_ERR_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / {EQ_ERR_SCALE}.0, 4) AS mean_sq_err
+    FROM q GROUP BY label
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with exact reconstruction-
+    error accounting — the compression step a vector store / training
+    cache applies before shipping embeddings (4x smaller, cheap dequant).
+
+    Per vector: scale = amax/{EQ_LEVELS}; q_i = round_half_away(x_i/scale)
+    (the repo's portable floor(|y|+0.5)*sign recipe — no engine round());
+    reconstruction error = sum_i (x_i - q_i*scale)^2 folded
+    SEQUENTIALLY over dims (identical left-fold order both engines), so
+    the per-vector double is bit-identical. Cross-row aggregation uses
+    the integer-moment recipe: each error lands on a 1e-9 fixed-point
+    grid as BIGINT, summed exactly in any partition order, divided once
+    for presentation. A wrong scale, drifted rounding, or a skipped dim
+    shifts the integer sum and fails the hash.
+
+    Shape at 100 TB: one narrow map over the corpus (per-row dot-free
+    arithmetic, JVM codegen) + one keyed aggregate; quantized vectors
+    would be emitted by the same map in production — the stats here
+    are the fidelity report."""
+    x = F.col("x").cast("double")
+    qdq = (
+        F.floor(F.abs(x * EQ_LEVELS / F.col("amax")) + F.lit(0.5))
+        * F.signum(x)
+        * F.col("amax")
+        / EQ_LEVELS
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda c: F.abs(c.cast("double")))).alias(
+            "amax"
+        ),
+    )
+    err = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda c: (
+                    c.cast("double")
+                    - (
+                        F.floor(F.abs(c.cast("double") * EQ_LEVELS / F.col("amax")) + F.lit(0.5))
+                        * F.signum(c.cast("double"))
+                        * F.col("amax")
+                        / EQ_LEVELS
+                    )
+                )
+                * (
+                    c.cast("double")
+                    - (
+                        F.floor(F.abs(c.cast("double") * EQ_LEVELS / F.col("amax")) + F.lit(0.5))
+                        * F.signum(c.cast("double"))
+                        * F.col("amax")
+                        / EQ_LEVELS
+                    )
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    per_vec = emb.select(
+        "label",
+        F.floor(err * EQ_ERR_SCALE + F.lit(0.5)).cast("long").alias("err_scaled"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("err_scaled").alias("sum_err_scaled"),
+        r4(
+            F.sum("err_scaled").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(EQ_ERR_SCALE))
+        ).alias("mean_sq_err"),
+    )

@@ -564,3 +564,88 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.expr("transform(ks, x -> x.chunk)")).alias("text_deduped"),
         )
     )
+
+
+# --- overlapping token-window chunking (round 6) ----------------------
+
+CHUNK_W = 64  # window: tokens per chunk
+CHUNK_S = 48  # stride: 16-token overlap between consecutive chunks
+
+
+@query(
+    "q_text_chunk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, tk, n,
+             CASE WHEN n <= {CHUNK_W} THEN 1
+                  ELSE (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} + 1
+             END AS n_chunks
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS ci FROM k
+    ),
+    sl AS (
+      SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             CAST(ci * {CHUNK_S} AS BIGINT) AS start_tok,
+             tk[CAST(ci * {CHUNK_S} + 1 AS INT) : CAST(ci * {CHUNK_S} + {CHUNK_W} AS INT)] AS chunk
+      FROM ex
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM sl
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the document-splitting step
+    every RAG index and long-context training pipeline runs before
+    embedding/packing: windows of {CHUNK_W} tokens at stride {CHUNK_S}
+    (16-token overlap), whitespace tokenization (the repo's portable
+    tokenizer), chunk identity pinned by md5 of the joined window so a
+    dropped token, off-by-one stride, or wrong tail truncation anywhere
+    fails the hash.
+
+    Chunk count is pure integer algebra (1 if n <= W else
+    ceil((n-W)/S)+1 — every token covered, last window truncates), so
+    both engines derive identical rows with no float anywhere.
+
+    Shape at 100 TB: split -> sequence -> explode -> slice is one
+    narrow map per document, no shuffle at all; chunk rows land
+    partition-local and downstream embedding/packing stages key them
+    by (doc_id, chunk_idx). Cost is linear in corpus tokens times the
+    W/S overlap factor (~1.33x here)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    k = toks.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= CHUNK_W, F.lit(1)).otherwise(
+            F.floor((F.col("n") - CHUNK_W + CHUNK_S - 1) / CHUNK_S).cast("int") + 1
+        ),
+    )
+    ex = k.select(
+        "doc_id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+    )
+    sl = ex.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci").cast("long") * CHUNK_S).alias("start_tok"),
+        F.slice("tk", F.col("ci") * CHUNK_S + 1, F.lit(CHUNK_W)).alias("chunk"),
+    )
+    return sl.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_md5"),
+    )

@@ -99,6 +99,14 @@ def main():
         f.write("excluded): the steady-state data work a 100 TB projection should\n")
         f.write("extrapolate from. Where exec_s << spark_s, the wall is local-mode\n")
         f.write("fixed overhead that amortizes to zero on a long-lived cluster.\n\n")
+        f.write("Cross-round totals carry environment noise in BOTH columns:\n")
+        f.write("round 6 A/B'd the round-3 tree interleaved with the current one\n")
+        f.write("on the same box — identical r3 code measured 6.3-8.2s on the\n")
+        f.write("11-query headline (spanning every recorded round total), and\n")
+        f.write("DuckDB's full-sweep total measured ~59s in r6 vs ~108s recorded\n")
+        f.write("in r4 with materially identical oracle SQL. Treat round-over-\n")
+        f.write("round TOTAL deltas under ~2x as environment until a per-key\n")
+        f.write("exec_s regression confirms them; exec_s is the stable signal.\n\n")
         f.write("The sink_*/source_*/stream_rate_source rows compare asymmetric\n")
         f.write("work BY DESIGN: Spark writes + re-reads real files (or runs real\n")
         f.write("micro-batches) while the oracle only recomputes the expected\n")
@@ -113,7 +121,27 @@ def main():
         tot_d = sum(r[1] for r in rows); tot_s = sum(r[2] for r in rows)
         tot_e = sum(r[3] for r in rows)
         f.write(f"| **TOTAL** | {tot_d:.3f} | {tot_s:.3f} | {tot_e:.3f} | {tot_s/tot_d:.2f} |\n")
-    print(json.dumps({"total_duck": round(tot_d,3), "total_spark": round(tot_s,3), "total_exec": round(tot_e,3), "n": len(rows)}))
+        # Engine-comparable subtotal: drop the BY-DESIGN asymmetric
+        # side-effect keys (sink_*/source_*/stream_* run real writes /
+        # micro-batches on Spark while the oracle only recomputes the
+        # expected values — their ratio prices the side effect, not the
+        # engine). What remains is the pure-query surface both engines
+        # genuinely execute.
+        def _sidefx(name: str) -> bool:
+            return name.startswith(("sink_", "source_", "stream_"))
+        q_rows = [r for r in rows if not _sidefx(r[0])]
+        q_d = sum(r[1] for r in q_rows); q_s = sum(r[2] for r in q_rows)
+        q_e = sum(r[3] for r in q_rows)
+        f.write(
+            f"| **TOTAL (engine-comparable: {len(q_rows)} pure-query keys,"
+            f" side-effect rows excluded)** | {q_d:.3f} | {q_s:.3f} |"
+            f" {q_e:.3f} | {q_s/q_d:.2f} |\n"
+        )
+    print(json.dumps({
+        "total_duck": round(tot_d,3), "total_spark": round(tot_s,3),
+        "total_exec": round(tot_e,3), "n": len(rows),
+        "query_duck": round(q_d,3), "query_spark": round(q_s,3),
+        "query_exec": round(q_e,3), "n_query": len(q_rows)}))
 
 
 if __name__ == "__main__":
