@@ -649,3 +649,136 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_chunk_tokens"),
         F.md5(F.array_join("chunk", " ").cast("binary")).alias("chunk_md5"),
     )
+
+
+# --- bigram-LM perplexity scoring (round 6) ---------------------------
+
+PPL_SCALE = 1_000_000  # fixed-point grid for per-bigram log-probs
+
+
+@query(
+    "q_text_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(list_slice(l, 1, len(l)-1),
+                                   (x, i) -> x || ' ' || l[i+1])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    ),
+    cnt AS (SELECT lang, bigram, count(*) AS c FROM bg GROUP BY lang, bigram),
+    uni AS (
+      SELECT lang, string_split(bigram, ' ')[1] AS w1,
+             sum(c) AS c1
+      FROM cnt GROUP BY lang, w1
+    ),
+    vocab AS (
+      SELECT lang, count(DISTINCT tok) AS v
+      FROM (SELECT lang, unnest(l) AS tok FROM toks)
+      GROUP BY lang
+    ),
+    scored AS (
+      SELECT cnt.lang, cnt.bigram,
+             ln((CAST(cnt.c AS DOUBLE) + 1.0)
+                / CAST(uni.c1 + vocab.v AS DOUBLE)) AS lp
+      FROM cnt
+      JOIN uni ON uni.lang = cnt.lang
+              AND uni.w1 = string_split(cnt.bigram, ' ')[1]
+      JOIN vocab ON vocab.lang = cnt.lang
+    ),
+    q AS (
+      SELECT lang, bigram,
+             CAST(floor(abs(lp) * {PPL_SCALE} + 0.5) AS BIGINT)
+               * (CASE WHEN lp < 0 THEN -1 ELSE 1 END) AS lps
+      FROM scored
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q.lps) AS BIGINT) AS sum_logprob_scaled,
+           round(exp(-(CAST(CAST(sum(q.lps) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) / {PPL_SCALE}.0)), 4)
+             AS perplexity
+    FROM bg b JOIN q ON q.lang = b.lang AND q.bigram = b.bigram
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet/KenLM-style
+    quality filter: score every document by the corpus's own add-one-
+    smoothed conditional bigram model P(w2|w1) = (c(w1 w2)+1)/(c1(w1)+V)
+    and report exp(-avg log P), low = fluent/boilerplate, high =
+    unusual text. Completes the LM family next to q_text_ngram_lm (the
+    counts) and q_text_rarity (the rational-only score).
+
+    Portability recipe: ln() is <=1ulp libm on both engines (not
+    correctly rounded), so each DISTINCT (lang, bigram) log-prob is
+    computed once and snapped to a 1e-6 fixed-point BIGINT with the
+    repo's half-away formula; per-document aggregation is then an EXACT
+    integer sum in any partition order — the same quantize-then-sum
+    recipe as q_embed_quantize — and one exp() at presentation. A tie
+    at the grid boundary would need the true value within ~1e-16 of a
+    half-grid point; the fixtures pin it regardless.
+
+    Shape at 100 TB: two keyed shuffles build the LM (bigram counts,
+    first-word totals), a vocab count per lang, one keyed join streams
+    every doc-bigram past the vocabulary-sized scored table (broadcast
+    when it fits), one doc_id aggregate. No per-row Python anywhere."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.filter(n >= 2).select(
+        "doc_id", "lang", F.explode(bigrams).alias("bigram")
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    uni = (
+        cnt.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("lang", "w1")
+        .agg(F.sum("c").alias("c1"))
+    )
+    vocab = (
+        docs.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    lp = F.log(
+        (F.col("c").cast("double") + F.lit(1.0))
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        cnt.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(uni, ["lang", "w1"])
+        .join(vocab, "lang")
+        .select(
+            "lang",
+            "bigram",
+            (
+                F.floor(F.abs(lp) * PPL_SCALE + F.lit(0.5)).cast("long")
+                * F.when(lp < 0, F.lit(-1)).otherwise(F.lit(1))
+            ).alias("lps"),
+        )
+    )
+    agg = bg.join(scored, ["lang", "bigram"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lps").alias("sum_logprob_scaled"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_logprob_scaled",
+        r4(
+            F.exp(
+                -(
+                    F.col("sum_logprob_scaled").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    / F.lit(float(PPL_SCALE))
+                )
+            )
+        ).alias("perplexity"),
+    )

@@ -244,3 +244,88 @@ def test_ewma_single_event_equals_value(spark):
     assert len(rows) == 1
     assert rows[0].n_win == 1
     assert rows[0].ewma == 123.45
+
+
+def test_text_chunk_window_invariants(spark):
+    """Pin the chunking contract of q_text_chunk on the fixture: chunk
+    indices are contiguous from 0, consecutive chunks overlap by W-S,
+    every token is covered exactly once per its overlap multiplicity,
+    and only the LAST chunk may be shorter than W."""
+    from jsmr_spark.queries.text_extra import CHUNK_S, CHUNK_W
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_text_chunk").fn(spark, sf).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "no chunks produced"
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = docs[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.start_tok == c.chunk_idx * CHUNK_S for c in chunks)
+        # all but the last chunk are full windows; the last reaches the end
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == CHUNK_W
+        last = chunks[-1]
+        assert last.start_tok + last.n_chunk_tokens == n
+        # expected chunk count formula
+        expect = 1 if n <= CHUNK_W else (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S + 1
+        assert len(chunks) == expect, (doc_id, n, len(chunks), expect)
+
+
+def test_text_chunk_single_token_doc(spark):
+    """A document shorter than one window yields exactly one chunk
+    whose hash is the md5 of the whole text."""
+    import hashlib
+
+    from jsmr_spark.queries import text_extra  # noqa: F401  (key registered)
+    from jsmr_spark.registry import get_query
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "hello world", 11, "en", "src0")],
+            "doc_id long, text string, n_chars long, lang string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = get_query("q_text_chunk").fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chunk_idx == 0 and r.start_tok == 0 and r.n_chunk_tokens == 2
+    assert r.chunk_md5 == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_embed_quantize_error_bound(spark):
+    """int8 quantization error per dim is at most (scale/2)^2, so each
+    vector's error is bounded by dims * (amax/127/2)^2 — verify the
+    reported per-label means respect the bound derived from the corpus
+    max-norm (a loose but implementation-independent sanity fence)."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_embed_quantize").fn(spark, sf).collect()
+    assert rows
+    amax_global = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select(
+            F.array_max(
+                F.transform("embedding", lambda c: F.abs(c.cast("double")))
+            ).alias("am")
+        )
+        .agg(F.max("am"))
+        .collect()[0][0]
+    )
+    bound = 64 * (amax_global / 127.0 / 2.0) ** 2
+    for r in rows:
+        assert r.n_vecs > 0
+        assert 0.0 <= r.mean_sq_err <= bound + 1e-4, (r.label, r.mean_sq_err, bound)

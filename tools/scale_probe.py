@@ -74,7 +74,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_path_mining", "q_pipeline_vectors",
           # round-6 additions (VERDICT r5 #8): the three unprobed
           # round-4 keys
-          "q_json_variant", "q_observe_metrics", "q_join_point_in_time"]
+          "q_json_variant", "q_observe_metrics", "q_join_point_in_time",
+          # round-6 new operators
+          "q_text_chunk", "q_embed_quantize", "q_text_perplexity"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
