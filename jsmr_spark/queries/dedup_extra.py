@@ -311,3 +311,145 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(da, "doc_a").join(db, "doc_b").select(
         "doc_a", "doc_b", "cos_sim", "lang_a", "lang_b"
     )
+
+
+# --- SemDeDup: cluster-then-dedup over the embedding corpus ----------
+
+SEM_K = 16          # seed clusters; scale as n / target_cluster_size
+SEM_TAU = 0.35      # cosine floor tuned to this synthetic corpus
+SEM_QSCALE = 10_000  # 1e-4 integer grid (same recipe as q_kmeans_lloyd)
+
+_SEM_PTS = f"""
+  SELECT vec_id, CAST(r.i AS INTEGER) AS dim,
+         CAST(round(CAST(embedding[r.i] AS DOUBLE) * {SEM_QSCALE}, 0) AS BIGINT) AS x
+  FROM embeddings CROSS JOIN range(1, 65) r(i)
+"""
+
+
+@query(
+    "q_dedup_semantic",
+    f"""
+    WITH pts AS ({_SEM_PTS}),
+    seeds AS (
+      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {SEM_K})
+    ),
+    cent AS (
+      SELECT s.cid, p.dim, p.x AS sx FROM seeds s JOIN pts p ON p.vec_id = s.vec_id
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY sum((p.x - c.sx) * (p.x - c.sx)), c.cid) AS rk
+        FROM pts p JOIN cent c ON c.dim = p.dim
+        GROUP BY p.vec_id, c.cid
+      ) WHERE rk = 1
+    ),
+    n2 AS (
+      SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM pts GROUP BY vec_id
+    ),
+    xx AS (
+      SELECT p.vec_id, a.cid, p.dim, p.x FROM pts p JOIN assign a ON a.vec_id = p.vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.cid,
+             CAST(sum(a.x * b.x) AS BIGINT) AS dot
+      FROM xx a JOIN xx b
+        ON a.cid = b.cid AND a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id, a.cid
+    )
+    SELECT DISTINCT d.vb AS vec_id, d.cid
+    FROM dots d
+    JOIN n2 na ON na.vec_id = d.va
+    JOIN n2 nb ON nb.vec_id = d.vb
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= {SEM_TAU}
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding corpus into clusters, then dedup ONLY within a cluster —
+    the clustering bounds the pairwise work so the corpus-level O(n^2)
+    never materializes. Output: the dropped vec_ids with their cluster
+    (greedy keep-lowest-id rule: j is dropped iff some kept/earlier
+    i < j in the same cluster has cosine >= tau).
+
+    Exactness: vectors quantize to the 1e-4 integer grid once;
+    cluster assignment is argmin of exact integer squared distance to
+    the {SEM_K} seed vectors (k lowest vec_ids — deterministic, no
+    sampled init; ties break on cid); cosines divide an exact BIGINT
+    dot by exact-derived norms in one double expression, so both
+    engines compare identical doubles against tau.
+
+    Scale shape: the seed/centroid table is {SEM_K} x 64 rows —
+    broadcast; assignment is one map-side join + keyed partial agg
+    (one shuffle on vec_id). The within-cluster pairwise runs as ONE
+    applyInPandas per cluster: each cluster ships as a single Arrow
+    batch and the cosine matrix is a NumPy GEMM over exact integer
+    floats (products <= 1e8, 64-term sums <= 6.4e9 — every partial is
+    < 2^53, so the matmul is exact in any summation order). At 100 TB,
+    k grows with the corpus (k ~ n / target_cluster_size) so each
+    cluster stays one-executor-sized; the oracle replays the same
+    algebra in long format."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        (
+            F.floor(F.abs(F.col("v").cast("double") * SEM_QSCALE) + F.lit(0.5))
+            * F.signum(F.col("v").cast("double"))
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    from pyspark.sql import Window
+
+    seeds = (
+        pts.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(SEM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cent = seeds.join(pts, "vec_id").select("cid", "dim", F.col("x").alias("sx"))
+    d = F.col("x") - F.col("sx")
+    assign = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(d * d).alias("d2"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        vq = v * SEM_QSCALE
+        q = np.floor(np.abs(vq) + 0.5) * np.sign(vq)  # half-away, like SQL round
+        nrm = np.sqrt((q * q).sum(axis=1))
+        c = (q @ q.T) / np.outer(nrm, nrm)
+        dropped = (np.tril(c, -1) >= SEM_TAU).any(axis=1)
+        out = pdf.loc[dropped, ["vec_id", "cid"]]
+        return out
+
+    clustered = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    return clustered.groupBy("cid").applyInPandas(
+        dedup_cluster, "vec_id long, cid int"
+    )

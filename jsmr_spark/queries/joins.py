@@ -1332,3 +1332,72 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "s_name", "numwait", "rnk"
     )
+
+
+Q3_CUTOFF = "1996-07-01"  # mid-range of the synthetic 1995-2001 order dates
+
+
+@query(
+    "q_tpch_q3",
+    f"""
+    WITH agg AS (
+      SELECT l.l_orderkey,
+             sum({sql_cents("l.l_extendedprice")} * (100 - {sql_pct("l.l_discount")}))
+               / 10000.0::DOUBLE AS revenue,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+        AND l.l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+      GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, rnk
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY revenue DESC, o_orderdate, l_orderkey) AS rnk
+          FROM agg) x
+    WHERE rnk <= 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 for
+    one market segment — the last missing query of the TPC-H 1-22 set
+    (Q1 lives as q_agg_q1; this synthetic schema has no o_shippriority,
+    so o_orderpriority plays its role in the group-by/projection).
+
+    Scale shape: the BUILDING filter keeps ~1/5 of customer, which is a
+    broadcastable key-set even at large SF (customer is the smallest
+    fact); orders is date-pruned at the scan, lineitem's l_shipdate
+    predicate is pushed down, and the plan is lineitem ⋈ orders (one
+    keyed shuffle) ⋈ broadcast(filtered customer keys). The group-by
+    key (l_orderkey) is the same key as the join, so AQE can reuse the
+    exchange. Revenue is exact cents x basis points summed
+    order-independently, divided once; the top-10 is a
+    TakeOrderedAndProject (no global sort), rank emitted as a column
+    with a total tiebreak (revenue, o_orderdate, l_orderkey) so the
+    hash is order-insensitive."""
+    cut = F.lit(Q3_CUTOFF).cast("timestamp")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice")) * (100 - pct(F.col("l_discount"))))
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+    keys = [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")]
+    top = agg.orderBy(*keys).limit(10)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys))).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk"
+    )
