@@ -1123,3 +1123,76 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(rule.alias("rule")).groupBy("rule").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- temperature-weighted mixture rates (computed, not configured) ---
+
+_TEMP_HV = f"({hex12_sql('md5(cast(doc_id as string))')} % 1000000)"
+_TEMP_HV_DUCK = f"({hex12_sql('md5(CAST(doc_id AS VARCHAR))')} % 1000000)"
+
+
+@query(
+    "q_mix_temperature",
+    f"""
+    WITH d AS (
+      SELECT lang, {_TEMP_HV_DUCK} AS hv FROM documents
+    ),
+    st AS (
+      SELECT lang, count(*) AS n_docs FROM d GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+      FROM st
+    )
+    SELECT d.lang,
+           CAST(any_value(r.n_docs) AS BIGINT) AS n_docs,
+           floor(any_value(r.rate) * 10000 + 0.5) / 10000.0 AS rate,
+           count(*) FILTER (
+             WHERE d.hv < CAST(floor(r.rate * 1000000 + 0.5) AS BIGINT)
+           ) AS n_sampled
+    FROM d JOIN r ON d.lang = r.lang
+    GROUP BY d.lang
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling for the training mixture (the multilingual
+    upsampling rule of arXiv:1901.07291 at T=2, anchored at the
+    smallest domain): per-language keep-rate r = sqrt(n_min / n_lang),
+    so the rarest language keeps everything and dominant languages are
+    downsampled toward balance. Unlike q_mix_sources (CONFIGURED
+    per-source percentages), the rates here are COMPUTED from corpus
+    statistics — the two-pass "measure then sample" shape.
+
+    Determinism: the anchor is an exact integer (min count, not a
+    cross-domain floating sum, whose addition order would differ by
+    engine); the rate is one correctly-rounded division + sqrt, so
+    both engines derive bit-identical doubles; membership compares the
+    portable md5 hash bucket (0..999999) against the integer-floored
+    threshold — a pure function of doc_id.
+
+    Scale shape: pass 1 is one keyed count (a few dozen rows out);
+    the per-domain thresholds broadcast back and pass 2 is a narrow
+    filter + the same keyed count. At 100 TB the kept-corpus
+    materialization is the hv < thr filter fused into the scan."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", F.expr(_TEMP_HV).alias("hv")
+    )
+    st = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    r = st.withColumn(
+        "rate",
+        F.sqrt(
+            F.min("n_docs").over(Window.orderBy()).cast("double")
+            / F.col("n_docs").cast("double")
+        ),
+    )
+    thr = F.floor(F.col("rate") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        d.join(F.broadcast(r), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n_docs").cast("long").alias("n_docs"),
+            (F.floor(F.any_value("rate") * 10000 + F.lit(0.5)) / 10000.0).alias("rate"),
+            F.count_if(F.col("hv") < thr).alias("n_sampled"),
+        )
+    )

@@ -782,3 +782,78 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("perplexity"),
     )
+
+
+# --- exact substring-span duplication (Lee et al. 2022 shape) --------
+
+DUPSPAN_W = 8  # tokens per span; spans overlap at stride 1
+
+_DUPSPAN_RATIO = "floor(CAST({d} AS DOUBLE) / CAST({n} AS DOUBLE) * 10000 + 0.5) / 10000.0"
+
+
+@query(
+    "q_text_dup_spans",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {DUPSPAN_W}
+    ),
+    spans AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - {DUPSPAN_W - 2}),
+                    i -> md5(array_to_string(t[i:i + {DUPSPAN_W - 1}], ' ')))) AS h
+      FROM tk
+    ),
+    g AS (SELECT h, doc_id, count(*) AS c FROM spans GROUP BY h, doc_id),
+    gt AS (SELECT h, doc_id, c, sum(c) OVER (PARTITION BY h) AS tot FROM g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_spans,
+           {_DUPSPAN_RATIO.format(d='sum(CASE WHEN tot > 1 THEN c ELSE 0 END)', n='sum(c)')} AS dup_ratio
+    FROM gt GROUP BY doc_id
+    """,
+)
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span duplication rate (the signal behind
+    suffix-array substring dedup, Lee et al. 2022, arXiv:2107.06499,
+    at fixed span width): every overlapping {DUPSPAN_W}-token window is
+    fingerprinted, and a doc's dup_ratio is the fraction of its windows
+    whose exact text occurs anywhere else in the corpus (other docs OR
+    repeated within the doc). Docs under {DUPSPAN_W} tokens have no
+    window and are excluded by construction.
+
+    Scale shape: explode is a narrow map (window fingerprints are md5
+    of the joined tokens — 16 bytes shuffled per window, never the
+    text); ONE shuffle on the fingerprint serves both the per-doc
+    partial count and the corpus total (window over the same key — no
+    second exchange), then one keyed shuffle back to doc_id. No
+    all-pairs anywhere; this is the linear-cost alternative to the
+    quadratic suffix-array construction, trading span granularity for
+    one-pass distributivity."""
+    spans = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= DUPSPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {DUPSPAN_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i, {DUPSPAN_W}))))"
+                )
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    g = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    gt = g.withColumn("tot", F.sum("c").over(Window.partitionBy("h")))
+    dup = F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0)))
+    n = F.sum("c")
+    return gt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_spans"),
+        dup.cast("long").alias("dup_spans"),
+        (
+            F.floor(dup.cast("double") / n.cast("double") * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("dup_ratio"),
+    )
