@@ -349,3 +349,133 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
     )
     return pk.unionByName(fk).unionByName(nn).unionByName(pp).unionByName(dr)
+
+
+# --- snapshot diff / change-data generation --------------------------
+
+from jsmr_spark.queries.dedup import hex12_sql  # noqa: E402
+
+_SNAP_BUCKET_SPARK = f"({hex12_sql('md5(cast(doc_id as string))')} % 100)"
+_SNAP_BUCKET_DUCK = f"({hex12_sql('md5(CAST(doc_id AS VARCHAR))')} % 100)"
+SNAP_ADD_SHIFT = 1_000_000_000
+
+
+def _snapshot_b_duck() -> str:
+    """Deterministic snapshot B: docs bucket<5 deleted, 5..14 edited,
+    bucket>=95 cloned as brand-new ids — a pure function of doc_id so
+    both engines derive the identical second snapshot."""
+    return f"""
+      SELECT doc_id, text FROM (
+        SELECT doc_id,
+               CASE WHEN {_SNAP_BUCKET_DUCK} BETWEEN 5 AND 14
+                    THEN text || ' v2' ELSE text END AS text,
+               {_SNAP_BUCKET_DUCK} AS b
+        FROM documents) WHERE b >= 5
+      UNION ALL
+      SELECT doc_id + {SNAP_ADD_SHIFT} AS doc_id, text || ' new' AS text
+      FROM documents WHERE {_SNAP_BUCKET_DUCK} >= 95
+    """
+
+
+@query(
+    "q_snapshot_diff",
+    f"""
+    WITH b AS ({_snapshot_b_duck()})
+    SELECT CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.doc_id IS NULL THEN 'added'
+                WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           min(coalesce(a.doc_id, b.doc_id)) AS min_doc_id,
+           max(coalesce(a.doc_id, b.doc_id)) AS max_doc_id
+    FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed generation (the Delta Lake
+    `table_changes` / Iceberg incremental-read shape, computed the
+    portable way): full-outer join two corpus snapshots on the primary
+    key, classify every row added / removed / changed / unchanged by
+    content digest, and report per-class counts + id ranges. Snapshot
+    B is derived deterministically from snapshot A (bucket<5 deleted,
+    5-14 edited, >=95 cloned under fresh ids), so the diff is exactly
+    reproducible cross-engine.
+
+    Scale shape: ONE keyed full-outer join (both sides shuffle on the
+    pk; AQE picks the strategy) and digests compare md5 — 16 bytes per
+    row of comparison work regardless of document size. A metadata-
+    backed lakehouse short-circuits unchanged FILES from snapshot
+    manifests before this row-level pass; this operator is the
+    row-level truth it falls back to (and the generator of the CDC
+    rows the stream_cdc_apply key consumes downstream)."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(_SNAP_BUCKET_SPARK)
+    base = docs.select("doc_id", "text", bucket.alias("b"))
+    edited = base.filter(F.col("b") >= 5).select(
+        "doc_id",
+        F.when(F.col("b").between(5, 14), F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.filter(F.col("b") >= 95).select(
+        (F.col("doc_id") + SNAP_ADD_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    snap_b = edited.unionByName(added)
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    b = snap_b.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    j = a.join(b, F.col("a_id") == F.col("b_id"), "full_outer")
+    status = (
+        F.when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_id").isNull(), "added")
+        .when(F.md5("a_text") != F.md5("b_text"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), F.coalesce("a_id", "b_id").alias("doc_id"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+KANON_K = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "q_privacy_kanon",
+    f"""
+    SELECT lang, source,
+           CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    HAVING count(*) < {KANON_K}
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (governance twin of q_quality_constraints):
+    every quasi-identifier combination — (lang, source, 100-char
+    length bucket) — whose group is smaller than k={KANON_K} is a
+    re-identification risk and must be generalized or suppressed
+    before release; the report lists exactly those groups.
+
+    Scale shape: one hash aggregate with map-side partial counts and
+    the HAVING filter applied post-merge — the same plan as any keyed
+    count at 100 TB; cardinality is bounded by the QI domain, not the
+    corpus."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") < KANON_K)
+    )
