@@ -532,3 +532,166 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cand.orderBy(*keys).limit(TOP_K)
     ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
     return _with_recall(spark, sf_dir, ranked)
+
+
+# --- batch ANN evaluation: recall@k over a query SET -----------------
+
+RECALL_QMOD = 50  # eval set = every 50th vec_id (grows with the corpus)
+
+_RECALL_ORACLE = f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+      FROM normed WHERE vec_id < {K_CENT}
+    ),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+             round(list_aggregate(list_transform(n.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                   / (n.nrm * c.c_nrm), 4) AS csim
+      FROM normed n, cent c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS crn
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, embedding, nrm, cid FROM ranked WHERE crn = 1),
+    queries AS (
+      SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+      FROM normed WHERE vec_id % {RECALL_QMOD} = 0
+    ),
+    qlists AS (
+      SELECT vec_id AS qid, cid FROM ranked
+      WHERE vec_id % {RECALL_QMOD} = 0 AND crn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT q.qid, a.vec_id,
+             round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), 'sum')
+                   / (a.nrm * q.q_nrm), 4) AS sim
+      FROM assigned a
+      JOIN qlists l ON a.cid = l.cid
+      JOIN queries q ON q.qid = l.qid
+      WHERE a.vec_id <> q.qid
+    ),
+    ivf_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM cand) x WHERE rnk <= {TOP_K}
+    ),
+    nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid),
+    allsims AS (
+      SELECT q.qid, n.vec_id,
+             round(list_aggregate(list_transform(n.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), 'sum')
+                   / (n.nrm * q.q_nrm), 4) AS sim
+      FROM normed n, queries q WHERE n.vec_id <> q.qid
+    ),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM allsims) x WHERE rnk <= {TOP_K}
+    ),
+    hits AS (
+      SELECT i.qid,
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM ivf_top i LEFT JOIN exact_top e
+        ON e.qid = i.qid AND e.vec_id = i.vec_id
+      GROUP BY i.qid
+    )
+    SELECT h.qid, nc.n_cand, h.n_hits,
+           CAST(h.n_hits AS DOUBLE) / {TOP_K}.0 AS recall_at_10
+    FROM hits h JOIN nc ON nc.qid = h.qid
+"""
+
+
+@query("q_sim_recall_report", _RECALL_ORACLE)
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN evaluation: recall@{TOP_K} of the IVF route (same
+    codebook/probe config as q_sim_ann_ivf) measured over a QUERY SET
+    (every {RECALL_QMOD}th vector, so the eval set scales with the
+    corpus) — the tuning readout that decides K_CENT/N_PROBE before a
+    100 TB index is frozen. Output: per-query candidate count, hits
+    against the exact brute-force top-{TOP_K}, and recall.
+
+    Scale shape: assignment is the same narrow map against broadcast
+    centroids as the serving path; the per-query probe lists and query
+    vectors broadcast (eval sets are tiny vs the corpus), so candidate
+    scoring is a map-side join — ONE shuffle total, the per-qid top-k
+    window. The exact baseline is corpus x query-set brute force — at
+    100 TB you run it over a SAMPLED eval slice exactly like this
+    (it is the ground-truth cost, not the serving cost). All sims
+    round to 4dp through the shared kernel, ranks tie-break on vec_id,
+    so the report is hash-stable cross-engine."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    cent = F.broadcast(
+        base.filter(F.col("vec_id") < K_CENT).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    scored = base.crossJoin(cent).select(
+        "vec_id", "embedding", "nrm", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "embedding", "nrm", "cid")
+    is_q = F.col("vec_id") % RECALL_QMOD == 0
+    queries = F.broadcast(
+        base.filter(is_q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    qlists = F.broadcast(
+        ranked.filter(is_q & (F.col("crn") <= N_PROBE)).select(
+            F.col("vec_id").alias("qid"), "cid"
+        )
+    )
+    sim = r4(_dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")))
+    cand = (
+        assigned.join(qlists, "cid")
+        .join(queries, "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ivf_top = cand.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    allsims = (
+        base.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+    )
+    exact_top = (
+        allsims.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", F.lit(1).alias("inx"))
+    )
+    hits = (
+        ivf_top.select("qid", "vec_id")
+        .join(exact_top, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("inx"), F.lit(0))).cast("long").alias("n_hits"))
+    )
+    return hits.join(nc, "qid").select(
+        "qid",
+        "n_cand",
+        "n_hits",
+        (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall_at_10"),
+    )
