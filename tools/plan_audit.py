@@ -40,6 +40,11 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # candidates x 1-row broadcast probe — the by-design
                      # IVF shape (tiny broadcast sides, never fact x fact).
                      "q_sim_ann_ivf",
+                     # same IVF assignment shape PLUS the exact-baseline
+                     # corpus x broadcast eval-set brute force that the
+                     # recall metric is defined against (eval sets are
+                     # corpus/50 here, a sampled slice at 100 TB).
+                     "q_sim_recall_report",
                      # rows x 1-row broadcast cutpoint aggregate — the
                      # two-pass equi-depth binning shape.
                      "q_quantile_bins",
