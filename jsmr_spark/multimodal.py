@@ -343,3 +343,101 @@ def phash_pipeline(docs: DataFrame) -> DataFrame:
     decode path (the hash sees actual parsed pixel bytes, not text)."""
     blobs = synthesize_blob_col(docs).select("doc_id", "blob")
     return blobs.mapInPandas(phash_batches, "doc_id long, phash long")
+
+
+# --- audio: WAV container parse + frame-energy features --------------
+
+AUDIO_SR = 8_000       # synthesized clips: 8 kHz mono 8-bit PCM
+AUDIO_SAMPLES = 48     # 3 md5 digests x 16 bytes
+AUDIO_FRAME = 16       # samples per analysis frame (= 3 frames/clip)
+
+_WAV_HEADER = (
+    b"RIFF"
+    + (36 + AUDIO_SAMPLES).to_bytes(4, "little")
+    + b"WAVE"
+    + b"fmt "
+    + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")          # PCM
+    + (1).to_bytes(2, "little")          # mono
+    + AUDIO_SR.to_bytes(4, "little")
+    + AUDIO_SR.to_bytes(4, "little")     # byte rate (8-bit mono)
+    + (1).to_bytes(2, "little")          # block align
+    + (8).to_bytes(2, "little")          # bits/sample
+    + b"data"
+    + AUDIO_SAMPLES.to_bytes(4, "little")
+)
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, "
+    "energy_sum long, max_frame_energy long"
+)
+
+
+def synthesize_wav_col(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a deterministic 'audio' binary column: a VALID 44-byte
+    canonical WAV header (RIFF/WAVE, PCM, mono, 8 kHz, 8-bit) followed
+    by 48 unsigned samples from an md5 chain over the text — same
+    stand-in strategy as synthesize_blob_col, exercising a real
+    container parse end to end."""
+    samples = [
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit(f"a{i}")))) for i in range(3)
+    ]
+    return df.withColumn("blob", F.concat(F.lit(_WAV_HEADER), *samples))
+
+
+def parse_wav(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python canonical-WAV parse (no audio libs, like
+    decode_image): validates RIFF/WAVE magic, walks chunks to fmt/data,
+    returns (sample_rate, n_samples, pcm bytes). 8-bit mono PCM only —
+    swap for soundfile/librosa to widen support; the Arrow plumbing is
+    identical either way."""
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("not PCM")
+            if int.from_bytes(body[2:4], "little") != 1:
+                raise ValueError("not mono")
+            if int.from_bytes(body[14:16], "little") != 8:
+                raise ValueError("not 8-bit")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks pad to even
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, len(data), data
+
+
+def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame-energy extraction: parse the WAV container,
+    split PCM into AUDIO_FRAME-sample frames, energy = sum((s-128)^2)
+    per frame — exact integers end to end (the audio twin of the
+    image byte_sum discipline)."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples",
+                                "energy_sum", "max_frame_energy")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            rate, n, pcm = parse_wav(bytes(blob))
+            fe = [
+                sum((s - 128) * (s - 128) for s in pcm[i : i + AUDIO_FRAME])
+                for i in range(0, n, AUDIO_FRAME)
+            ]
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(n)
+            rows["energy_sum"].append(sum(fe))
+            rows["max_frame_energy"].append(max(fe))
+        yield pd.DataFrame(rows)
+
+
+def audio_pipeline(docs: DataFrame) -> DataFrame:
+    """doc_id/text -> per-clip audio features via synthesized WAV blobs
+    + the real container parse."""
+    blobs = synthesize_wav_col(docs).select("doc_id", "blob")
+    return blobs.mapInPandas(audio_batches, AUDIO_SCHEMA)

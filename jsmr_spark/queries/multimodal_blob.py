@@ -311,3 +311,77 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.select(
         "doc_id", "phash", F.count(F.lit(1)).over(w).alias("n_same")
     )
+
+
+# --- audio frame-energy features -------------------------------------
+
+
+def _hexenergy_dd(hexpr: str) -> str:
+    """DuckDB expression: sum of (byte-128)^2 over the 16 byte values
+    of an md5 hex digest — one analysis frame's exact PCM energy."""
+    v = (
+        f"((strpos('0123456789abcdef', ({hexpr})[CAST(j*2-1 AS INT)]) - 1) * 16 + "
+        f"(strpos('0123456789abcdef', ({hexpr})[CAST(j*2 AS INT)]) - 1))"
+    )
+    return (
+        "list_aggregate(list_transform(range(1, 17), j -> "
+        f"({v} - 128) * ({v} - 128)), 'sum')"
+    )
+
+
+_AUDIO_ORACLE = f"""
+    WITH e AS (
+      SELECT lang,
+             {_hexenergy_dd("md5(text || 'a0')")} AS e0,
+             {_hexenergy_dd("md5(text || 'a1')")} AS e1,
+             {_hexenergy_dd("md5(text || 'a2')")} AS e2
+      FROM documents
+    ),
+    c AS (SELECT lang, e0 + e1 + e2 AS energy, greatest(e0, e1, e2) AS maxf FROM e)
+    SELECT lang,
+           count(*) AS n_clips,
+           CAST(48 * count(*) AS BIGINT) AS total_samples,
+           CAST(sum(energy) AS BIGINT) AS energy_sum,
+           CAST(max(maxf) AS BIGINT) AS max_frame_energy,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(sum(energy) AS DOUBLE) / CAST(48 * count(*) AS DOUBLE)
+             AS avg_sample_energy
+    FROM c GROUP BY lang
+"""
+
+
+@query("q_multimodal_audio", _AUDIO_ORACLE)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction: a REAL RIFF/WAVE container
+    parse (pure-Python chunk walk — magic, fmt, data; no audio libs,
+    same strategy as the PPM/BMP image decode) over synthesized 8-bit
+    mono PCM clips, then per-frame energy sum((s-128)^2) in exact
+    integers, aggregated per language. The oracle recomputes every
+    sample byte from the md5 chain and every frame energy from first
+    principles, so a mis-parsed chunk offset, a dropped sample, or a
+    wrong frame split anywhere in the Arrow pipeline fails the hash
+    (sample_rate itself is value-checked against the header constant).
+
+    Scale shape: identical to the image keys — bytes stay in
+    executor-side Arrow buffers, mapInPandas parallelism = partition
+    count, features are narrow typed columns; swap parse_wav for
+    soundfile/librosa for real codecs, the plumbing is unchanged."""
+    from jsmr_spark.multimodal import audio_pipeline
+
+    docs = t(spark, sf_dir, "documents")
+    feats = audio_pipeline(docs)
+    return (
+        feats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("energy_sum").alias("energy_sum"),
+            F.max("max_frame_energy").alias("max_frame_energy"),
+            F.min("sample_rate").alias("sample_rate"),
+            (
+                F.sum("energy_sum").cast("double")
+                / F.sum("n_samples").cast("double")
+            ).alias("avg_sample_energy"),
+        )
+    )

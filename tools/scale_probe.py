@@ -81,7 +81,7 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # span-duplication census, computed temperature mixture
           "q_tpch_q3", "q_dedup_semantic", "q_text_dup_spans",
           "q_mix_temperature", "q_snapshot_diff", "q_privacy_kanon",
-          "q_sim_recall_report"]
+          "q_sim_recall_report", "q_multimodal_audio"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
