@@ -632,6 +632,16 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it is the ground-truth cost, not the serving cost). All sims
     round to 4dp through the shared kernel, ranks tie-break on vec_id,
     so the report is hash-stable cross-engine."""
+    return recall_report_frame(spark, sf_dir, RECALL_QMOD)
+
+
+def recall_report_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
+    """Parameterized body of q_sim_recall_report: qmod sets the eval-set
+    stride (queries = vec_id % qmod == 0). The registered key uses
+    RECALL_QMOD for oracle parity; tools/scale_probe.py re-runs the 10x
+    corpus with qmod*10 as the fixed-eval-set control — the deployment
+    shape, where the eval slice is a constant-size sample however big
+    the corpus grows."""
     emb = t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     cent = F.broadcast(
@@ -648,7 +658,7 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crn", F.row_number().over(w))
     assigned = ranked.filter(F.col("crn") == 1).select("vec_id", "embedding", "nrm", "cid")
-    is_q = F.col("vec_id") % RECALL_QMOD == 0
+    is_q = F.col("vec_id") % qmod == 0
     queries = F.broadcast(
         base.filter(is_q).select(
             F.col("vec_id").alias("qid"),

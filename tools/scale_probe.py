@@ -161,10 +161,40 @@ def build(spark):
     print("staged", OUT_DIR, flush=True)
 
 
+SCALE_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+)
+
+
+def patch_rows(rows):
+    """Subset mode: splice measured rows into the existing SCALE.md.
+
+    Replaces the row for a key that already has one; appends new keys
+    after the last table row (before the trailing narrative). Keeps the
+    hand-curated narrative intact — only the full run rewrites it.
+    """
+    text = open(SCALE_MD).read().splitlines()
+    for key, (small, big, factor) in rows.items():
+        row = f"| {key} | {small:.2f} | {big:.2f} | {factor:.1f} |"
+        hits = [i for i, l in enumerate(text) if l.startswith(f"| {key} |")]
+        if hits:
+            text[hits[0]] = row
+        else:
+            last = max(i for i, l in enumerate(text) if l.startswith("| "))
+            text.insert(last + 1, row)
+    with open(SCALE_MD, "w") as f:
+        f.write("\n".join(text) + "\n")
+
+
 def main():
     from jsmr_spark import io as jio
     from jsmr_spark.registry import canonical_specs
     from jsmr_spark.session import get_spark
+
+    subset = None
+    if "--keys" in sys.argv:
+        subset = sys.argv[sys.argv.index("--keys") + 1 :]
+        assert subset, "--keys requires at least one key"
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -197,16 +227,14 @@ def main():
              "path swaps the edge source for an ANN prefilter (q_sim_ann_lsh / q_sim_ann_ivf)",
              "re-ranked by the same exact kernel; the CC loop itself is one keyed shuffle per",
              "round either way. That shipped path IS probed below: q_dedup_clusters_lsh",
-             "(bucketed candidate edges + the same CC loop). Its ~3-4x factor at 10x rows is",
-             "the fixed-constant effect: with N_PLANES frozen at 8 (oracle parity), bucket",
-             "count stays 256 while the corpus grows, so within-bucket candidate pairs grow",
-             "~N^2/256. The deployment rule at 100 TB is planes ~ log2(N/target_bucket_size):",
-             "bucket SIZE stays constant, candidate generation stays linear, and the extra",
-             "planes are just more literals in the same narrow map. The probe deliberately",
-             "keeps the sf0.1 constants to show what NOT scaling them costs — and the final",
-             "row then APPLIES the rule: the same 10x corpus re-probed with 12 planes",
-             "(log2(10) ~ 3.3 extra), which restores constant expected bucket size. Compare",
-             "the two q_dedup_clusters_lsh rows: frozen-planes factor vs rule-applied factor.", "",
+             "(bucketed candidate edges + the same CC loop). Since round 6 the registered",
+             "key applies the deployment rule ITSELF: planes = max(8, ceil(log2(n_docs))),",
+             "computed as a 1-row broadcast aggregate inside the DAG and mirrored by the",
+             "oracle's scalar subquery, so expected bucket size stays ~1 and candidate",
+             "pairs ~linear in n with no hand-edited config. Its probe row below measures",
+             "the adaptive rule; the paired 'frozen8 control' row re-runs the same",
+             "10x corpus with the OLD fixed 8 planes to show what the rule prevents",
+             "(within-bucket candidate pairs growing ~N^2/256).", "",
              "sink_compact's wall is dominated by its side effect (write 64 fragment files,",
              "re-read, rewrite compacted) — a linear-in-rows factor is the expected result.",
              "q_merge_dedup's claim is stronger than linear: candidates are new-batch x",
@@ -220,14 +248,20 @@ def main():
              "control) and shows the oriented-wedge plan itself scaling near-linearly.", "",
              "| key | sf0.1 s | 10x s | factor |", "|---|---|---|---|"]
     factors = {}
-    for name in PROBES:
+    rows = {}
+    for name in subset if subset is not None else PROBES:
         fn = specs[name].fn
         t0 = time.perf_counter(); fn(spark, BASE).toPandas(); small = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(spark, OUT_DIR).toPandas(); big = time.perf_counter() - t0
         factor = big / small if small else float("inf")
         factors[name] = factor
+        rows[name] = (small, big, factor)
         print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
         lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
+
+    if subset is not None:
+        patch_rows(rows)
+        return
 
     # frozen-plane CONTROL (round 6): the registered key now applies
     # planes = max(8, ceil(log2(n))) itself (see clusters_lsh_frame),
@@ -243,8 +277,28 @@ def main():
     t0 = time.perf_counter()
     clusters_lsh_frame(spark, OUT_DIR, planes_for(8)).toPandas()
     big = time.perf_counter() - t0
-    factor = big / small if small else float("inf")
+    frozen_ctl = big / small if small else float("inf")
     name = "q_dedup_clusters_lsh frozen8@10x (control)"
+    print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{frozen_ctl:.1f}", flush=True)
+    lines.append(f"| {name} | {small:.2f} | {big:.2f} | {frozen_ctl:.1f} |")
+
+    # fixed-eval-set CONTROL for the ANN recall report: the registered
+    # key's query set is every RECALL_QMODth vector, so at 10x rows the
+    # exact ground-truth side is ~100x pairs (10x queries x 10x corpus)
+    # BY DESIGN — the probe factor measures the scaled eval set, not
+    # the plan. A deployment holds the eval slice constant; this
+    # control re-runs the 10x corpus with qmod*10 (same ~query count
+    # as the sf0.1 run) to show the per-query cost scaling ~linearly.
+    from jsmr_spark.queries.ann import RECALL_QMOD, recall_report_frame
+
+    t0 = time.perf_counter()
+    recall_report_frame(spark, BASE, RECALL_QMOD).toPandas()
+    small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    recall_report_frame(spark, OUT_DIR, RECALL_QMOD * REPLICAS).toPandas()
+    big = time.perf_counter() - t0
+    factor = big / small if small else float("inf")
+    name = "q_sim_recall_report qmod*10@10x (fixed eval set)"
     print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
     lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
 
@@ -269,18 +323,36 @@ def main():
     print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
     lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
 
-    frozen = factors.get("q_dedup_clusters_lsh", float("nan"))
+    adaptive = factors.get("q_dedup_clusters_lsh", float("nan"))
     lines += [
         "",
-        f"Reading the planes-rule pair: frozen 8 planes at 10x rows costs x{frozen:.1f};",
-        f"12 planes costs x{factor:.1f}. The 12-plane run has 16x more buckets (256 ->",
-        "4096), so expected within-bucket candidate PAIRS fall from ~6x-superlinear to",
-        "sub-linear and candidate generation stops dominating. The residual factor is",
-        "linear-but-bigger work, not pair blowup: 10x rows through the 64-dim bucketing",
-        "map (now 12 dots/row), the exact re-rank of surviving edges, and the CC loop's",
-        "per-round keyed shuffle over 10x nodes. That is the lever working: grow planes",
-        "with log2(corpus) and the candidate join stays flat while every other stage",
-        "scales like any keyed aggregate.",
+        f"Reading the planes-rule pair (round 6): the ADAPTIVE registered key costs",
+        f"x{adaptive:.1f} at 10x rows (2000 docs -> 11 planes; 20000 docs -> 15 planes; expected",
+        "bucket size ~1 both times, so candidate pairs stay ~linear); the frozen-8",
+        f"control on the identical corpus costs x{frozen_ctl:.1f} (within-bucket pairs ~N^2/256).",
+        "The residual adaptive factor is linear-but-bigger work, not pair blowup: 10x",
+        "rows through the 64-dim bucketing map, the exact re-rank of surviving edges,",
+        "and the CC loop's per-round keyed shuffle over 10x nodes. The lever is now in",
+        "code, not in prose — no config edit is needed at any corpus size (bounded by",
+        "MAX_PLANES=32, i.e. 4G docs; past that, raise one constant).",
+        "",
+        "stream_ewma's round-6 drop (5.1 -> ~2.5): the replay clamp that pins",
+        "streaming state partitions (AQE never applies to streaming) was a FIXED 8,",
+        "which also capped the stateful pandas lane at 8 parallel Python workers —",
+        "10x rows serialized through the same 8 workers. The clamp now scales with",
+        "the staged row count (~rows/20k, bounded 8..32), the once-per-stream sizing",
+        "a real deployment does at first start. Batch count stays input-independent",
+        "(6 chunks); measured wall at 10x decomposes as ~18s staging+fixed +",
+        "~1s/batch python-stateful work, both partition-parallel.",
+        "",
+        "Reading the recall-report pair (round 6): q_sim_recall_report's query set",
+        "is every 50th vector BY DESIGN (the eval grows with the corpus), so at 10x",
+        "rows the exact ground-truth side is ~100x pairs (10x queries x 10x corpus)",
+        "— its probe row measures that scaled eval, not the serving plan. The paired",
+        "'qmod*10' control holds the eval slice at the sf0.1 query count (the",
+        "deployment shape: a constant-size sampled eval however big the corpus),",
+        "showing per-query cost linear in corpus size, dominated by the brute-force",
+        "baseline the report exists to provide.",
     ]
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as f:
