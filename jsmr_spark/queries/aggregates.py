@@ -506,3 +506,112 @@ def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
     )
+
+
+# --- count-min sketch heavy hitters ----------------------------------
+
+CMS_W = 1024  # counters per hash row
+CMS_D = 4  # independent hash rows
+CMS_TOPN = 15
+
+
+def _cms_hash_sql(j: int, tok: str = "token") -> str:
+    """Portable CMS row-j bucket: hex12(md5('cms<j>|' || token)) % W.
+
+    The seed string is baked per row so the D hash functions are
+    independent; the md5-derived integer is identical on Spark SQL and
+    DuckDB (same text via hex12_sql), so both engines build the same
+    sketch bit-for-bit."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    md5_expr = f"md5(concat('cms{j}|', {tok}))"
+    return f"({hex12_sql(md5_expr)} % {CMS_W})"
+
+
+@query(
+    "q_sketch_cms_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    ex AS (
+      {" UNION ALL ".join(
+        f"SELECT token, cnt, {j} AS j, {_cms_hash_sql(j)} AS bkt FROM counts"
+        for j in range(CMS_D)
+      )}
+    ),
+    counters AS (
+      SELECT j, bkt, CAST(sum(cnt) AS BIGINT) AS counter
+      FROM ex GROUP BY j, bkt
+    ),
+    top AS (
+      SELECT token, cnt FROM (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rn
+        FROM counts) x
+      WHERE rn <= {CMS_TOPN}
+    ),
+    est AS (
+      SELECT t.token, t.cnt, min(c.counter) AS cms_est
+      FROM top t
+      JOIN ex e ON e.token = t.token
+      JOIN counters c ON c.j = e.j AND c.bkt = e.bkt
+      GROUP BY t.token, t.cnt
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt, cms_est,
+           cms_est - CAST(cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    report: build a {CMS_D}x{CMS_W} CMS over the corpus token stream,
+    then for the exact top-{CMS_TOPN} tokens report true count, CMS
+    estimate (min over the D counters each token hashes to), and the
+    overcount — the fidelity readout that sizes W x D before a 100 TB
+    frequency pass is frozen to sketches.
+
+    Sketch-as-groupBy: CMS counters are associative sums, so the
+    "sketch" IS a two-stage hash aggregate — per-partition partials
+    combine map-side and the exchange carries at most D*W = {CMS_D * CMS_W}
+    counter rows per partition, never tokens. Building from the token
+    counts (one shuffle) then exploding D (j, bucket) pairs per
+    distinct token keeps the explode factor off the raw stream. The
+    counter table is {CMS_D * CMS_W} rows -> broadcast to the top-N probe
+    side; top-N itself is TakeOrderedAndProject under a total order
+    (cnt DESC, token). Estimates are exact integers on both engines —
+    the portable md5 bucket map (hex12_sql) makes the sketch itself
+    engine-reproducible, which no seeded-rand sketch is."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cms_hash_sql(j)).alias("bkt"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    ex = counts.select("token", "cnt", F.explode(buckets).alias("jb")).select(
+        "token", "cnt", F.col("jb.j").alias("j"), F.col("jb.bkt").alias("bkt")
+    )
+    counters = ex.groupBy("j", "bkt").agg(F.sum("cnt").alias("counter"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(CMS_TOPN)
+    top_ex = top.select("token", "cnt", F.explode(buckets).alias("jb")).select(
+        "token", "cnt", F.col("jb.j").alias("j"), F.col("jb.bkt").alias("bkt")
+    )
+    est = (
+        top_ex.join(F.broadcast(counters), ["j", "bkt"])
+        .groupBy("token", "cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+    )

@@ -186,3 +186,74 @@ def q_geo_gridjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dist_m"),
     )
+
+
+# --- weighted sampling without replacement ----------------------------
+
+WEIGHTED_K = 30
+PRI_SCALE = 16384  # 2^14 of sub-ratio precision in the integer priority
+
+
+def _weighted_pri_sql(id_cast: str) -> str:
+    """Scaled hash numerator u*SCALE of the integer priority u*SCALE//w.
+
+    u = hex12(md5(doc_id)) < 2^48, so u * 2^14 < 2^62 stays in BIGINT;
+    integer division by the weight keeps the whole order exact — no
+    pow/log/float anywhere, so Spark and DuckDB rank identically."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    u = hex12_sql(f"md5({id_cast})")
+    return f"(({u}) * CAST({PRI_SCALE} AS BIGINT))"
+
+
+@query(
+    "q_sample_weighted",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_weighted_pri_sql("CAST(doc_id AS VARCHAR)")}
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY priority, doc_id) AS rank
+      FROM d
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang, n_tokens, priority
+    FROM r WHERE rank <= {WEIGHTED_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement via priority sampling
+    (Duffield, Lund & Thorup 2007): each document draws priority
+    u/w — u uniform from the portable md5 hash of doc_id, w the token
+    count — and the k smallest priorities win, so long documents are
+    proportionally more likely to be kept (the usual length-weighted
+    curation draw). The float-free twist: priority is the exact
+    integer (u * 2^14) DIV w, so the order is bit-reproducible across
+    engines, runs, and cluster sizes — same portability contract as
+    q_sample_reservoir, which is this operator's uniform special case.
+
+    Shape at 100 TB: one narrow map (hash + token count per row) into
+    a global top-k — TakeOrderedAndProject keeps per-partition heaps of
+    k rows and merges k*partitions rows on one reducer; no full sort,
+    no shuffle of the corpus."""
+    u = F.expr(_weighted_pri_sql("cast(doc_id as string)"))
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            u.alias("num"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", F.expr("num DIV n_tokens").alias("priority")
+        )
+    )
+    top = d.orderBy(F.asc("priority"), F.asc("doc_id")).limit(WEIGHTED_K)
+    w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "lang", "n_tokens", "priority"
+    )

@@ -897,3 +897,68 @@ def test_vector_pipeline_invariants(spark):
     for r in rows:
         assert r.n_vecs >= 1
         assert r.mean_sq_norm > 0.0
+
+
+def test_cms_and_weighted_sample_invariants(spark):
+    """Round-6 sketch/sampling keys.
+
+    CMS: the count-min estimate NEVER undercounts (min over D counters,
+    each a superset sum of the true count) — the defining sketch
+    invariant; top-15 true counts are in non-increasing order of cnt
+    and each estimate is bounded by the total token count.
+
+    Weighted sample: ranks are exactly 1..K under the (priority,
+    doc_id) total order, priorities are the exact integer u*2^14 DIV w,
+    and the selection is invariant under repartitioning (the
+    reproducibility contract rand() cannot give).
+    """
+    from jsmr_spark.queries.sampling_geo import PRI_SCALE, WEIGHTED_K
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_sketch_cms_topk").fn(spark, sf).collect()
+    assert len(rows) == 15
+    total_tokens = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    for r in rows:
+        assert r.cms_est >= r.cnt, (r.token, r.cnt, r.cms_est)
+        assert r.overcount == r.cms_est - r.cnt
+        assert r.cms_est <= total_tokens
+    cnts = sorted((r.cnt for r in rows), reverse=True)
+    top15 = [r.cnt for r in sorted(rows, key=lambda r: (-r.cnt, r.token))]
+    assert top15 == cnts
+
+    ws = get_query("q_sample_weighted").fn(spark, sf)
+    rows = sorted(ws.collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, WEIGHTED_K + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.priority, a.doc_id) < (b.priority, b.doc_id)
+    # priority recomputes from the hash and the weight, exactly
+    import hashlib
+
+    for r in rows:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:12], 16)
+        assert r.priority == (u * PRI_SCALE) // r.n_tokens
+    # independent model: the K winners are exactly the K smallest
+    # (priority, doc_id) pairs computed row-by-row in pure Python
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    model = sorted(
+        (
+            (
+                int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:12], 16)
+                * PRI_SCALE
+            )
+            // len(d.text.split(" ")),
+            d.doc_id,
+        )
+        for d in docs
+    )[:WEIGHTED_K]
+    assert [(r.priority, r.doc_id) for r in rows] == model

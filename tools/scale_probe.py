@@ -81,7 +81,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # span-duplication census, computed temperature mixture
           "q_tpch_q3", "q_dedup_semantic", "q_text_dup_spans",
           "q_mix_temperature", "q_snapshot_diff", "q_privacy_kanon",
-          "q_sim_recall_report", "q_multimodal_audio"]
+          "q_sim_recall_report", "q_multimodal_audio",
+          # round-6 batch 3: CMS heavy hitters (sketch-as-groupBy),
+          # float-free weighted priority sample (narrow map -> top-k)
+          "q_sketch_cms_topk", "q_sample_weighted"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
@@ -247,6 +250,11 @@ def main():
              "'r/sqrt10@10x' row holds expected neighbors per point constant (the density",
              "control) and shows the oriented-wedge plan itself scaling near-linearly.", "",
              "| key | sf0.1 s | 10x s | factor |", "|---|---|---|---|"]
+    if subset is not None:
+        # warm the JVM so the first subset key's sf0.1 number is not
+        # session startup (the full run amortizes this over 90 keys)
+        specs["q_agg_q1"].fn(spark, BASE).toPandas()
+
     factors = {}
     rows = {}
     for name in subset if subset is not None else PROBES:
