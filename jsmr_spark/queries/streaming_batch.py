@@ -456,3 +456,62 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_win", "ewma")
     )
+
+
+STREAM_TOPK_K = 3
+
+
+@query(
+    "q_stream_topk",
+    f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start,
+             user_id, count(*) AS n, sum({_VAL_C}) AS spend_cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY spend_cents DESC, user_id) AS rnk
+      FROM agg
+    )
+    SELECT window_start, CAST(rnk AS INTEGER) AS rnk, user_id, n,
+           CAST(spend_cents AS BIGINT) / 100.0::DOUBLE AS spend
+    FROM r WHERE rnk <= {STREAM_TOPK_K}
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-N: the top-{STREAM_TOPK_K} users by exact cents
+    spend inside every 1-hour tumbling window (the Flink-style
+    "streaming top-N" shape). Batch form is oracle-checked here; the
+    streaming twin (jsmr_spark/streaming/core.py run_window_topk_stream,
+    pinned by tests/test_streaming.py) runs the SAME windowed aggregate
+    under a watermark in append mode and ranks the watermark-closed
+    emissions — aggregation is the streaming-stateful part, the rank is
+    a per-window O(k) pass over closed windows only.
+
+    Scale shape: one keyed shuffle on (window, user) with map-side
+    partials, then a per-window rank whose partitions are bounded by
+    users-per-hour; ties break on user_id so top-N is a total order.
+    Spend sums in exact integer cents (sql_cents twin), divided once
+    by 100.0 — a single correctly-rounded IEEE op on both engines."""
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("spend_cents"),
+        )
+    )
+    rw = Window.partitionBy("w").orderBy(F.desc("spend_cents"), F.asc("user_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= STREAM_TOPK_K)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "rnk",
+            "user_id",
+            "n",
+            (F.col("spend_cents") / 100.0).alias("spend"),
+        )
+    )

@@ -1006,3 +1006,53 @@ def run_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_window_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_stream_topk (Flink-style streaming top-N):
+    the per-(window, user) aggregate is the streaming-stateful part —
+    watermark-gated, append-mode, exact integer cents in state — and
+    the top-3 rank runs over the EMITTED (closed) windows, where it is
+    a bounded per-window pass. Ranking inside the stream would need
+    sorted update-mode emission Structured Streaming doesn't do; the
+    aggregate-then-rank split is the production pattern (rank in
+    foreachBatch or over the sink table) and keeps rank input at
+    users-per-window rows, not the event stream."""
+    from jsmr_spark.compat import cents
+
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=8, late_tail=False)
+    try:
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(cents(F.col("value"))).alias("spend_cents"),
+                )
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "user_id",
+                    "n",
+                    "spend_cents",
+                )
+            )
+
+        name = f"wintopk_{uuid.uuid4().hex[:8]}"
+        emitted = _run_stream(spark, src, transform, name, n_rows)
+        rw = Window.partitionBy("window_start").orderBy(
+            F.desc("spend_cents"), F.asc("user_id")
+        )
+        return (
+            emitted.withColumn("rnk", F.row_number().over(rw))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                "window_start",
+                "rnk",
+                "user_id",
+                "n",
+                (F.col("spend_cents") / 100.0).alias("spend"),
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

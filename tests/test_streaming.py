@@ -278,3 +278,27 @@ def test_transform_with_state_gated_or_working(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_window_topk_stream_matches_batch_prefix(spark):
+    """Streaming top-N: every watermark-closed window the replay ranked
+    must carry exactly the batch top-3 (same users, same ranks, same
+    exact-cents spend); the stream may only be missing tail windows
+    still open at shutdown. The batch twin q_stream_topk is
+    oracle-checked, so this transitively pins the replay to DuckDB."""
+    from jsmr_spark.streaming.core import run_window_topk_stream
+
+    streamed = {}
+    for r in run_window_topk_stream(spark, SF_DIR).collect():
+        streamed.setdefault(r.window_start, []).append(
+            (r.rnk, r.user_id, r.n, r.spend)
+        )
+    batch = {}
+    for r in get_query("q_stream_topk").fn(spark, SF_DIR).collect():
+        batch.setdefault(r.window_start, []).append(
+            (r.rnk, r.user_id, r.n, r.spend)
+        )
+    assert streamed, "stream emitted nothing"
+    for win, rows in streamed.items():
+        assert sorted(rows) == sorted(batch.get(win, [])), f"window {win}"
+    assert len(streamed) >= 0.8 * len(batch)

@@ -84,7 +84,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_sim_recall_report", "q_multimodal_audio",
           # round-6 batch 3: CMS heavy hitters (sketch-as-groupBy),
           # float-free weighted priority sample (narrow map -> top-k)
-          "q_sketch_cms_topk", "q_sample_weighted"]
+          "q_sketch_cms_topk", "q_sample_weighted",
+          # windowed top-N (batch form; the streaming twin's cost is
+          # the replay machinery, probed via stream_ewma et al.)
+          "q_stream_topk"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
