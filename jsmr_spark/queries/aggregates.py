@@ -22,7 +22,7 @@ sums (same plan shape, still exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import cents, pct, r4, sql_cents, sql_pct
@@ -614,4 +614,69 @@ def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "cms_est",
         (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    f"""
+    WITH w AS (
+      SELECT l_returnflag, {sql_cents('l_extendedprice')} AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag, price_c, CAST(sum(qty) AS BIGINT) AS wsum
+      FROM w GROUP BY l_returnflag, price_c
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, wsum,
+             sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY price_c) AS cumw,
+             sum(wsum) OVER (PARTITION BY l_returnflag) AS total
+      FROM g
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cumw >= total THEN price_c END) AS BIGINT)
+             / 100.0::DOUBLE AS w_median,
+           CAST(min(total) AS BIGINT) AS total_qty
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of extended price weighted by quantity,
+    per return flag: the smallest price whose cumulative weight reaches
+    half the group total — the robust center a quantity-weighted price
+    distribution calls for, exact where percentile interpolation is
+    engine-specific.
+
+    Determinism: prices collapse to exact integer cents and group to
+    UNIQUE (flag, price) rows before the cumulative window, so the
+    ordered sum never depends on intra-tie row order — the trap that
+    makes naive cumulative-weight medians partitioning-dependent.
+    Scale shape: one keyed aggregate (map-side partials) shrinks the
+    corpus to the price domain per flag, then the per-flag ordered
+    cumulative runs over that bounded domain; threshold pick and totals
+    are a final tiny hash aggregate. All integer math until the single
+    /100.0 at the end."""
+    w = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    g = w.groupBy("l_returnflag", "price_c").agg(F.sum("qty").alias("wsum"))
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = g.withColumn("cumw", F.sum("wsum").over(cum)).withColumn(
+        "total", F.sum("wsum").over(tot)
+    )
+    return c.groupBy("l_returnflag").agg(
+        (
+            F.min(F.when(2 * F.col("cumw") >= F.col("total"), F.col("price_c")))
+            / 100.0
+        ).alias("w_median"),
+        F.min("total").alias("total_qty"),
     )

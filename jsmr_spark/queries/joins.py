@@ -1401,3 +1401,115 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys))).select(
         "l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rnk"
     )
+
+
+# --- interval overlap join --------------------------------------------
+
+IVL_SPINE_START = "2024-01-01 00:00:00"
+IVL_SPINE_END = "2024-01-30 23:00:00"
+IVL_WIN_MIN = 15  # maintenance window length, minutes
+
+# Gaps-and-islands session CTE shared with the q_stream_session oracle
+# (same 10-minute inactivity gap, session end = last event + gap).
+_IVL_SESS_SQL = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 10 minutes
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 10 minutes AS s_end
+      FROM numbered GROUP BY user_id, sid
+    )
+"""
+
+
+@query(
+    "q_join_interval",
+    f"""
+    {_IVL_SESS_SQL},
+    win AS (
+      SELECT unnest(generate_series(TIMESTAMP '{IVL_SPINE_START}',
+                                    TIMESTAMP '{IVL_SPINE_END}',
+                                    INTERVAL 1 hour)) AS window_start
+    )
+    SELECT w.window_start,
+           count(*) AS n_sessions,
+           count(DISTINCT s.user_id) AS n_users
+    FROM win w
+    JOIN sess s
+      ON s.s_start < w.window_start + INTERVAL {IVL_WIN_MIN} minutes
+     AND w.window_start < s.s_end
+    GROUP BY w.window_start
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: user sessions (10-minute-gap
+    session_window, the proven-portable q_stream_session derivation)
+    against an hourly spine of {IVL_WIN_MIN}-minute maintenance
+    windows, matched on the half-open overlap predicate
+    s_start < w_end AND w_start < s_end — the operator Spark has no
+    native form for and a naive theta join makes O(n*m).
+
+    Blocking: each maintenance window lies entirely inside one hour
+    bucket, and each session EXPLODES to the hour buckets it spans
+    (sequence over date_trunc'd hours — sessions are minutes long, so
+    the fan-out is 1-2 rows), turning the overlap join into a bucket
+    EQUI-join plus the exact predicate as a residual filter; every
+    overlapping pair shares exactly the window's own bucket, so no
+    dedup pass is needed. At 100 TB both sides shuffle on the hour
+    key — candidate pairs scale with temporal locality, never n*m.
+    The oracle runs the honest theta join (DuckDB plans it as an
+    IEJoin) over the same gaps-and-islands sessions."""
+    sess = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    win = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(timestamp'{IVL_SPINE_START}',"
+                    f" timestamp'{IVL_SPINE_END}', interval 1 hour)"
+                )
+            ).alias("window_start")
+        )
+        .withColumn("bucket", F.col("window_start"))
+    )
+    sess_b = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', s_start),"
+                " date_trunc('hour', s_end), interval 1 hour)"
+            )
+        ),
+    )
+    w_end = F.col("window_start") + F.expr(f"interval {IVL_WIN_MIN} minutes")
+    return (
+        win.join(sess_b, "bucket")
+        .filter((F.col("s_start") < w_end) & (F.col("window_start") < F.col("s_end")))
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -479,3 +479,50 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") < KANON_K)
     )
+
+
+LDIV_L = 3  # minimum distinct sensitive values per quasi-identifier group
+
+
+@query(
+    "q_privacy_ldiv",
+    f"""
+    SELECT lang, source,
+           CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           count(DISTINCT string_split(text, ' ')[1]) AS n_topics
+    FROM documents
+    GROUP BY lang, source, n_chars // 100
+    HAVING count(DISTINCT string_split(text, ' ')[1]) < {LDIV_L}
+    """,
+)
+def q_privacy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion
+    to q_privacy_kanon: a group can satisfy k-anonymity yet still leak
+    if everyone in it shares the same sensitive value, so this reports
+    every quasi-identifier group — (lang, source, 100-char length
+    bucket) — carrying fewer than l={LDIV_L} distinct sensitive values
+    (the leading token stands in for the sensitive attribute; swap the
+    expression for the real column in a deployment).
+
+    Scale shape: one hash aggregate with a distinct-count — Catalyst
+    expands count(DISTINCT) to a two-level aggregate whose first level
+    dedups (group, value) pairs map-side, so the exchange is bounded
+    by the QI x sensitive domain, not the corpus; HAVING applies
+    post-merge like q_privacy_kanon."""
+    d = t(spark, sf_dir, "documents")
+    topic = F.element_at(F.split(F.col("text"), " "), 1)
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            topic.alias("topic"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("topic").alias("n_topics"),
+        )
+        .filter(F.col("n_topics") < LDIV_L)
+    )

@@ -962,3 +962,90 @@ def test_cms_and_weighted_sample_invariants(spark):
         for d in docs
     )[:WEIGHTED_K]
     assert [(r.priority, r.doc_id) for r in rows] == model
+
+
+def test_weighted_median_ldiv_interval_invariants(spark):
+    """Round-6 batch 3 keys, each checked against an independent model.
+
+    Weighted median: recompute per flag in pure Python from the raw
+    rows (sort by exact cents, walk cumulative quantity) — the lower
+    weighted median must match exactly.
+
+    l-diversity: every reported group really has < L distinct leading
+    tokens, and every group is also k-small or k-large independently
+    (l-diversity is not implied by k-anonymity).
+
+    Interval join: per-window session counts equal a brute-force theta
+    join computed driver-side from the session_window aggregate.
+    """
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from jsmr_spark.queries.joins import IVL_WIN_MIN
+    from jsmr_spark.queries.lakehouse import LDIV_L
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # weighted median vs pure-Python model
+    rows = get_query("q_agg_weighted_median").fn(spark, sf).collect()
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        cents_v = int(round(r.l_extendedprice * 100))
+        groups[r.l_returnflag][cents_v] += int(r.l_quantity)
+    for r in rows:
+        wmap = groups[r.l_returnflag]
+        total = sum(wmap.values())
+        cum = 0
+        med = None
+        for price in sorted(wmap):
+            cum += wmap[price]
+            if 2 * cum >= total:
+                med = price
+                break
+        assert r.w_median == med / 100.0, r.l_returnflag
+        assert r.total_qty == total
+
+    # l-diversity: verify the distinct-topic count per reported group
+    ld = get_query("q_privacy_ldiv").fn(spark, sf).collect()
+    assert ld, "no small-diversity groups at this SF"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    topics = defaultdict(set)
+    sizes = defaultdict(int)
+    for d in docs:
+        key = (d.lang, d.source, d.n_chars // 100)
+        topics[key].add(d.text.split(" ")[0])
+        sizes[key] += 1
+    reported = {(r.lang, r.source, r.len_bucket) for r in ld}
+    for r in ld:
+        key = (r.lang, r.source, r.len_bucket)
+        assert len(topics[key]) == r.n_topics < LDIV_L
+        assert sizes[key] == r.n_docs
+    for key, tset in topics.items():
+        assert (len(tset) < LDIV_L) == (key in reported), key
+
+    # interval join vs brute-force theta join over the session table
+    iv = {
+        r.window_start: (r.n_sessions, r.n_users)
+        for r in get_query("q_join_interval").fn(spark, sf).collect()
+    }
+    sess = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.session_window(F.col("ts"), "10 minutes").alias("w"), "user_id")
+        .count()
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id")
+        .collect()
+    )
+    wins = sorted(iv)
+    brute = {}
+    for w0 in wins:
+        w1 = w0 + timedelta(minutes=IVL_WIN_MIN)
+        hits = [r for r in sess if r.s < w1 and w0 < r.e]
+        if hits:
+            brute[w0] = (len(hits), len({r.user_id for r in hits}))
+    assert iv == brute

@@ -87,7 +87,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_sketch_cms_topk", "q_sample_weighted",
           # windowed top-N (batch form; the streaming twin's cost is
           # the replay machinery, probed via stream_ewma et al.)
-          "q_stream_topk"]
+          "q_stream_topk",
+          # round-6 batch 4: tie-safe weighted median, l-diversity,
+          # hour-bucket-blocked interval overlap join
+          "q_agg_weighted_median", "q_privacy_ldiv", "q_join_interval"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
