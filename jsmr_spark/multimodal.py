@@ -441,3 +441,43 @@ def audio_pipeline(docs: DataFrame) -> DataFrame:
     + the real container parse."""
     blobs = synthesize_wav_col(docs).select("doc_id", "blob")
     return blobs.mapInPandas(audio_batches, AUDIO_SCHEMA)
+
+
+# --- video scene-cut detection ----------------------------------------
+
+SCENE_CUT_THRESHOLD = 600  # |Δ frame-brightness-sum| above this = a cut
+
+SCENECUT_SCHEMA = "doc_id long, n_frames int, n_cuts int, max_jump long"
+
+
+def scenecut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: split each video at the repeated P6 headers
+    (same boundary scan as framesample_batches), decode EVERY frame,
+    and flag a scene cut wherever the absolute jump in frame brightness
+    sum exceeds SCENE_CUT_THRESHOLD — the classic intensity-delta shot
+    detector, exact because energies are integer byte sums."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "n_frames", "n_cuts", "max_jump")}
+        for doc_id, b in zip(pdf["doc_id"], pdf["video"]):
+            b = bytes(b)
+            frames: list[bytes] = []
+            i = 0
+            while i < len(b) and b[i : i + 2] == b"P6":
+                n = ppm_frame_len(b[i:])
+                frames.append(b[i : i + n])
+                i += n
+            energies = [sum(decode_image(f)[3]) for f in frames]
+            jumps = [abs(x - y) for x, y in zip(energies, energies[1:])]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(frames))
+            out["n_cuts"].append(sum(1 for j in jumps if j > SCENE_CUT_THRESHOLD))
+            out["max_jump"].append(max(jumps) if jumps else 0)
+        yield pd.DataFrame(out)
+
+
+def scenecut_pipeline(docs: DataFrame) -> DataFrame:
+    """documents -> synth video -> Arrow-batched per-video cut table."""
+    with_video = synthesize_video_col(docs.select("doc_id", "text"))
+    return with_video.select("doc_id", "video").mapInPandas(
+        scenecut_batches, SCENECUT_SCHEMA
+    )

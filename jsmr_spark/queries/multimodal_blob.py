@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import r4
+from jsmr_spark.multimodal import SCENE_CUT_THRESHOLD
 from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
@@ -383,5 +384,78 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("energy_sum").cast("double")
                 / F.sum("n_samples").cast("double")
             ).alias("avg_sample_energy"),
+        )
+    )
+
+
+def _frame_energy_dd(f_var: str = "f") -> str:
+    """DuckDB: integer brightness sum of frame `f` — the 48 pixel bytes
+    are 3 md5 digests over (text, frame, block), same chain the Spark
+    synthesizer writes (jsmr_spark/multimodal.py synthesize_video_col)."""
+    return " + ".join(
+        _hexsum_dd(f"md5(text || CAST({f_var} AS VARCHAR) || ':{i}')")
+        for i in range(3)
+    )
+
+
+@query(
+    "q_multimodal_scenecut",
+    f"""
+    WITH v AS (
+      SELECT source, text, CAST(doc_id % 3 + 2 AS INT) AS n FROM documents
+    ),
+    es AS (
+      SELECT source, n,
+             list_transform(range(0, n), f -> {_frame_energy_dd()}) AS e
+      FROM v
+    ),
+    d AS (
+      SELECT source, n,
+             len(list_filter(range(1, n),
+                 f -> abs(e[f+1] - e[f]) > {SCENE_CUT_THRESHOLD})) AS n_cuts,
+             list_aggregate(list_transform(range(1, n),
+                 f -> abs(e[f+1] - e[f])), 'max') AS max_jump
+      FROM es
+    )
+    SELECT source,
+           count(*) AS n_videos,
+           CAST(sum(n_cuts) AS BIGINT) AS total_cuts,
+           CAST(sum(CASE WHEN n_cuts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_videos_with_cut,
+           CAST(max(max_jump) AS BIGINT) AS max_jump,
+           CAST(sum(n_cuts) AS BIGINT) / CAST(sum(n - 1) AS DOUBLE) AS cut_rate
+    FROM d GROUP BY source
+    """,
+)
+def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection (intensity-delta shot boundary): every
+    frame of each synthesized multi-frame P6 'video' is decoded
+    executor-side (jsmr_spark/multimodal.py:scenecut_batches, same
+    header boundary scan as q_multimodal_framesample), a cut is flagged
+    where the absolute jump in integer frame-brightness sum exceeds
+    the threshold, and the report aggregates per source — VALUE-CHECKED:
+    the oracle independently rebuilds every frame's energy from the md5
+    chain and replays the adjacent-difference rule, so a mis-parsed
+    boundary, a skipped frame, or an off-by-one in the delta indexing
+    fails the hash. Bytes stay in Arrow buffers; detection parallelism
+    = partition count; the shuffle carries one 4-int row per video."""
+    from jsmr_spark.multimodal import scenecut_pipeline
+
+    docs = t(spark, sf_dir, "documents")
+    cuts = scenecut_pipeline(docs)
+    return (
+        cuts.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_cuts").cast("long").alias("total_cuts"),
+            F.sum(F.when(F.col("n_cuts") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_videos_with_cut"),
+            F.max("max_jump").cast("long").alias("max_jump"),
+            (
+                F.sum("n_cuts").cast("long")
+                / F.sum(F.col("n_frames") - 1).cast("double")
+            ).alias("cut_rate"),
         )
     )

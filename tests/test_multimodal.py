@@ -144,3 +144,35 @@ def test_framesample_counts(spark):
         expect_kept = (r.n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
         assert r.n_sampled == expect_kept
         assert 0.0 <= r.sampled_mean <= 255.0
+
+
+def test_scenecut_matches_python_model(spark):
+    """Per-video cut counts and max jumps from the Spark pipeline equal
+    a pure-Python replay of the synthesis chain (md5 frame energies ->
+    adjacent deltas -> threshold), for every video at this SF."""
+    import hashlib
+
+    from jsmr_spark.multimodal import SCENE_CUT_THRESHOLD, scenecut_pipeline
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.max_jump)
+        for r in scenecut_pipeline(docs).collect()
+    }
+    for d in docs.collect():
+        n = d.doc_id % 3 + 2
+        energies = [
+            sum(
+                b
+                for i in range(3)
+                for b in hashlib.md5(f"{d.text}{f}:{i}".encode()).digest()
+            )
+            for f in range(n)
+        ]
+        jumps = [abs(a - b) for a, b in zip(energies, energies[1:])]
+        expect = (
+            n,
+            sum(1 for j in jumps if j > SCENE_CUT_THRESHOLD),
+            max(jumps),
+        )
+        assert got[d.doc_id] == expect, d.doc_id

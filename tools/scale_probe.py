@@ -90,7 +90,8 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_stream_topk",
           # round-6 batch 4: tie-safe weighted median, l-diversity,
           # hour-bucket-blocked interval overlap join
-          "q_agg_weighted_median", "q_privacy_ldiv", "q_join_interval"]
+          "q_agg_weighted_median", "q_privacy_ldiv", "q_join_interval",
+          "q_multimodal_scenecut"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
@@ -257,9 +258,12 @@ def main():
              "control) and shows the oriented-wedge plan itself scaling near-linearly.", "",
              "| key | sf0.1 s | 10x s | factor |", "|---|---|---|---|"]
     if subset is not None:
-        # warm the JVM so the first subset key's sf0.1 number is not
-        # session startup (the full run amortizes this over 90 keys)
+        # warm the JVM AND the Python-worker/Arrow lane with an untimed
+        # pass of each subset key, so its sf0.1 number is steady-state
+        # (the full run amortizes startup over 90 keys)
         specs["q_agg_q1"].fn(spark, BASE).toPandas()
+        for name in subset:
+            specs[name].fn(spark, BASE).toPandas()
 
     factors = {}
     rows = {}
