@@ -492,3 +492,89 @@ def q_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
     return paths.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+@query(
+    "q_stats_chi2",
+    """
+    WITH cells AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS rt,
+             sum(o) OVER (PARTITION BY source) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    st AS (
+      SELECT CAST(min(n) AS BIGINT) AS n,
+             count(*) AS n_cells,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             sum((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2_raw
+      FROM tot
+    )
+    SELECT n, n_cells,
+           (n_langs - 1) * (n_sources - 1) AS dof,
+           round(chi2_raw, 4) AS chi2,
+           round(sqrt(chi2_raw / (CAST(n AS DOUBLE)
+                 * CAST(least(n_langs - 1, n_sources - 1) AS DOUBLE))), 4) AS cramers_v
+    FROM st
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between lang and source
+    — the categorical A/B readout beside q_stats_ttest's two-sample
+    means test — plus Cramer's V effect size.
+
+    The contingency table is exact BIGINT counts (one hash aggregate
+    bounded by the category domain, never the corpus); observed,
+    expected (row x col / N), the chi2 cell terms, and Cramer's V all
+    derive through the identical double expression tree on both
+    engines. The cell-term SUM is float-order-dependent across ~|L x S|
+    cells, so chi2/cramers_v keep the repo's round(,4) policy for
+    order-dependent statistics (same as stddev/corr in q_agg_stats);
+    counts and dof are exact integers. Shape at 100 TB: corpus -> cells
+    in one map-side-combined aggregate; the window sums and the final
+    fold run over the bounded cell table."""
+    cells = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = (
+        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    st = tot.agg(
+        F.min("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(term).alias("chi2_raw"),
+    )
+    return st.select(
+        "n",
+        "n_cells",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        r4(F.col("chi2_raw")).alias("chi2"),
+        r4(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("cramers_v"),
+    )

@@ -1049,3 +1049,32 @@ def test_weighted_median_ldiv_interval_invariants(spark):
         if hits:
             brute[w0] = (len(hits), len({r.user_id for r in hits}))
     assert iv == brute
+
+
+def test_chi2_matches_python_model(spark):
+    """chi2 / dof / Cramer's V recompute exactly (to the 4dp policy)
+    from the raw contingency table in pure Python."""
+    from collections import Counter
+    from math import sqrt
+
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    (row,) = get_query("q_stats_chi2").fn(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("lang", "source").collect()
+    cells = Counter((d.lang, d.source) for d in docs)
+    rt = Counter(); ct = Counter()
+    for (l, s), o in cells.items():
+        rt[l] += o
+        ct[s] += o
+    n = sum(cells.values())
+    chi2 = sum(
+        (o - rt[l] * ct[s] / n) ** 2 / (rt[l] * ct[s] / n)
+        for (l, s), o in cells.items()
+    )
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    assert row.n == n and row.n_cells == len(cells) and row.dof == dof
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert abs(row.cramers_v - sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))) < 1e-3
+    assert row.chi2 >= 0 and 0.0 <= row.cramers_v <= 1.0
