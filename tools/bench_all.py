@@ -25,6 +25,32 @@ def timed(fn, runs=3):
     return best
 
 
+def cache_from_md(cache_path: str) -> None:
+    """Seed the resume cache from the committed BENCH.md rows, so a run
+    after adding N new keys measures ONLY those keys instead of
+    repeating the full ~45-minute sweep. Usage:
+        python tools/bench_all.py --cache-from-md /tmp/cache.json
+        JSMR_BENCH_CACHE=/tmp/cache.json python tools/bench_all.py
+    """
+    import re
+
+    bench_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"
+    )
+    cache = {}
+    for line in open(bench_md):
+        m = re.match(
+            r"\| ((?:q_|a0_|sink_|source_|stream_|mr_)\S*) \| ([\d.]+) \| "
+            r"([\d.]+) \| ([\d.]+) \| [\d.]+ \|",
+            line,
+        )
+        if m:
+            cache[m.group(1)] = [float(m.group(2)), float(m.group(3)), float(m.group(4))]
+    with open(cache_path, "w") as f:
+        json.dump(cache, f)
+    print(f"seeded {len(cache)} keys from BENCH.md -> {cache_path}")
+
+
 def main():
     spark = get_spark("jsmr_bench_all")
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,4 +171,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--cache-from-md" in sys.argv:
+        cache_from_md(sys.argv[sys.argv.index("--cache-from-md") + 1])
+    else:
+        main()
