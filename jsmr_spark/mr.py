@@ -163,3 +163,46 @@ def df_histogram(inverted: DataFrame) -> DataFrame:
         combine_fn=lambda a, b: a + b,
         output_schema="df long, n_tokens long",
     )
+
+
+def mr_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_fn_l: Callable[[Row], Any],
+    key_fn_r: Callable[[Row], Any],
+    join_fn: Callable[[Any, Row, Row], Iterable[tuple]],
+    output_schema: str,
+    num_reducers: int | None = None,
+) -> DataFrame:
+    """The third canonical MR job: a reduce-side equi-join, the way the
+    JsMr model expresses joins — both inputs map to TAGGED (key,
+    ('L'|'R', row)) pairs, the framework shuffles them into the same
+    reducer group, and the reducer pairs every L with every R
+    (repartition join in MR terms; Blanas et al., SIGMOD 2010).
+
+    Exercises the one compat-surface element wordcount/inverted-index
+    do not: a job over TWO heterogeneous inputs sharing one shuffle
+    (JsMr runs this as two map phases writing to the same partitioner).
+    join_fn(key, l_row, r_row) emits the output records, so projection
+    and arithmetic ride inside the reduce (A6).
+
+    This is the COMPAT path: user Python per record, groupByKey with no
+    map-side shrink (tags are not combinable), hot keys concentrate on
+    single reducers. The fast path for every real query is the Tier-B
+    DataFrame join (q_join_inner et al.) where Catalyst picks
+    broadcast/SMJ/shuffle-hash and AQE splits skew."""
+    keyed_l = left.rdd.map(lambda row: (key_fn_l(row), ("L", row)))
+    keyed_r = right.rdd.map(lambda row: (key_fn_r(row), ("R", row)))
+    grouped = keyed_l.union(keyed_r).groupByKey(num_reducers)
+
+    def reduce_(kv):
+        key, tagged = kv
+        ls, rs = [], []
+        for tag, payload in tagged:
+            (ls if tag == "L" else rs).append(payload)
+        for a in ls:
+            for b in rs:
+                yield from join_fn(key, a, b)
+
+    spark = left.sparkSession
+    return spark.createDataFrame(grouped.flatMap(reduce_), output_schema)

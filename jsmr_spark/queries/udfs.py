@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 from pyspark.sql.functions import udtf
 
-from jsmr_spark.compat import r4
+from jsmr_spark.compat import r4, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
@@ -335,4 +335,50 @@ def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInArrow(
         qty_price,
         "l_orderkey bigint, l_linenumber int, qty_price_cents bigint",
+    )
+
+
+@query(
+    "q_mr_join",
+    f"""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           sum({sql_cents("o_totalprice")}) / 100.0::DOUBLE AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side MR join + chained aggregate through the compat API
+    (jsmr_spark/mr.py:mr_join): orders and customers map to tagged
+    pairs keyed on custkey, one shuffle groups them, the reducer emits
+    (mktsegment, exact order cents) per matched pair, and a SECOND
+    chained job (A8) combine-sums counts and cents per segment —
+    VALUE-CHECKED against the relational join+aggregate oracle, so a
+    dropped tag, a miss-keyed row, or double-pairing fails the hash.
+
+    This key exists for JsMr API parity (a user's reduce-side join
+    ports verbatim); the performant twin of this exact computation is
+    a broadcast hash join + hash aggregate (q_join_broadcast /
+    q_join_inner plans)."""
+    from jsmr_spark.mr import job, mr_join
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = mr_join(
+        orders,
+        cust,
+        key_fn_l=lambda r: r.o_custkey,
+        key_fn_r=lambda r: r.c_custkey,
+        # o_totalprice has 2dp, so *100 is integer up to fp noise and
+        # round() can never sit on a true .5 tie
+        join_fn=lambda k, o, c: [(c.c_mktsegment, int(round(o.o_totalprice * 100)))],
+        output_schema="seg string, cents long",
+    )
+    return job(
+        joined,
+        map_fn=lambda r: [(r.seg, (1, r.cents))],
+        combine_fn=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        reduce_fn=lambda seg, vs: [(seg, vs[0][0], vs[0][1] / 100.0)],
+        output_schema="c_mktsegment string, n_orders long, total_price double",
     )

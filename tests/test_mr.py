@@ -82,3 +82,32 @@ def test_mr_job_chaining(spark):
     )
     rows = {(r.token_len, r.total) for r in by_len.collect()}
     assert rows and all(l > 0 for l, _ in rows)
+
+
+def test_mr_join_matches_dataframe_join(spark):
+    """Reduce-side compat join equals the relational join on inputs
+    with fan-out (duplicate keys both sides), misses, and empty
+    groups on either side."""
+    from jsmr_spark.mr import mr_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (5, "e")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21), (4, 40)], "k int, rv int"
+    )
+    got = {
+        (r.k, r.lv, r.rv)
+        for r in mr_join(
+            left,
+            right,
+            key_fn_l=lambda r: r.k,
+            key_fn_r=lambda r: r.k,
+            join_fn=lambda k, a, b: [(k, a.lv, b.rv)],
+            output_schema="k int, lv string, rv int",
+        ).collect()
+    }
+    exp = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    assert got == exp
+    # fan-out sanity: key 1 -> 2x1, key 2 -> 1x2, keys 3/4/5 -> no match
+    assert len(got) == 4
