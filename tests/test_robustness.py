@@ -46,6 +46,20 @@ KEYS = [
     "q_funnel_ordered",
     "q_stats_ttest",
     "q_path_mining",
+    # round-6 operator families: sketch-as-groupBy (CMS), integer
+    # priority sample, windowed top-N, tie-safe cumulative weighted
+    # median, distinct-count privacy audit, bucket-blocked interval
+    # join, decoded-frame scene cuts, float-order-rounded chi2, and
+    # the two-input reduce-side compat join (groupByKey fan-out)
+    "q_sketch_cms_topk",
+    "q_sample_weighted",
+    "q_stream_topk",
+    "q_agg_weighted_median",
+    "q_privacy_ldiv",
+    "q_join_interval",
+    "q_multimodal_scenecut",
+    "q_stats_chi2",
+    "q_mr_join",
 ]
 
 
