@@ -141,6 +141,12 @@ def main():
         f.write("those keys the side effect runs at DataFrame-BUILD time, so exec_s\n")
         f.write("only re-reads the few-row verification result; spark_s is the\n")
         f.write("honest cost of the side effect itself.\n\n")
+        f.write("The MR-compat rows (mr_api, q_mr_join) measure the per-record\n")
+        f.write("Python lane BY DESIGN: the compat API exists so a JsMr job ports\n")
+        f.write("verbatim, and its docstrings point at the Tier-B DataFrame twin\n")
+        f.write("(same computation, JVM-side) that every real query should use —\n")
+        f.write("q_text_wordcount and q_join_inner/q_join_broadcast run the same\n")
+        f.write("work at two orders of magnitude lower cost in this table.\n\n")
         f.write("| key | duckdb_s | spark_s | exec_s | ratio |\n|---|---|---|---|---|\n")
         for name, d, s, e, r in rows:
             f.write(f"| {name} | {d:.3f} | {s:.3f} | {e:.3f} | {r:.2f} |\n")
