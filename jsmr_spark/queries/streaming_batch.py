@@ -515,3 +515,30 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("spend_cents") / 100.0).alias("spend"),
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT v.event_id AS view_id, k.event_id AS click_id, v.user_id,
+           CAST(date_diff('microsecond', v.ts, k.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') k
+      ON v.user_id = k.user_id
+     AND k.ts > v.ts AND k.ts <= v.ts + INTERVAL 5 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join, fully value-checked: views and
+    clicks replay as two independent watermarked file streams joined on
+    user_id with the 5-minute time bound (the batch twin is
+    q_join_range, same oracle). Both sides buffer state; the watermark
+    + time-range condition bounds eviction at v_ts + 5min. INNER-join
+    emission is match-driven — not watermark-gated — so the closed
+    replay emits every pair exactly once and the memory sink must
+    hash-equal the batch join: a dropped buffered row, premature state
+    eviction, or a double-emitted match fails the driver protocol.
+    See jsmr_spark/streaming/core.py:run_stream_stream_join."""
+    from jsmr_spark.streaming.core import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)

@@ -1056,3 +1056,80 @@ def run_window_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join: views and clicks arrive as two
+    independent watermarked streams (same staged chunks, two file
+    sources), joined on user_id with the click-within-5-minutes time
+    bound — the flagship Structured Streaming surface where BOTH sides
+    are stateful: each side buffers rows in the state store until the
+    other side's matches arrive, and the watermark + time-range
+    condition lets the engine evict state older than v_ts + 5min.
+
+    For an INNER join, emission is match-driven, not watermark-gated
+    (watermarks only bound state cleanup), so a CLOSED input emits
+    every pair exactly once and the result is fully hash-checkable
+    against the batch oracle — stronger than the append-mode windowed
+    aggregates, whose tail windows stay open at shutdown."""
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+
+        def source() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(os.path.join(src, "chunk_*"))
+            )
+
+        v = (
+            source()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        k = (
+            source()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("k_user"),
+                F.col("ts").alias("k_ts"),
+            )
+            .withWatermark("k_ts", "10 minutes")
+        )
+        joined = v.join(
+            k,
+            (F.col("user_id") == F.col("k_user"))
+            & (F.col("k_ts") > F.col("v_ts"))
+            & (F.col("k_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ).select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros(F.col("k_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+                "gap_us"
+            ),
+        )
+        name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+        # two self-contained sources -> sink directly (_run_stream
+        # would build a third, unused source)
+        with _replay_shuffle_clamp(spark, n_rows):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -302,3 +302,21 @@ def test_window_topk_stream_matches_batch_prefix(spark):
     for win, rows in streamed.items():
         assert sorted(rows) == sorted(batch.get(win, [])), f"window {win}"
     assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """The closed two-stream replay must emit exactly the batch range
+    join's pairs — inner stream-stream emission is match-driven, so
+    nothing may be missing, duplicated, or extra."""
+    from jsmr_spark.streaming.core import run_stream_stream_join
+
+    streamed = sorted(
+        (r.view_id, r.click_id, r.user_id, r.gap_us)
+        for r in run_stream_stream_join(spark, SF_DIR).collect()
+    )
+    batch = sorted(
+        (r.view_id, r.click_id, r.user_id, r.gap_us)
+        for r in get_query("q_join_range").fn(spark, SF_DIR).collect()
+    )
+    assert streamed == batch
+    assert streamed, "no pairs at this SF"

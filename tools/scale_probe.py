@@ -91,7 +91,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-6 batch 4: tie-safe weighted median, l-diversity,
           # hour-bucket-blocked interval overlap join
           "q_agg_weighted_median", "q_privacy_ldiv", "q_join_interval",
-          "q_multimodal_scenecut", "q_stats_chi2", "q_mr_join"]
+          "q_multimodal_scenecut", "q_stats_chi2", "q_mr_join",
+          # replay side-effect wall like stream_exactly_once_sink
+          "stream_stream_join"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
