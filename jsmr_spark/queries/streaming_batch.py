@@ -542,3 +542,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@query("stream_stream_join_outer", None)  # null-extension boundary is watermark-timing-dependent => rows-only
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the watermark-subtle half of the
+    two-stream surface (inner twin: stream_stream_join, hash-checked):
+    matches emit as they pair, but a view with no click emits its
+    null-extended row only once the watermark proves no qualifying
+    click can still arrive, so the stream tail stays buffered at
+    shutdown and the null boundary is watermark-timing-dependent —
+    hence rows-only at the driver. tests/test_streaming.py pins the
+    decidable parts exactly: matched rows equal the batch inner join,
+    every null row is a true batch anti-join member, and null coverage
+    reaches the anti-join set minus the final-watermark tail."""
+    from jsmr_spark.streaming.core import run_stream_stream_join_outer
+
+    return run_stream_stream_join_outer(spark, sf_dir)

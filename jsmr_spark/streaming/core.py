@@ -1133,3 +1133,71 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the subtle half of the
+    two-stream surface: matches emit as they pair (like the inner
+    join), but a view with NO click can only emit its null-extended
+    row once the watermark proves no future click can still arrive
+    inside its 5-minute bound. State eviction and null emission are
+    both watermark-driven, so the tail of the input stays buffered at
+    shutdown — which is why this key is rows-only (the null boundary
+    is watermark-timing-dependent) while its inner twin hash-matches.
+    The replay test pins the decidable parts: matched pairs equal the
+    batch inner join exactly, every null-extended view is a true batch
+    anti-join member, and nulls cover the anti-join set up to the
+    final-watermark tail."""
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
+    try:
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+
+        def source() -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(os.path.join(src, "chunk_*"))
+            )
+
+        v = (
+            source()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                "user_id",
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "10 minutes")
+        )
+        k = (
+            source()
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("k_user"),
+                F.col("ts").alias("k_ts"),
+            )
+            .withWatermark("k_ts", "10 minutes")
+        )
+        joined = v.join(
+            k,
+            (F.col("user_id") == F.col("k_user"))
+            & (F.col("k_ts") > F.col("v_ts"))
+            & (F.col("k_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        ).select("view_id", "user_id", "v_ts", "click_id")
+        name = f"ssouter_{uuid.uuid4().hex[:8]}"
+        with _replay_shuffle_clamp(spark, n_rows):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -320,3 +320,46 @@ def test_stream_stream_join_equals_batch_join(spark):
     )
     assert streamed == batch
     assert streamed, "no pairs at this SF"
+
+
+def test_stream_stream_outer_join_null_semantics(spark):
+    """Left-outer two-stream replay: matched pairs equal the batch
+    inner join exactly; every null-extended view is a true member of
+    the batch anti set (no click within 5 minutes); and nulls cover
+    the anti set except views too close to the stream end for the
+    final watermark to have proven them clickless."""
+    from datetime import timedelta
+
+    from jsmr_spark.streaming.core import run_stream_stream_join_outer
+
+    rows = run_stream_stream_join_outer(spark, SF_DIR).collect()
+    matched = {(r.view_id, r.click_id) for r in rows if r.click_id is not None}
+    nulls = {r.view_id for r in rows if r.click_id is None}
+    batch_pairs = {
+        (r.view_id, r.click_id)
+        for r in get_query("q_join_range").fn(spark, SF_DIR).collect()
+    }
+    assert matched == batch_pairs
+    ev = load_table(spark, SF_DIR, "events").collect()
+    views = {r.event_id: (r.user_id, r.ts) for r in ev if r.event_type == "view"}
+    anti = set(views) - {v for v, _ in batch_pairs}
+    assert nulls <= anti, "a null-extended view actually has a click"
+    # The watermark that governs null emission in the FINAL data batch
+    # is the one updated after the penultimate batch: max ts over the
+    # first n_chunks-1 staged chunks minus the 10-minute delay.
+    # (availableNow terminates after the last data batch, so the
+    # end-of-stream watermark never gets a flushing batch — state
+    # above this boundary is the expected buffered tail.)
+    n_chunks = 6  # matches run_stream_stream_join_outer's staging
+    ordered = sorted((r.ts, r.event_id) for r in ev)
+    last_chunk_rows = len(ordered) // n_chunks  # ntile: last tile is the small one
+    wm_basis = ordered[len(ordered) - last_chunk_rows - 1][0]
+    provable = {
+        v
+        for v in anti
+        if views[v][1] + timedelta(minutes=5)
+        < wm_basis - timedelta(minutes=10)
+    }
+    missing = provable - nulls
+    assert not missing, f"{len(missing)} provably clickless views never emitted"
+    assert nulls, "no null-extended rows emitted at all"
