@@ -579,3 +579,54 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "sink_nested",
+    f"""
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema sink + NESTED COLUMN PRUNING round-trip: every
+    order is written as a parquet row carrying a 4-field struct (two
+    narrow leaves + two wider string leaves) and an unread array column;
+    the read-back selects ONLY the two narrow struct leaves, so
+    Catalyst's nested-schema pruning must push a struct<status,price_c>
+    ReadSchema into the scan — at 100 TB the difference between reading
+    two columns and dragging every wide leaf of every struct through
+    the scan. tests/test_plans.py asserts the pruned ReadSchema; the
+    oracle recomputes the leaf aggregate straight from orders, so a
+    wrong leaf binding or a lossy struct round-trip fails the hash."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_nested_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        nested = t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                cents(F.col("o_totalprice")).alias("price_c"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").cast("string").alias("odate"),
+            ).alias("meta"),
+            F.array(F.col("o_custkey"), F.col("o_orderkey")).alias("keys"),
+        )
+        nested.write.mode("overwrite").parquet(out_dir)
+        back = (
+            spark.read.parquet(out_dir)
+            .select(F.col("meta.status").alias("status"), F.col("meta.price_c"))
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price_c").alias("sum_price_cents"),
+            )
+        )
+        rows = back.collect()  # materialize before the sink dir is removed
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "status string, n bigint, sum_price_cents bigint")

@@ -93,7 +93,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_agg_weighted_median", "q_privacy_ldiv", "q_join_interval",
           "q_multimodal_scenecut", "q_stats_chi2", "q_mr_join",
           # replay side-effect wall like stream_exactly_once_sink
-          "stream_stream_join"]
+          "stream_stream_join",
+          # nested-struct sink round-trip (side-effect wall like sink_compact)
+          "sink_nested"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
