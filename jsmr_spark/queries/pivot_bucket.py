@@ -133,3 +133,60 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_exchanges, n_exchanges == 0)],
         "n_joined long, n_exchanges int, colocated boolean",
     )
+
+
+@query(
+    "sink_dynamic_overwrite",
+    f"""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           CAST(sum({sql_cents("value")}) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent partition-refresh
+    primitive every nightly 100 TB pipeline needs: re-running one
+    partition's job replaces ONLY the partitions the write touches.
+    The full daily-per-type aggregate is written partitioned by
+    event_type; then the 'click' partition alone is recomputed and
+    overwritten under partitionOverwriteMode=dynamic. Under the
+    default STATIC mode that second write would DELETE every other
+    partition, so the final read-back carrying all types at their
+    source-derived values is the semantic proof — and the oracle pins
+    it, so clobbered partitions or a stale refreshed partition fail
+    the hash."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsmr_sink_dynover_{uuid.uuid4().hex[:8]}"
+    )
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the partition refresh: recompute ONE partition from source and
+        # overwrite it in place — every other partition must survive
+        agg.filter(F.col("event_type") == "click").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+        back = spark.read.parquet(out).select("event_type", "day", "n", "sum_cents")
+        rows = back.collect()  # materialize before cleanup
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, day date, n bigint, sum_cents bigint"
+    )

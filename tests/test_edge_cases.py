@@ -329,3 +329,38 @@ def test_embed_quantize_error_bound(spark):
     for r in rows:
         assert r.n_vecs > 0
         assert 0.0 <= r.mean_sq_err <= bound + 1e-4, (r.label, r.mean_sq_err, bound)
+
+
+def test_dynamic_overwrite_premise_static_would_clobber(spark):
+    """The discriminating premise of sink_dynamic_overwrite: the same
+    one-partition rewrite under the default STATIC mode deletes every
+    other partition — so the key's full read-back genuinely proves
+    dynamic semantics rather than passing vacuously."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from jsmr_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    out = os.path.join(tempfile.gettempdir(), f"jsmr_dynover_premise_{uuid.uuid4().hex[:8]}")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        agg = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        agg.filter(F.col("event_type") == "click").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(out)
+        left = {r.event_type for r in spark.read.parquet(out).collect()}
+        assert left == {"click"}, left
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        shutil.rmtree(out, ignore_errors=True)
