@@ -680,3 +680,60 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_median"),
         F.min("total").alias("total_qty"),
     )
+
+
+@query(
+    "q_sketch_bitmap_intersect",
+    """
+    SELECT
+      CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'view') AS BIGINT) AS n_view,
+      CAST((SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS BIGINT) AS n_click,
+      CAST((SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type IN ('view', 'click')) AS BIGINT) AS n_union,
+      CAST((SELECT count(*) FROM
+              (SELECT user_id FROM events WHERE event_type = 'view'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'click') x) AS BIGINT)
+        AS n_both
+    """,
+)
+def q_sketch_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-set intersection via bitmap algebra — the
+    audience-overlap question (users who both viewed AND clicked)
+    answered without ever shuffling raw user ids: each side and their
+    stacked union reduce to fixed-size per-bucket bitmaps (mergeable
+    partials, same machinery as q_sketch_bitmap_distinct), and
+    inclusion-exclusion gives |A ∩ B| = |A| + |B| - |A ∪ B| from three
+    bitmap counts. At 100 TB the exchange carries <=4KB bitmaps per
+    (side, bucket) partition instead of one row per distinct user —
+    and unlike an HLL intersection estimate, every count is exact.
+    Oracle: the literal distinct counts + INTERSECT, so a lost bucket,
+    a double-counted id, or broken inclusion-exclusion fails the hash."""
+    ev = t(spark, sf_dir, "events")
+
+    def bitmap_card(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.bitmap_bucket_number(F.col("user_id")).alias("bkt"))
+            .agg(
+                F.bitmap_construct_agg(
+                    F.bitmap_bit_position(F.col("user_id"))
+                ).alias("bm")
+            )
+            .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n"))
+        )
+
+    v = ev.filter(F.col("event_type") == "view").select("user_id")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    nv = bitmap_card(v).select(F.col("n").alias("n_view"))
+    nc = bitmap_card(c).select(F.col("n").alias("n_click"))
+    nu = bitmap_card(v.unionByName(c)).select(F.col("n").alias("n_union"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(nu)
+        .select(
+            "n_view",
+            "n_click",
+            "n_union",
+            (F.col("n_view") + F.col("n_click") - F.col("n_union")).alias("n_both"),
+        )
+    )

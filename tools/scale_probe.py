@@ -95,7 +95,8 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # replay side-effect wall like stream_exactly_once_sink
           "stream_stream_join",
           # nested-struct sink round-trip (side-effect wall like sink_compact)
-          "sink_nested", "sink_dynamic_overwrite"]
+          "sink_nested", "sink_dynamic_overwrite",
+          "q_sketch_bitmap_intersect"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
