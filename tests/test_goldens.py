@@ -14,9 +14,11 @@ from jsmr_spark.registry import all_specs
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 ROWS_ONLY = sorted(k for k, s in all_specs().items() if s.oracle is None)
-# Emitted windows depend on micro-batch boundaries; the dedicated
-# streaming tests assert its semantics instead of a byte-pin.
-UNPINNED = {"stream_watermark_late"}
+# Emitted windows / outer-join null extension depend on micro-batch
+# boundaries; the dedicated streaming tests assert their semantics
+# (late-drop contract, matched==batch + null-boundary coverage)
+# instead of a byte-pin.
+UNPINNED = {"stream_watermark_late", "stream_stream_join_outer"}
 
 
 def _canon(v):
