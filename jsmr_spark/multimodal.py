@@ -271,6 +271,22 @@ def ppm_frame_len(blob: bytes) -> int:
     return i + 1 + w * h * 3
 
 
+
+
+def split_p6_frames(b: bytes) -> list[bytes]:
+    """Split a concatenated-P6 'video' blob at its repeated headers —
+    the one boundary scan both the frame sampler and the scene-cut
+    detector must agree on (extracted so a parser fix can never apply
+    to one worker and not the other)."""
+    frames: list[bytes] = []
+    i = 0
+    while i < len(b) and b[i : i + 2] == b"P6":
+        n = ppm_frame_len(b[i:])
+        frames.append(b[i : i + n])
+        i += n
+    return frames
+
+
 def framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: split each video into frames by parsing the
     repeated P6 headers, keep every FRAME_STRIDE-th frame, decode the
@@ -288,13 +304,7 @@ def framesample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             )
         }
         for doc_id, b in zip(pdf["doc_id"], pdf["video"]):
-            b = bytes(b)
-            frames: list[bytes] = []
-            i = 0
-            while i < len(b) and b[i : i + 2] == b"P6":
-                n = ppm_frame_len(b[i:])
-                frames.append(b[i : i + n])
-                i += n
+            frames = split_p6_frames(bytes(b))
             kept = frames[::FRAME_STRIDE]
             pix = b"".join(decode_image(f)[3] for f in kept)
             out["doc_id"].append(doc_id)
@@ -459,13 +469,7 @@ def scenecut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "n_frames", "n_cuts", "max_jump")}
         for doc_id, b in zip(pdf["doc_id"], pdf["video"]):
-            b = bytes(b)
-            frames: list[bytes] = []
-            i = 0
-            while i < len(b) and b[i : i + 2] == b"P6":
-                n = ppm_frame_len(b[i:])
-                frames.append(b[i : i + n])
-                i += n
+            frames = split_p6_frames(bytes(b))
             energies = [sum(decode_image(f)[3]) for f in frames]
             jumps = [abs(x - y) for x, y in zip(energies, energies[1:])]
             out["doc_id"].append(doc_id)

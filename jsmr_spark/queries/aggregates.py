@@ -700,33 +700,40 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct-set intersection via bitmap algebra — the
     audience-overlap question (users who both viewed AND clicked)
-    answered without ever shuffling raw user ids: each side and their
-    stacked union reduce to fixed-size per-bucket bitmaps (mergeable
-    partials, same machinery as q_sketch_bitmap_distinct), and
-    inclusion-exclusion gives |A ∩ B| = |A| + |B| - |A ∪ B| from three
-    bitmap counts. At 100 TB the exchange carries <=4KB bitmaps per
+    answered without ever shuffling raw user ids: ONE scan builds
+    per-(side, bucket) bitmaps (mergeable partials, same machinery as
+    q_sketch_bitmap_distinct), the union bitmap OR-merges those buckets
+    without touching the corpus again, and inclusion-exclusion gives
+    |A ∩ B| = |A| + |B| - |A ∪ B| from three bitmap counts. At 100 TB the exchange carries <=4KB bitmaps per
     (side, bucket) partition instead of one row per distinct user —
     and unlike an HLL intersection estimate, every count is exact.
     Oracle: the literal distinct counts + INTERSECT, so a lost bucket,
     a double-counted id, or broken inclusion-exclusion fails the hash."""
-    ev = t(spark, sf_dir, "events")
-
-    def bitmap_card(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy(F.bitmap_bucket_number(F.col("user_id")).alias("bkt"))
-            .agg(
-                F.bitmap_construct_agg(
-                    F.bitmap_bit_position(F.col("user_id"))
-                ).alias("bm")
-            )
-            .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n"))
+    # ONE corpus scan: per-(side, bucket) bitmaps built in a single
+    # aggregate; the union bitmap is then an OR-merge over the tiny
+    # bucket table, never a second pass over the events.
+    bm = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .groupBy(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bkt"),
         )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias(
+                "bm"
+            )
+        )
+    )
 
-    v = ev.filter(F.col("event_type") == "view").select("user_id")
-    c = ev.filter(F.col("event_type") == "click").select("user_id")
-    nv = bitmap_card(v).select(F.col("n").alias("n_view"))
-    nc = bitmap_card(c).select(F.col("n").alias("n_click"))
-    nu = bitmap_card(v.unionByName(c)).select(F.col("n").alias("n_union"))
+    def card(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias(alias))
+
+    nv = card(bm.filter(F.col("event_type") == "view"), "n_view")
+    nc = card(bm.filter(F.col("event_type") == "click"), "n_click")
+    nu = card(
+        bm.groupBy("bkt").agg(F.bitmap_or_agg(F.col("bm")).alias("bm")), "n_union"
+    )
     return (
         nv.crossJoin(nc)
         .crossJoin(nu)

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from jsmr_spark.compat import cents, pct, r4, sql_cents, sql_pct
 from jsmr_spark.queries.common import sql, t
+from jsmr_spark.queries.shared_sql import (
+    RANGE_JOIN_ORACLE,
+    SESSION_GAP_MINUTES,
+    SESSION_ISLANDS_CTE,
+)
 from jsmr_spark.registry import query
 
 
@@ -246,17 +251,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_join_range",
-    """
-    SELECT v.event_id AS view_id, k.event_id AS click_id, v.user_id,
-           CAST(date_diff('microsecond', v.ts, k.ts) AS BIGINT) AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    JOIN (SELECT * FROM events WHERE event_type = 'click') k
-      ON v.user_id = k.user_id
-     AND k.ts > v.ts AND k.ts <= v.ts + INTERVAL 5 MINUTE
-    """,
-)
+@query("q_join_range", RANGE_JOIN_ORACLE)
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join: click within 5 minutes after a view by the
     same user. Equi key (user_id) drives the shuffle; the time predicate
@@ -1409,27 +1404,15 @@ IVL_SPINE_START = "2024-01-01 00:00:00"
 IVL_SPINE_END = "2024-01-30 23:00:00"
 IVL_WIN_MIN = 15  # maintenance window length, minutes
 
-# Gaps-and-islands session CTE shared with the q_stream_session oracle
-# (same 10-minute inactivity gap, session end = last event + gap).
-_IVL_SESS_SQL = """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 10 minutes
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged
-    ),
+# Gaps-and-islands session CTE: the SAME shared fragment as the
+# q_stream_session oracle (jsmr_spark/queries/shared_sql.py), so the
+# gap rule and tie-break can never diverge between the two keys.
+_IVL_SESS_SQL = f"""
+    WITH {SESSION_ISLANDS_CTE},
     sess AS (
       SELECT user_id,
              min(ts) AS s_start,
-             max(ts) + INTERVAL 10 minutes AS s_end
+             max(ts) + INTERVAL {SESSION_GAP_MINUTES} minutes AS s_end
       FROM numbered GROUP BY user_id, sid
     )
 """

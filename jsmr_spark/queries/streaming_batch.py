@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from jsmr_spark.compat import cents, sql_cents
 from jsmr_spark.queries.common import t
+from jsmr_spark.queries.shared_sql import (
+    RANGE_JOIN_ORACLE,
+    SESSION_GAP_MINUTES,
+    SESSION_ISLANDS_CTE,
+)
 from jsmr_spark.registry import query
 
 _VAL_C = sql_cents("value")
@@ -102,23 +107,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_session",
     f"""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 10 minutes
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    numbered AS (
-      SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      FROM flagged
-    )
+    WITH {SESSION_ISLANDS_CTE}
     SELECT user_id,
            min(ts) AS session_start,
-           max(ts) + INTERVAL 10 minutes AS session_end,
+           max(ts) + INTERVAL {SESSION_GAP_MINUTES} minutes AS session_end,
            count(*) AS n_events,
            sum({_VAL_C}) / 100.0::DOUBLE AS session_value
     FROM numbered
@@ -517,17 +509,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "stream_stream_join",
-    """
-    SELECT v.event_id AS view_id, k.event_id AS click_id, v.user_id,
-           CAST(date_diff('microsecond', v.ts, k.ts) AS BIGINT) AS gap_us
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    JOIN (SELECT * FROM events WHERE event_type = 'click') k
-      ON v.user_id = k.user_id
-     AND k.ts > v.ts AND k.ts <= v.ts + INTERVAL 5 MINUTE
-    """,
-)
+@query("stream_stream_join", RANGE_JOIN_ORACLE)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE stream-stream interval join, fully value-checked: views and
     clicks replay as two independent watermarked file streams joined on

@@ -1058,20 +1058,14 @@ def run_window_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE stream-stream interval join: views and clicks arrive as two
-    independent watermarked streams (same staged chunks, two file
-    sources), joined on user_id with the click-within-5-minutes time
-    bound — the flagship Structured Streaming surface where BOTH sides
-    are stateful: each side buffers rows in the state store until the
-    other side's matches arrive, and the watermark + time-range
-    condition lets the engine evict state older than v_ts + 5min.
-
-    For an INNER join, emission is match-driven, not watermark-gated
-    (watermarks only bound state cleanup), so a CLOSED input emits
-    every pair exactly once and the result is fully hash-checkable
-    against the batch oracle — stronger than the append-mode windowed
-    aggregates, whose tail windows stay open at shutdown."""
+def _stream_stream_join(spark: SparkSession, sf_dir: str, how: str, select_cols):
+    """Shared construction for the two-stream interval join replays:
+    stage chunks, build the view and click file streams with 10-minute
+    watermarks, join on user_id with the click-within-5-minutes bound
+    (`how` = "inner" | "left_outer"), sink to memory, return the table.
+    One function so the predicate, watermark delay, and staging can
+    never diverge between the hash-checked inner twin and the
+    null-semantics outer twin."""
     base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
     try:
         schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
@@ -1109,17 +1103,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") == F.col("k_user"))
             & (F.col("k_ts") > F.col("v_ts"))
             & (F.col("k_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
-        ).select(
-            "view_id",
-            "click_id",
-            "user_id",
-            (F.unix_micros(F.col("k_ts")) - F.unix_micros(F.col("v_ts"))).alias(
-                "gap_us"
-            ),
-        )
-        name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-        # two self-contained sources -> sink directly (_run_stream
-        # would build a third, unused source)
+            how,
+        ).select(*select_cols)
+        name = f"ssjoin_{how}_{uuid.uuid4().hex[:8]}"
         with _replay_shuffle_clamp(spark, n_rows):
             q = (
                 joined.writeStream.format("memory")
@@ -1133,6 +1119,35 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join: views and clicks arrive as two
+    independent watermarked streams (same staged chunks, two file
+    sources), joined on user_id with the click-within-5-minutes time
+    bound — the flagship Structured Streaming surface where BOTH sides
+    are stateful: each side buffers rows in the state store until the
+    other side's matches arrive, and the watermark + time-range
+    condition lets the engine evict state older than v_ts + 5min.
+
+    For an INNER join, emission is match-driven, not watermark-gated
+    (watermarks only bound state cleanup), so a CLOSED input emits
+    every pair exactly once and the result is fully hash-checkable
+    against the batch oracle — stronger than the append-mode windowed
+    aggregates, whose tail windows stay open at shutdown."""
+    return _stream_stream_join(
+        spark,
+        sf_dir,
+        "inner",
+        [
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros(F.col("k_ts")) - F.unix_micros(F.col("v_ts"))).alias(
+                "gap_us"
+            ),
+        ],
+    )
 
 
 def run_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,56 +1163,6 @@ def run_stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch inner join exactly, every null-extended view is a true batch
     anti-join member, and nulls cover the anti-join set up to the
     final-watermark tail."""
-    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=6, late_tail=False)
-    try:
-        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
-
-        def source() -> DataFrame:
-            return (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .option("latestFirst", "false")
-                .parquet(os.path.join(src, "chunk_*"))
-            )
-
-        v = (
-            source()
-            .filter(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("view_id"),
-                "user_id",
-                F.col("ts").alias("v_ts"),
-            )
-            .withWatermark("v_ts", "10 minutes")
-        )
-        k = (
-            source()
-            .filter(F.col("event_type") == "click")
-            .select(
-                F.col("event_id").alias("click_id"),
-                F.col("user_id").alias("k_user"),
-                F.col("ts").alias("k_ts"),
-            )
-            .withWatermark("k_ts", "10 minutes")
-        )
-        joined = v.join(
-            k,
-            (F.col("user_id") == F.col("k_user"))
-            & (F.col("k_ts") > F.col("v_ts"))
-            & (F.col("k_ts") <= F.col("v_ts") + F.expr("INTERVAL 5 MINUTES")),
-            "left_outer",
-        ).select("view_id", "user_id", "v_ts", "click_id")
-        name = f"ssouter_{uuid.uuid4().hex[:8]}"
-        with _replay_shuffle_clamp(spark, n_rows):
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.processAllAvailable()
-            q.stop()
-        return spark.table(name)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    return _stream_stream_join(
+        spark, sf_dir, "left_outer", ["view_id", "user_id", "v_ts", "click_id"]
+    )

@@ -1029,7 +1029,14 @@ def test_weighted_median_ldiv_interval_invariants(spark):
     for key, tset in topics.items():
         assert (len(tset) < LDIV_L) == (key in reported), key
 
-    # interval join vs brute-force theta join over the session table
+    # interval join vs brute-force theta join over the session table —
+    # iterating the FULL generated spine, not just the windows the
+    # query returned, so a window whose sessions were all dropped by
+    # the bucket blocking cannot pass vacuously
+    from datetime import datetime
+
+    from jsmr_spark.queries.joins import IVL_SPINE_END, IVL_SPINE_START
+
     iv = {
         r.window_start: (r.n_sessions, r.n_users)
         for r in get_query("q_join_interval").fn(spark, sf).collect()
@@ -1041,13 +1048,16 @@ def test_weighted_median_ldiv_interval_invariants(spark):
         .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id")
         .collect()
     )
-    wins = sorted(iv)
+    spine_start = datetime.fromisoformat(IVL_SPINE_START)
+    spine_end = datetime.fromisoformat(IVL_SPINE_END)
     brute = {}
-    for w0 in wins:
+    w0 = spine_start
+    while w0 <= spine_end:
         w1 = w0 + timedelta(minutes=IVL_WIN_MIN)
         hits = [r for r in sess if r.s < w1 and w0 < r.e]
         if hits:
             brute[w0] = (len(hits), len({r.user_id for r in hits}))
+        w0 += timedelta(hours=1)
     assert iv == brute
 
 

@@ -345,15 +345,22 @@ def test_stream_stream_outer_join_null_semantics(spark):
     anti = set(views) - {v for v, _ in batch_pairs}
     assert nulls <= anti, "a null-extended view actually has a click"
     # The watermark that governs null emission in the FINAL data batch
-    # is the one updated after the penultimate batch: max ts over the
-    # first n_chunks-1 staged chunks minus the 10-minute delay.
+    # is the one updated after the penultimate batch — and with TWO
+    # watermarked streams the engine takes the MINIMUM of the per-side
+    # watermarks (multipleWatermarkPolicy=min), each fed only its own
+    # event type. So the basis is min(max view-ts, max click-ts) over
+    # the first n_chunks-1 staged chunks, minus the 10-minute delay.
     # (availableNow terminates after the last data batch, so the
     # end-of-stream watermark never gets a flushing batch — state
     # above this boundary is the expected buffered tail.)
     n_chunks = 6  # matches run_stream_stream_join_outer's staging
-    ordered = sorted((r.ts, r.event_id) for r in ev)
+    ordered = sorted((r.ts, r.event_id, r.event_type) for r in ev)
     last_chunk_rows = len(ordered) // n_chunks  # ntile: last tile is the small one
-    wm_basis = ordered[len(ordered) - last_chunk_rows - 1][0]
+    head_rows = ordered[: len(ordered) - last_chunk_rows]
+    wm_basis = min(
+        max(ts for ts, _, typ in head_rows if typ == "view"),
+        max(ts for ts, _, typ in head_rows if typ == "click"),
+    )
     provable = {
         v
         for v in anti

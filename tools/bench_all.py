@@ -39,9 +39,11 @@ def cache_from_md(cache_path: str) -> None:
     )
     cache = {}
     for line in open(bench_md):
+        # any per-key row: a bare name plus four numeric cells (the
+        # numeric groups already exclude the header and **TOTAL** rows,
+        # and a fixed prefix list would silently drop future families)
         m = re.match(
-            r"\| ((?:q_|a0_|sink_|source_|stream_|mr_)\S*) \| ([\d.]+) \| "
-            r"([\d.]+) \| ([\d.]+) \| [\d.]+ \|",
+            r"\| (\S+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| [\d.]+ \|",
             line,
         )
         if m:
@@ -178,6 +180,9 @@ def main():
 
 if __name__ == "__main__":
     if "--cache-from-md" in sys.argv:
-        cache_from_md(sys.argv[sys.argv.index("--cache-from-md") + 1])
+        idx = sys.argv.index("--cache-from-md")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("--cache-from-md requires a cache-file path")
+        cache_from_md(sys.argv[idx + 1])
     else:
         main()
