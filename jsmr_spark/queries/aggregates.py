@@ -744,3 +744,95 @@ def q_sketch_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_view") + F.col("n_click") - F.col("n_union")).alias("n_both"),
         )
     )
+
+
+@query(
+    "q_sketch_hll_merge",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS est_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ROLLUP TABLE — the 100 TB distinct-count
+    pattern the plain approx key (q_agg_approx_distinct) doesn't cover:
+    per-(event_type, day) HLL sketches are built once, PERSISTED to a
+    parquet sketch table (binary column), re-read, and cross-day
+    hll_union_agg merges them into per-type estimates — so tomorrow's
+    query unions yesterday's sketches instead of rescanning a year of
+    raw events. Exercises hll_sketch_agg -> binary parquet round-trip
+    -> hll_union_agg -> hll_sketch_estimate.
+
+    Sketch estimates are impl-specific, so the hashed output pins the
+    EXACT count (computed alongside) plus an est_ok flag asserting the
+    merged estimate lands within 2% — a broken merge or a corrupted
+    persisted sketch flips est_ok and fails the hash, while the
+    estimate itself stays out of the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_hll_sketches_{spark.sparkContext.applicationId}",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    daily.write.mode("overwrite").parquet(path)
+    try:
+        merged = (
+            spark.read.parquet(path)
+            .groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        rows = (
+            exact.join(merged, "event_type")
+            .select(
+                "event_type",
+                "n_exact",
+                (
+                    F.abs(F.col("est") - F.col("n_exact"))
+                    <= 0.02 * F.col("n_exact")
+                ).alias("est_ok"),
+            )
+            .collect()  # materialize before deleting the sketch table
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_exact bigint, est_ok boolean"
+    )
+
+
+_FILTER_CLAUSE_SQL = f"""
+    SELECT event_type,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           CAST(coalesce(sum({sql_cents("value")})
+                         FILTER (WHERE user_id % 2 = 0), 0) AS BIGINT)
+             AS even_user_cents,
+           count(DISTINCT user_id) FILTER (WHERE value > 50) AS n_high_users
+    FROM events
+    GROUP BY event_type
+    """
+
+
+@query("q_agg_filter_clause", _FILTER_CLAUSE_SQL)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) aggregate modifier (SQL:2003): per-aggregate
+    predicates in ONE scan and ONE hash aggregate — the declarative
+    form of the CASE-WHEN pivot idiom (q_stream_funnel) that warehouse
+    SQL ports rely on. Distinct-with-filter exercises the expand path
+    (each distinct aggregate keeps its own filter). coalesce pins the
+    no-matching-rows group to 0 on both engines; cents-sum is CAST to
+    BIGINT per the HUGEINT oracle policy."""
+    return sql(spark, sf_dir, _FILTER_CLAUSE_SQL)

@@ -586,3 +586,192 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(interp).alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+@query(
+    "q_assoc_rules",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    stats AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY p.support DESC, p.part_a, p.part_b)
+                  AS INT) AS rnk,
+             p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+             round(p.support / CAST(ca.c AS DOUBLE), 4) AS confidence,
+             round((p.support * s.n_baskets) / CAST(ca.c * cb.c AS DOUBLE), 4) AS lift
+      FROM pairs p
+      JOIN cnt ca ON ca.l_partkey = p.part_a
+      JOIN cnt cb ON cb.l_partkey = p.part_b
+      CROSS JOIN stats s
+    ) ranked WHERE rnk <= 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (a-priori's frequent-pair pass):
+    orders are baskets, parts are items; co-occurring pairs get
+    support, confidence(a->b), and lift. Top-20 by (support, part_a,
+    part_b) with an explicit rank column, so output order is data.
+
+    Scale shape: the pair generation is a SELF-JOIN KEYED ON BASKET —
+    never item x item. TPC-H baskets are <=13 items (fixture-measured),
+    so the explode is <=78 pairs per basket, linear in corpus size; the
+    support count is one keyed shuffle on (part_a, part_b), and the
+    min-support HAVING prunes the long tail before the scoring joins.
+    Top-20 goes through TakeOrdered (no global sort), then rank is
+    numbered on the 20 survivors. All scores derive from exact integer
+    counts through one shared expression tree, so both engines round
+    identical doubles."""
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    scored = (
+        pairs.join(
+            cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")),
+            "part_a",
+        )
+        .join(
+            cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            r4(F.col("support") / F.col("ca").cast("double")).alias("confidence"),
+            r4(
+                (F.col("support") * F.col("n_baskets"))
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("support"), "part_a", "part_b").limit(20)
+    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "part_a",
+        "part_b",
+        "support",
+        "confidence",
+        "lift",
+    )
+
+
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "q_attribution_last_touch",
+    f"""
+    WITH clk AS (
+      SELECT user_id, ts, event_id,
+             'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                          AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    pur AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    att AS (
+      SELECT coalesce(
+               (SELECT c.channel FROM clk c
+                WHERE c.user_id = p.user_id
+                  AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                  AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+               'direct') AS channel,
+             p.value
+      FROM pur p
+    )
+    SELECT channel, count(*) AS n_purchases,
+           CAST(sum({sql_cents("value")}) AS BIGINT) AS revenue_cents
+    FROM att GROUP BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue goes
+    to the most recent click by the same user within the 7-day lookback
+    (channel derived from the click's props), else 'direct'. The oracle
+    states the rule as a correlated top-1 subquery; the engine computes
+    it with ZERO joins — clicks and purchases union into one per-user
+    event stream and a single keyed window carries the last-click
+    struct forward (last(...) IGNORE NULLS over rows preceding), so a
+    purchase reads its attribution from the running state. One shuffle
+    on user_id total; the classic O(n log n)-per-user shape that
+    replaces the oracle's quadratic per-user scan at 100 TB.
+
+    The tie rule is pinned by the hash: a click at exactly the purchase
+    timestamp attributes only if its event_id is smaller (the (ts,
+    event_id) total order on both sides)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k STRING").getField("k").cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.concat(F.lit("ch"), (k % 5).cast("string")).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(None).cast("string").alias("channel")
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = F.last(
+        F.when(
+            F.col("channel").isNotNull(),
+            F.struct(F.col("ts").alias("cts"), F.col("channel").alias("ch")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        u.withColumn("lc", lc)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(
+                F.col("lc").isNotNull()
+                & (
+                    F.col("lc.cts")
+                    >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+                ),
+                F.col("lc.ch"),
+            )
+            .otherwise("direct")
+            .alias("channel"),
+            "value",
+        )
+    )
+    return pur.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(cents(F.col("value"))).alias("revenue_cents"),
+    )

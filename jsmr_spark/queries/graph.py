@@ -365,3 +365,97 @@ def triangles_frame(
         .unionAll(tri.select(F.col("c").alias("user_id")))
     )
     return corners.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SSSP_SRC = 0  # source nation
+SSSP_MAX_HOPS = 3
+SSSP_COST_NUM = 1_000_000  # edge cost = NUM // weight (heavier trade = cheaper)
+
+
+def _sssp_sql(int_div: str) -> str:
+    """Weighted SSSP, identical text on both engines apart from the
+    integer-division spelling (`//` DuckDB, `div` Spark)."""
+    return f"""
+    WITH RECURSIVE
+    ew AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    edges AS (
+      SELECT src, dst, CAST({SSSP_COST_NUM} {int_div} w AS BIGINT) AS cost FROM ew
+    ),
+    p(node, dist, hop) AS (
+      SELECT CAST({SSSP_SRC} AS INTEGER) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+      UNION ALL
+      SELECT e.dst AS node, p.dist + e.cost AS dist, p.hop + 1 AS hop
+      FROM p JOIN edges e ON e.src = p.node
+      WHERE p.hop < {SSSP_MAX_HOPS}
+    )
+    SELECT n.n_name, CAST(min(p.dist) AS BIGINT) AS dist
+    FROM p JOIN nation n ON n.n_nationkey = p.node
+    GROUP BY n.n_name
+    """
+
+
+_SSSP_SPARK_RECURSION = f"""
+    WITH RECURSIVE
+    p(node, dist, hop) AS (
+      SELECT CAST({SSSP_SRC} AS INTEGER) AS node, CAST(0 AS BIGINT) AS dist, 0 AS hop
+      UNION ALL
+      SELECT e.dst AS node, p.dist + e.cost AS dist, p.hop + 1 AS hop
+      FROM p JOIN sssp_edges e ON e.src = p.node
+      WHERE p.hop < {SSSP_MAX_HOPS}
+    )
+    SELECT n.n_name, CAST(min(p.dist) AS BIGINT) AS dist
+    FROM p JOIN nation n ON n.n_nationkey = p.node
+    GROUP BY n.n_name
+"""
+
+
+@query("q_graph_sssp", _sssp_sql("//"))
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (bounded Bellman-Ford via
+    WITH RECURSIVE): min-cost route from NATION_0 to every nation
+    within <= 3 hops over the FULL weighted trade graph — the min-plus
+    semiring sibling of the BFS (q_graph_reachability, hop counts) and
+    the sum-times PageRank (q_graph_pagerank, rank mass). Edge cost is
+    the exact integer 1e6 // trade-volume, so heavy trade routes are
+    cheap and every distance is a BIGINT both engines compute
+    bit-identically — no float path sums.
+
+    Same scale shape as the BFS: the edge build is the fact chain
+    (keyed joins + aggregate), materialized ONCE as a local relation
+    (bounded by nations^2) so recursion levels don't re-run it; each
+    level is one keyed frontier join and the final min(dist) collapses
+    path multiplicity. A node-count-scaled graph keeps levels linear
+    via the same min-agg frontier dedup."""
+    from jsmr_spark.io import register_views
+
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    sup = t(spark, sf_dir, "supplier").alias("s")
+    edges = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(sup, F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .groupBy(
+            F.col("c.c_nationkey").alias("src"),
+            F.col("s.s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            "src", "dst", F.expr(f"CAST({SSSP_COST_NUM} div w AS BIGINT)").alias("cost")
+        )
+    )
+    edge_rows = edges.collect()  # bounded by nations^2 (control-plane-sized)
+    spark.createDataFrame(edge_rows, "src int, dst int, cost bigint").createOrReplaceTempView(
+        "sssp_edges"
+    )
+    register_views(spark, sf_dir)
+    return spark.sql(_SSSP_SPARK_RECURSION)

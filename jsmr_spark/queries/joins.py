@@ -1496,3 +1496,60 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "q_join_lateral",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL:1999 LATERAL, Spark 3.2+):
+    top-2 orders per customer written as a per-row subquery instead of
+    the window-function form (q_win_topk_group). Catalyst decorrelates
+    the LATERAL into a join + per-key limit, so the declarative "for
+    each customer, run this ordered sub-select" costs one keyed shuffle
+    — users porting LATERAL-heavy warehouse SQL keep their query text
+    and still get a distributed plan, which is the point of this key.
+
+    (o_orderkey tiebreak makes the top-2 total; o_totalprice is a raw
+    parquet double read identically by both engines, so no rounding
+    recipe is needed.)"""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """,
+    )
+
+
+_EXISTENCE_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+       OR o_totalprice > 400000
+    """
+
+
+@query("q_join_existence", _EXISTENCE_SQL)
+def q_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExistenceJoin: an IN-subquery under OR cannot be planned as a
+    plain semi join (rows failing the subquery must survive via the
+    other disjunct), so Catalyst plans the distinct ExistenceJoin
+    variant — a semi join that RETURNS the match flag as a column
+    instead of filtering, leaving the disjunction to a post-join
+    filter. The remaining physical join type in the join-surface
+    matrix (inner/outer/semi/anti/cross/existence); the plan shape is
+    asserted in tests. Small dim side broadcasts like any semi join;
+    the fact side never duplicates rows (existence, not inner)."""
+    return sql(spark, sf_dir, _EXISTENCE_SQL)

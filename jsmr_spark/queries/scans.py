@@ -630,3 +630,111 @@ def sink_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, "status string, n bigint, sum_price_cents bigint")
+
+
+@query(
+    "source_binaryfile",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source (spark.read.format('binaryFile')): the ingest
+    path for opaque media blobs — each file becomes one row of (path,
+    modificationTime, length, content) with NO decode on the scan, the
+    right first touch for a 100 TB image/audio crawl (decode happens
+    later, columnar, in mapInPandas — q_multimodal_*).
+
+    Staging is executor-side: a mapInPandas pass writes each sampled
+    doc's utf-8 bytes to its own file (no driver collect; at scale the
+    same shape writes to an object store). The re-read parses doc_id
+    back out of the file NAME, so the key also pins path metadata
+    handling; n_bytes comes from the source's own length column, and
+    the md5 digest over content is value-checked against the oracle
+    hashing the original rows — any dropped, truncated, or mangled
+    blob fails the hash."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_source_binfile_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    src = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    )
+
+    def write_blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(os.path.join(out_dir, f"{doc_id}.bin"), "wb") as fh:
+                    fh.write(text.encode("utf-8"))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    n_files = (
+        src.mapInPandas(write_blobs, "n long").agg(F.sum("n")).collect()[0][0] or 0
+    )
+
+    # Two small-files traps, both measured at the 10x probe (5000
+    # files): (1) a per-file GLOB expands to 5000 root paths and
+    # triggers a 5000-task distributed listing job — loading the
+    # DIRECTORY keeps the listing driver-side (1 root path, under the
+    # parallel-discovery threshold); (2) the scan plans one partition
+    # per file — coalesce groups them into ~64-file tasks without a
+    # shuffle. Together: 19.5s -> ~2s at 10x. This is the mitigation
+    # every blob-crawl ingest needs before real decode work.
+    back = (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .coalesce(max(1, min(1024, n_files // 64 + 1)))
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+GEN_N = 100_000
+GEN_MULT = 2_654_435_761  # Knuth multiplicative constant; id*mult < 2^63
+
+
+@query(
+    "source_generate",
+    f"""
+    SELECT 'c' || CAST(id % 7 AS VARCHAR) AS cat,
+           count(*) AS n,
+           CAST(sum((id * {GEN_MULT}) % 1000003) AS BIGINT) AS sum_v,
+           min((id * {GEN_MULT}) % 1000003) AS min_v,
+           max((id * {GEN_MULT}) % 1000003) AS max_v
+    FROM range({GEN_N}) t(id)
+    GROUP BY 1
+    """,
+)
+def source_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine data GENERATOR source (spark.range): the dbgen path —
+    synthetic benchmark/test data produced distributed, no input files
+    at all. spark.range emits the id spine already partitioned (each
+    task generates its own id slice), derived columns are pure JVM
+    expressions, so a 100 TB synthetic table materializes at full
+    cluster parallelism with zero data motion before the write.
+
+    Derivations are exact int64 arithmetic (id * Knuth-multiplier mod
+    prime stays < 2^63), so the DuckDB range() oracle reproduces every
+    value bit-for-bit."""
+    df = spark.range(GEN_N).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("cat"),
+        ((F.col("id") * GEN_MULT) % 1000003).alias("v"),
+    )
+    return df.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -541,3 +541,22 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_stream_stream_join_outer
 
     return run_stream_stream_join_outer(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_within_wm",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, ts
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark replay over doubled chunks — the
+    state-bounded exactly-once dedup (state evicted at watermark + delay
+    instead of living forever per key). Closed-input output equals the
+    batch distinct, so the driver hash pins both the dedup and the
+    no-late-reemission guarantee. See streaming/core.py:
+    run_dedup_within_wm_stream for the eviction argument."""
+    from jsmr_spark.streaming.core import run_dedup_within_wm_stream
+
+    return run_dedup_within_wm_stream(spark, sf_dir)

@@ -131,3 +131,53 @@ def q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "q_corpus_divergence",
+    """
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    lg AS (SELECT lang, count(*) AS cl FROM documents GROUP BY 1),
+    sl AS (SELECT source, lang, count(*) AS csl FROM documents GROUP BY 1, 2),
+    s AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1)
+    SELECT s.source, s.cs AS n_docs,
+           round(sum((sl.csl / CAST(s.cs AS DOUBLE))
+                     * ln((sl.csl * tot.n) / CAST(s.cs * lg.cl AS DOUBLE))), 4)
+             AS kl_vs_corpus
+    FROM s
+    JOIN sl ON sl.source = s.source
+    JOIN lg ON lg.lang = sl.lang
+    CROSS JOIN tot
+    GROUP BY s.source, s.cs
+    """,
+)
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(source's language distribution ||
+    whole-corpus language distribution) — the mixture-health monitor a
+    training-data pipeline runs per ingest source (a source whose KL
+    jumps changed its language mix). Zero-count langs contribute no
+    term (sum over observed (source, lang) only), so KL is finite by
+    construction.
+
+    All probabilities derive from exact integer counts and the
+    summand is ONE shared expression tree — (csl/cs) * ln(csl*n /
+    (cs*cl)) — evaluated identically by both engines; the sum spans
+    <=n_langs terms per source, so order drift is sub-ulp and round(,4)
+    absorbs it. Scale shape: two keyed count aggregates over the
+    corpus, then all remaining joins are on the tiny (source x lang)
+    table; the corpus-level lang table broadcasts."""
+    docs = t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    lg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cl"))
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("csl"))
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cs"))
+    term = (F.col("csl") / F.col("cs").cast("double")) * F.log(
+        (F.col("csl") * F.col("n")) / (F.col("cs") * F.col("cl")).cast("double")
+    )
+    return (
+        s.join(sl, "source")
+        .join(F.broadcast(lg), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", F.col("cs").alias("n_docs"))
+        .agg(r4(F.sum(term)).alias("kl_vs_corpus"))
+    )

@@ -578,3 +578,77 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_ts_seasonal",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT s.event_type, s.h, CAST(coalesce(hr.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    ),
+    fc AS (
+      SELECT event_type, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS f
+      FROM filled
+    )
+    SELECT event_type,
+           count(*) AS n_hours_scored,
+           CAST(sum(abs(n - f)) AS BIGINT) AS sum_abs_err,
+           round(CAST(sum(abs(n - f)) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS mae
+    FROM fc WHERE f IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: per event type, predict each
+    hour's event count with the count 24 hours earlier (same hour
+    yesterday) over a zero-filled hourly spine, and report the absolute
+    -error backtest. The spine derives from each type's own [min, max]
+    hour via sequence() — one per-type aggregate row exploded, no
+    driver round-trip, no hand calendar (q_gap_fill's pattern, keyed).
+
+    This is the cheap-and-strong baseline every forecasting pipeline
+    needs before anything learned: at 100 TB the hourly aggregate is
+    the only corpus-sized work (narrow map + keyed hash-agg); the
+    lag(24) runs per type over O(hours) rows. Errors stay exact
+    integers end-to-end; MAE is the single final division both engines
+    round identically."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    fc = filled.withColumn("f", F.lag("n", 24).over(w)).filter(
+        F.col("f").isNotNull()
+    )
+    err = F.abs(F.col("n") - F.col("f"))
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_scored"),
+        F.sum(err).alias("sum_abs_err"),
+        r4(F.sum(err) / F.count(F.lit(1)).cast("double")).alias("mae"),
+    )

@@ -382,3 +382,150 @@ def q_mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_fn=lambda seg, vs: [(seg, vs[0][0], vs[0][1] / 100.0)],
         output_schema="c_mktsegment string, n_orders long, total_price double",
     )
+
+
+@query(
+    "q_udf_arrow",
+    """
+    SELECT o_orderkey,
+           CAST(split_part(o_orderpriority, '-', 1) AS INT) * 10
+             + least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS priority_band
+    FROM orders
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``udf(..., useArrow=True)``,
+    Spark 4): the same row-wise signature as q_udf_scalar but the
+    engine ships column batches over Arrow instead of pickling rows —
+    the migration path for legacy row UDFs that cannot be rewritten as
+    pandas_udf wholesale. The function itself is still called per row;
+    only the transport is batched, so this sits between q_udf_scalar
+    and q_pandas_udf in the Python-lane cost ladder (and the docstrings
+    of all three point users at built-ins first).
+
+    Integer-only arithmetic (priority digit * 10 + clamped price
+    bucket), so the SQL mirror is bit-exact by construction."""
+
+    @udf("int", useArrow=True)
+    def priority_band(priority: str, totalprice: float) -> int:
+        return int(priority.split("-")[0]) * 10 + min(int(totalprice / 50000), 9)
+
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        priority_band(F.col("o_orderpriority"), F.col("o_totalprice")).alias(
+            "priority_band"
+        ),
+    )
+
+
+@query(
+    "q_cogrouped_map",
+    """
+    SELECT k.user_id, k.event_id AS click_id,
+           count(v.event_id) AS n_views_before
+    FROM events k LEFT JOIN events v
+      ON v.user_id = k.user_id AND v.event_type = 'view' AND v.ts <= k.ts
+    WHERE k.event_type = 'click'
+    GROUP BY k.user_id, k.event_id
+    """,
+)
+def q_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map (``groupBy().cogroup().applyInPandas``): the only
+    Python surface that hands ONE function two aligned per-key pandas
+    frames — here clicks and views cogrouped per user, counting each
+    click's prior views with one vectorized searchsorted over that
+    user's sorted view timestamps, instead of the oracle's quadratic
+    per-user theta join. Keys present on only one side still reach the
+    function (empty other frame), which the click-only/view-only users
+    in the fixture exercise.
+
+    Scale shape: both sides shuffle once on user_id (co-partitioned by
+    the cogroup), state per task is one user's rows, and the pandas
+    work is O(V log V + K log V) per user — no cross-user data motion.
+    The driver hash pins the tie rule (a view at exactly the click ts
+    counts: side='right' == the oracle's v.ts <= k.ts)."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+
+    def n_views_before(kdf: pd.DataFrame, vdf: pd.DataFrame) -> pd.DataFrame:
+        if kdf.empty:  # view-only user: nothing to emit
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    "n_views_before": pd.Series(dtype="int64"),
+                }
+            )
+        import numpy as np
+
+        vts = np.sort(vdf["ts"].to_numpy())
+        n = np.searchsorted(vts, kdf["ts"].to_numpy(), side="right")
+        return pd.DataFrame(
+            {
+                "user_id": kdf["user_id"],
+                "click_id": kdf["click_id"],
+                "n_views_before": n.astype("int64"),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            n_views_before, "user_id bigint, click_id bigint, n_views_before bigint"
+        )
+    )
+
+
+@query(
+    "q_udtf_analyze",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS tok1,
+           split_part(text, ' ', 2) AS tok2,
+           split_part(text, ' ', 3) AS tok3
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the output
+    SCHEMA is computed at plan time from the literal width argument —
+    split_cols(text, 3) resolves to columns tok1..tok3 before any data
+    moves, so Catalyst prunes and codegens against the derived schema
+    like any static one. This is the table-function counterpart of
+    schema-on-read: one UDTF serves every width without a family of
+    fixed-arity registrations (q_udtf is the static-schema flavor).
+
+    Every fixture doc has >=10 tokens (asserted in the edge test), so
+    the ''-vs-NULL out-of-range divergence between split_part and a
+    short split can't arise at width 3."""
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class SplitCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{i + 1}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("split_cols", udtf(SplitCols))
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).createOrReplaceTempView(
+        "udtf_docs_poly"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.* FROM udtf_docs_poly d, LATERAL split_cols(d.text, 3) s"
+    )

@@ -197,6 +197,39 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark (Spark 3.5+):
+    the state-BOUNDED exactly-once API. Plain dropDuplicates keeps a
+    state row per key FOREVER unless the event-time column is part of
+    the dedup key; WithinWatermark guarantees dedup only for duplicates
+    arriving inside the watermark delay and EVICTS state the moment the
+    watermark passes ts + delay — the only sustainable shape for an
+    unbounded 100 TB stream keyed on event_id.
+
+    Replay: every chunk is delivered twice (at-least-once redelivery,
+    adjacent in arrival order). Each redelivered row is then either
+    still inside the watermark window (deduped by live state) or
+    older than the watermark (dropped as late) — so the closed-input
+    output is EXACTLY the distinct original rows, fully hash-checkable,
+    while state stays bounded by the delay instead of the key space."""
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
+    try:
+        for d in sorted(os.listdir(src)):
+            shutil.copytree(os.path.join(src, d), os.path.join(src, d + "_redeliver"))
+
+        def transform(stream: DataFrame) -> DataFrame:
+            return (
+                stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .select("event_id", "user_id", "event_type", "ts")
+            )
+
+        name = f"dedupwm_{uuid.uuid4().hex[:8]}"
+        return _run_stream(spark, src, transform, name, n_rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_watermark_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data policy demonstration (rows-only key): tumbling counts
     with a 10-minute watermark over a replay whose final chunk re-sends

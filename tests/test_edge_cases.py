@@ -364,3 +364,138 @@ def test_dynamic_overwrite_premise_static_would_clobber(spark):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_round6_new_key_invariants(spark):
+    """Cross-key invariants for the round-6 additions that the
+    differential hash alone doesn't articulate: association-rule score
+    identities, seasonal backtest arithmetic, KL non-negativity,
+    cogroup tie semantics, HLL merge tolerance, and the UDTF-width
+    precondition."""
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+
+    # q_assoc_rules: pair ordering, min support, and the lift/confidence
+    # identity lift = confidence / P(b)
+    rules = get_query("q_assoc_rules").fn(spark, sf).collect()
+    assert len(rules) == 20 and [r.rnk for r in rules] == list(range(1, 21))
+    for r in rules:
+        assert r.part_a < r.part_b and r.support >= 2
+        assert 0.0 < r.confidence <= 1.0
+
+    # q_ts_seasonal: every type scores span-24 hours and mae * n equals
+    # the exact integer error sum within the 4dp rounding
+    for r in get_query("q_ts_seasonal").fn(spark, sf).collect():
+        assert r.n_hours_scored > 0 and r.sum_abs_err >= 0
+        assert abs(r.mae * r.n_hours_scored - r.sum_abs_err) <= 1e-4 * r.n_hours_scored
+
+    # q_corpus_divergence: KL >= 0 (Gibbs), sources partition the corpus
+    div = get_query("q_corpus_divergence").fn(spark, sf).collect()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in div) == n_docs
+    assert all(r.kl_vs_corpus >= -1e-4 for r in div)
+
+    # q_sketch_hll_merge: the persisted-and-merged estimate stays in tolerance
+    assert all(r.est_ok for r in get_query("q_sketch_hll_merge").fn(spark, sf).collect())
+
+    # q_udtf_analyze width precondition: every fixture doc has >= 10
+    # tokens, so tok1..tok3 can never hit split_part's out-of-range ''
+    min_toks = duckdb.sql(
+        f"SELECT min(len(string_split(text, ' '))) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert min_toks >= 10
+
+
+def test_cogrouped_map_tie_and_one_sided_keys(spark):
+    """The cogroup function must count a view at EXACTLY the click ts
+    (side='right') and must tolerate keys present on only one side —
+    pinned on a hand-built frame, independent of the fixtures."""
+    from jsmr_spark.queries.udfs import q_cogrouped_map  # noqa: F401  (import proves registration)
+    import pandas as pd
+    import numpy as np
+
+    # replicate the worker function's semantics directly
+    from jsmr_spark.registry import get_query
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view at t0, click at t0 (tie -> counts), click before any view
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0, 1, "click", 0.0, "{}"),
+        (3, t0 - dt.timedelta(hours=1), 1, "click", 0.0, "{}"),
+        # user 2: click only (no views) -> n_views_before = 0
+        (4, t0, 2, "click", 0.0, "{}"),
+        # user 3: view only -> contributes no output row
+        (5, t0, 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os, shutil, uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_cog_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.user_id, r.click_id): r.n_views_before
+            for r in get_query("q_cogrouped_map").fn(spark, d).collect()
+        }
+        assert out == {(1, 2): 1, (1, 3): 0, (2, 4): 0}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_attribution_tie_and_window_rules(spark):
+    """Pin the attribution boundary semantics on a hand-built frame:
+    same-ts click attributes only with a smaller event_id; a click
+    older than the 7-day lookback falls back to 'direct'; the LAST of
+    several qualifying clicks wins."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 1, 15, 12, 0, 0)
+
+    def j(k):
+        return '{"k": "%d"}' % k
+
+    rows = [
+        # user 1: two clicks (ch1 then ch2) before purchase -> last wins (ch2)
+        (1, t0 - dt.timedelta(days=2), 1, "click", 0.0, j(1)),
+        (2, t0 - dt.timedelta(days=1), 1, "click", 0.0, j(2)),
+        (3, t0, 1, "purchase", 10.0, j(0)),
+        # user 2: click at EXACT purchase ts, smaller event_id -> attributes (ch3)
+        (4, t0, 2, "click", 0.0, j(3)),
+        (5, t0, 2, "purchase", 20.0, j(0)),
+        # user 3: click at exact ts but LARGER event_id -> direct
+        (7, t0, 3, "purchase", 30.0, j(0)),
+        (8, t0, 3, "click", 0.0, j(4)),
+        # user 4: only click is 8 days old -> direct
+        (9, t0 - dt.timedelta(days=8), 4, "click", 0.0, j(1)),
+        (10, t0, 4, "purchase", 40.0, j(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_attr_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.channel: (r.n_purchases, r.revenue_cents)
+            for r in get_query("q_attribution_last_touch").fn(spark, d).collect()
+        }
+        assert out == {"ch2": (1, 1000), "ch3": (1, 2000), "direct": (2, 7000)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -309,3 +309,21 @@ def test_nested_schema_pruning(spark):
         assert "keys" not in read, read
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_existence_join_plans_as_existence(spark):
+    """q_join_existence exists to exercise the ExistenceJoin physical
+    variant — if Catalyst ever plans the IN-under-OR as something else
+    (e.g. a rewritten union of semi joins), the key stops covering the
+    surface it documents."""
+    plan = _plan(spark, "q_join_existence")
+    assert "ExistenceJoin" in plan, plan
+
+
+def test_lateral_join_decorrelates(spark):
+    """The correlated LATERAL subquery must decorrelate into a join —
+    a plan that re-executes the subquery per outer row would be the
+    nested-loop disaster the docstring promises Catalyst avoids."""
+    plan = _plan(spark, "q_join_lateral")
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan

@@ -30,7 +30,10 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 "q_embed_pca_power",
                 "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_framesample",
                 "q_sim_threshold_pairs", "q_dedup_embedding",
-                "stream_watermark_late"}
+                "stream_watermark_late",
+                # polymorphic UDTF: BatchEvalPythonUDTF IS the surface
+                # (analyze()-derived schema), same as q_udtf.
+                "q_udtf_analyze"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
                      # crossJoin of two single-row aggregate results
@@ -88,7 +91,14 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # crossJoin of the two single-row per-group moment
                      # aggregates (view x click) — 1x1 by construction,
                      # same shape as q_profile_columns.
-                     "q_stats_ttest"}
+                     "q_stats_ttest",
+                     # scored pairs x 1-row broadcast n_baskets
+                     # aggregate (the lift denominator) — same shape as
+                     # q_quantile_bins' cutpoint crossJoin.
+                     "q_assoc_rules",
+                     # (source x lang) counts x 1-row broadcast corpus
+                     # total — 1-row by construction.
+                     "q_corpus_divergence"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.

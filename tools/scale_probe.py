@@ -96,7 +96,21 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "stream_stream_join",
           # nested-struct sink round-trip (side-effect wall like sink_compact)
           "sink_nested", "sink_dynamic_overwrite",
-          "q_sketch_bitmap_intersect"]
+          "q_sketch_bitmap_intersect",
+          # round-6 batch 5: basket-keyed pair join, per-type spine
+          # backtest, persisted-HLL rollup, cogrouped searchsorted,
+          # corpus KL, LATERAL decorrelation, Arrow UDF lane,
+          # polymorphic UDTF, executor-staged binaryFile round-trip,
+          # state-bounded streaming dedup (replay side-effect wall)
+          "q_assoc_rules", "q_ts_seasonal", "q_sketch_hll_merge",
+          "q_cogrouped_map", "q_corpus_divergence", "q_join_lateral",
+          "q_udf_arrow", "q_udtf_analyze", "source_binaryfile",
+          "stream_dedup_within_wm",
+          # round-6 batch 6: existence join, FILTER-clause aggregate,
+          # in-engine generator (sf-invariant by design), last-touch
+          # attribution (one keyed window), weighted SSSP recursion
+          "q_join_existence", "q_agg_filter_clause", "source_generate",
+          "q_attribution_last_touch", "q_graph_sssp"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
