@@ -836,3 +836,34 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-matching-rows group to 0 on both engines; cents-sum is CAST to
     BIGINT per the HUGEINT oracle policy."""
     return sql(spark, sf_dir, _FILTER_CLAUSE_SQL)
+
+
+_CROSSTAB_DOW = ", ".join(
+    f"count(*) FILTER (WHERE (CAST(ts AS DATE) - DATE '2024-01-01') % 7 = {d}) AS \"{d}\""
+    for d in range(7)
+)
+
+
+@query(
+    "q_stat_crosstab",
+    f"""
+    SELECT event_type AS event_type_dow, {_CROSSTAB_DOW}
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab: the contingency-table API (pair frequency
+    pivot in one pass) — event type x day-of-week here. The dow value
+    is an anchored date difference mod 7 (NOT the engine's dayofweek,
+    whose week-start convention differs between Spark and DuckDB), so
+    both engines label columns identically. crosstab emits cell
+    columns named by the values themselves and the joined
+    'event_type_dow' header column; the oracle states the same table
+    as FILTER-aggregates. Physically this is a single hash aggregate
+    over (type, dow) pivoted at the end — one corpus scan, one keyed
+    shuffle."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7).alias("dow"),
+    )
+    return ev.stat.crosstab("event_type", "dow")

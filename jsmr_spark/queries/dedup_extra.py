@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jsmr_spark.compat import r4
 from jsmr_spark.queries.common import t
 from jsmr_spark.queries.dedup import hex12_sql
 from jsmr_spark.registry import query
@@ -452,4 +453,81 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = emb.select("vec_id", "embedding").join(assign, "vec_id")
     return clustered.groupBy("cid").applyInPandas(
         dedup_cluster, "vec_id long, cid int"
+    )
+
+
+CONT_SHINGLE = 5  # tokens per shingle
+CONT_NUM, CONT_DEN = 4, 5  # containment threshold 4/5 = 0.8 (exact integer test)
+
+
+@query(
+    "q_text_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(t[i:i+{CONT_SHINGLE - 1}], 'string_agg', ' ') AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {CONT_SHINGLE - 1})) AS i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_a, inter.doc_b,
+           CAST(inter.i AS BIGINT) AS n_shared,
+           CAST(sz.n AS BIGINT) AS n_a,
+           round(inter.i / CAST(sz.n AS DOUBLE), 4) AS containment
+    FROM inter JOIN sz ON sz.doc_id = inter.doc_a
+    WHERE {CONT_DEN} * inter.i >= {CONT_NUM} * sz.n
+    """,
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT dedup (Broder's asymmetric companion to
+    Jaccard): |shingles(A) ∩ shingles(B)| / |shingles(A)| >= 0.8 flags
+    A as mostly contained in B — the quote-inclusion / page-wrapping
+    duplicates symmetric Jaccard (q_dedup_ngram_jaccard) structurally
+    misses when B is much longer than A. Ordered pairs, so a doc
+    swallowed by a bigger one is flagged in that direction only.
+
+    Scale shape: candidate generation is a self-join KEYED ON THE
+    SHINGLE (posting-list join), never doc x doc; the threshold is an
+    exact integer cross-multiplication (5i >= 4n, no float compare at
+    the boundary). Fixture shingle doc-frequency tops out at 5, so
+    postings stay tiny; an adversarial corpus would cap shingle df
+    (drop non-discriminative postings) exactly like the LSH keys cap
+    band width."""
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - CONT_SHINGLE),
+                    lambda i: F.array_join(F.slice(toks, i + 1, CONT_SHINGLE), " "),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(CONT_DEN * F.col("i") >= CONT_NUM * F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").alias("n_shared"),
+            F.col("n").alias("n_a"),
+            r4(F.col("i") / F.col("n").cast("double")).alias("containment"),
+        )
     )

@@ -655,3 +655,90 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(EQ_ERR_SCALE))
         ).alias("mean_sq_err"),
     )
+
+
+RRF_K = 60
+RRF_LIST_N = 50  # depth of each input ranking
+RRF_TOP_K = 10
+
+
+from jsmr_spark.queries.text import BM25_CTE_DD as _BM25_CTE_DD
+
+
+@query(
+    "q_rank_fusion",
+    f"""
+    WITH {_BM25_CTE_DD},
+    {_SIM_CTE_DD.strip().strip(',')}
+    ,
+    tl AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rt
+      FROM bm25
+    ),
+    vl AS (
+      SELECT vec_b AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_b) AS rv
+      FROM sims WHERE vec_a = {PROBE_ID} AND vec_b <> {PROBE_ID}
+    ),
+    fused AS (
+      SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+             round(coalesce(1.0::DOUBLE / ({RRF_K} + t.rt), 0.0)
+                   + coalesce(1.0::DOUBLE / ({RRF_K} + v.rv), 0.0), 4) AS rrf
+      FROM (SELECT * FROM tl WHERE rt <= {RRF_LIST_N}) t
+      FULL JOIN (SELECT * FROM vl WHERE rv <= {RRF_LIST_N}) v
+        ON t.doc_id = v.doc_id
+    )
+    SELECT * FROM (
+      SELECT doc_id, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+      FROM fused
+    ) ranked WHERE rnk <= {RRF_TOP_K}
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search reciprocal rank fusion (RRF, the standard lexical
+    + vector combiner): top-50 BM25 docs and top-50 cosine neighbors of
+    the probe vector fuse by sum of 1/(60 + rank), docs on one list
+    only contribute that one term. Rank positions are integers and the
+    two RRF terms are added in one fixed order, so both engines round
+    identical doubles; every ranking orders by the ROUNDED score with
+    id tiebreak (repo ranking policy).
+
+    Scale shape: each input ranking is its operator's own scale path
+    (BM25: scan + 1-row broadcast stats; cosine: narrow map, probe
+    inlined) bounded by TakeOrdered(50); the fusion itself joins two
+    50-row lists — at 100 TB the fused join never touches the corpus,
+    which is exactly why RRF is the production hybrid combiner."""
+    from jsmr_spark.queries.text import bm25_scored
+
+    tkeys = [F.desc("bm25"), F.asc("doc_id")]
+    tl = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(*tkeys)
+        .limit(RRF_LIST_N)
+        .select("doc_id", F.row_number().over(Window.orderBy(*tkeys)).alias("rt"))
+    )
+    vkeys = [F.desc("sim"), F.asc("vec_b")]
+    vl = (
+        _probe_sims(spark, sf_dir)
+        .orderBy(*vkeys)
+        .limit(RRF_LIST_N)
+        .select(
+            F.col("vec_b").alias("doc_id"),
+            F.row_number().over(Window.orderBy(*vkeys)).alias("rv"),
+        )
+    )
+    fused = (
+        tl.join(vl, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            r4(
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("rt")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rv")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    fkeys = [F.desc("rrf"), F.asc("doc_id")]
+    top = fused.orderBy(*fkeys).limit(RRF_TOP_K)
+    return top.select(
+        "doc_id", "rrf", F.row_number().over(Window.orderBy(*fkeys)).cast("int").alias("rnk")
+    )

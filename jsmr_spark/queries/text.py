@@ -181,3 +181,114 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("cs").alias("n_docs"))
         .agg(r4(F.sum(term)).alias("kl_vs_corpus"))
     )
+
+
+# --- BM25 (shared by q_text_bm25 and q_rank_fusion) -----------------
+# Fixed 3-term query; k1=1.2, b=0.75. Every probability input is an
+# exact integer (tf, dl, N, df) and the float tree is written ONCE and
+# mirrored token-for-token in the oracle, so both engines round
+# identical doubles.
+BM25_TERMS = ("data", "fast", "key")
+BM25_TOP_K = 10
+
+_BM25_TF_DD = ",\n         ".join(
+    f"len(list_filter(toks, x -> x = '{t}')) AS tf{i + 1}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_DF_DD = ",\n         ".join(
+    f"count(*) FILTER (WHERE tf{i + 1} > 0) AS df{i + 1}"
+    for i in range(len(BM25_TERMS))
+)
+_BM25_SCORE_DD = "\n           + ".join(
+    f"ln((CAST(nd - df{i + 1} AS DOUBLE) + 0.5) / (CAST(df{i + 1} AS DOUBLE) + 0.5) + 1.0)"
+    f" * (CAST(tf{i + 1} AS DOUBLE) * 2.2)"
+    f" / (CAST(tf{i + 1} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl * nd AS DOUBLE) / CAST(nt AS DOUBLE))))"
+    for i in range(len(BM25_TERMS))
+)
+
+BM25_CTE_DD = f"""bm_tf AS (
+      SELECT doc_id, len(toks) AS dl,
+         {_BM25_TF_DD}
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    bm_st AS (
+      SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS nt,
+         {_BM25_DF_DD}
+      FROM bm_tf
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             round({_BM25_SCORE_DD}, 4) AS bm25
+      FROM bm_tf CROSS JOIN bm_st
+    )"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed query, bm25 already round(,4) —
+    the Spark mirror of BM25_CTE_DD (one corpus scan + a 1-row
+    broadcast stats crossJoin; no shuffle of documents)."""
+    toks = F.split(F.col("text"), " ")
+    def tf_of(term: str):
+        # single-arg lambda: a 2-arg HOF lambda would receive the array
+        # INDEX as its second argument, not a closure default
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [tf_of(term).alias(f"tf{i + 1}") for i, term in enumerate(BM25_TERMS)]
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").alias("nt"),
+        *[
+            F.count(F.when(F.col(f"tf{i + 1}") > 0, 1)).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    x = d.crossJoin(F.broadcast(stats))
+
+    def component(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            ((F.col("nd") - F.col(f"df{i}")).cast("double") + 0.5) / (df + 0.5) + 1.0
+        )
+        denom = tf + 1.2 * (
+            0.25 + 0.75 * ((F.col("dl") * F.col("nd")).cast("double") / F.col("nt").cast("double"))
+        )
+        return idf * (tf * 2.2) / denom
+
+    score = component(1)
+    for i in range(2, len(BM25_TERMS) + 1):
+        score = score + component(i)
+    return x.select("doc_id", r4(score).alias("bm25"))
+
+
+@query(
+    "q_text_bm25",
+    f"""
+    WITH {BM25_CTE_DD}
+    SELECT * FROM (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+      FROM bm25
+    ) ranked WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck-Jones, the lexical-retrieval
+    standard TF-IDF lacks: tf saturation via k1 and length
+    normalization via b): top-10 docs for a fixed 3-term query. One
+    corpus scan computes per-doc (dl, tf_i); the corpus stats (N,
+    total tokens, per-term df) are ONE 1-row aggregate broadcast back
+    — no shuffle of documents, rank via TakeOrdered + window over the
+    10 survivors. Ranking orders by the ROUNDED score with doc_id
+    tiebreak (repo ranking policy), so sub-ulp ln() drift between
+    libm and the JVM can never reorder ties."""
+    keys = [F.desc("bm25"), F.asc("doc_id")]
+    top = bm25_scored(spark, sf_dir).orderBy(*keys).limit(BM25_TOP_K)
+    from pyspark.sql import Window
+
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(Window.orderBy(*keys)).cast("int").alias("rnk")
+    )

@@ -499,3 +499,54 @@ def test_attribution_tie_and_window_rules(spark):
         assert out == {"ch2": (1, 1000), "ch3": (1, 2000), "direct": (2, 7000)}, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_containment_is_asymmetric(spark):
+    """A short doc fully inside a long doc must flag (short, long) at
+    containment 1.0 while (long, short) stays below threshold — the
+    exact asymmetry symmetric Jaccard cannot express."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    words = [f"w{i}" for i in range(40)]
+    short = " ".join(words[:10])            # 6 shingles, all inside long
+    long_ = " ".join(words)                 # 36 shingles
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short, "en", "s", len(short)), (2, long_, "en", "s", len(long_)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_cont_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {(r.doc_a, r.doc_b): r.containment
+                for r in get_query("q_text_containment").fn(spark, d).collect()}
+        assert rows == {(1, 2): 1.0}, rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bm25_and_rrf_sanity(spark):
+    """BM25 scores are non-negative with a full rank column; RRF top
+    list is bounded by the theoretical max 2/(60+1) and every fused doc
+    appears in at least one input list."""
+    from jsmr_spark.queries.text import BM25_TOP_K
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    bm = get_query("q_text_bm25").fn(spark, SF_DIR).collect()
+    assert [r.rnk for r in sorted(bm, key=lambda r: r.rnk)] == list(
+        range(1, BM25_TOP_K + 1)
+    )
+    assert all(r.bm25 >= 0 for r in bm)
+    scores = [r.bm25 for r in sorted(bm, key=lambda r: r.rnk)]
+    assert scores == sorted(scores, reverse=True)
+
+    rrf = get_query("q_rank_fusion").fn(spark, SF_DIR).collect()
+    assert len(rrf) == 10
+    assert all(0 < r.rrf <= 2.0 / 61 + 1e-9 for r in rrf)

@@ -98,7 +98,13 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      "q_assoc_rules",
                      # (source x lang) counts x 1-row broadcast corpus
                      # total — 1-row by construction.
-                     "q_corpus_divergence"}
+                     "q_corpus_divergence",
+                     # docs x 1-row broadcast BM25 corpus-stats
+                     # aggregate (N, total tokens, per-term df).
+                     "q_text_bm25",
+                     # inherits the BM25 stats crossJoin on its
+                     # lexical branch; fusion join is a 50x50 equi-join.
+                     "q_rank_fusion"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.

@@ -110,7 +110,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # in-engine generator (sf-invariant by design), last-touch
           # attribution (one keyed window), weighted SSSP recursion
           "q_join_existence", "q_agg_filter_clause", "source_generate",
-          "q_attribution_last_touch", "q_graph_sssp"]
+          "q_attribution_last_touch", "q_graph_sssp",
+          # round-6 batch 7: BM25 + RRF retrieval stack, posting-list
+          # containment join, crosstab contingency pivot
+          "q_text_bm25", "q_rank_fusion", "q_text_containment",
+          "q_stat_crosstab"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
