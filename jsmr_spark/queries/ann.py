@@ -705,3 +705,105 @@ def recall_report_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFram
         "n_hits",
         (F.col("n_hits").cast("double") / float(TOP_K)).alias("recall_at_10"),
     )
+
+
+MRL_DIMS = (64, 32, 16)  # full head + Matryoshka truncations
+
+
+def _mrl_rank_sql(d: int) -> str:
+    """Top-10 neighbor list of the probe using only the first d dims
+    (DuckDB list slice is 1-based inclusive)."""
+    dot = (
+        f"list_aggregate(list_transform(a.embedding[1:{d}], (x, i) -> "
+        f"CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform(embedding[1:%d], (x, i) -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))" % d
+    )
+    return f"""
+      SELECT vec_b, row_number() OVER (ORDER BY sim DESC, vec_b) AS rnk
+      FROM (
+        SELECT b.vec_id AS vec_b,
+               round({dot} / (a.nrm * b.nrm), 4) AS sim
+        FROM (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+              WHERE vec_id = {PROBE_ID}) a,
+             (SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+              WHERE vec_id <> {PROBE_ID}) b
+      ) s
+    """
+
+
+_MRL_ORACLE = f"""
+    WITH full_l AS ({_mrl_rank_sql(MRL_DIMS[0])})
+    SELECT d.dims,
+           CAST(count(tr.vec_b) AS BIGINT) AS n_overlap,
+           round(count(tr.vec_b) / CAST({TOP_K} AS DOUBLE), 4) AS recall_at_{TOP_K}
+    FROM (VALUES {", ".join(f"({d})" for d in MRL_DIMS)}) d(dims)
+    LEFT JOIN LATERAL (
+      SELECT t.vec_b FROM (
+        {" UNION ALL ".join(f"SELECT {d} AS dd, vec_b, rnk FROM ({_mrl_rank_sql(d)}) l{d}" for d in MRL_DIMS)}
+      ) t
+      JOIN full_l f ON f.vec_b = t.vec_b AND f.rnk <= {TOP_K}
+      WHERE t.dd = d.dims AND t.rnk <= {TOP_K}
+    ) tr ON true
+    GROUP BY d.dims
+"""
+
+
+@query("q_ann_mrl", _MRL_ORACLE)
+def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) dimension-truncation recall: re-rank the probe's
+    neighbors using only the first 32 / 16 dims of the embedding and
+    report top-10 overlap against the full 64-dim ranking — the report
+    that tells you how far you can cut vector width (4x scan and
+    memory reduction at 16 dims) before retrieval quality moves. The
+    dims=64 row is the self-recall control (must be 1.0, pinned by the
+    edge test AND the hash).
+
+    Scale shape: each truncated ranking is the exact-cosine narrow-map
+    path (probe inlined, TakeOrdered top-10 — no joins over the
+    corpus); the overlap join compares 10-row lists. Sub-vector norms
+    are recomputed per truncation on both engines with the identical
+    formula, so sims hash-match bit-for-bit."""
+    full_keys = None
+    lists = {}
+    for d in MRL_DIMS:
+        row = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == PROBE_ID)
+            .select(F.slice("embedding", 1, d).alias("e"))
+            .head()
+        )
+        emb_p = [float(x) for x in row[0]]
+        acc = 0.0
+        for x in emb_p:
+            acc += x * x
+        nrm_p = math.sqrt(acc)
+        plit = F.array(*[F.lit(x) for x in emb_p])
+        sub = F.slice("embedding", 1, d)
+        sim = r4(_dot(plit, sub) / (F.lit(nrm_p) * _norm(sub)))
+        keys = [F.desc("sim"), F.asc("vec_b")]
+        lists[d] = (
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") != PROBE_ID)
+            .select(F.col("vec_id").alias("vec_b"), sim.alias("sim"))
+            .orderBy(*keys)
+            .limit(TOP_K)
+            .select("vec_b")
+        )
+    full = lists[MRL_DIMS[0]].withColumnRenamed("vec_b", "fv")
+    parts = [
+        lists[d]
+        .join(F.broadcast(full), F.col("vec_b") == F.col("fv"), "left")
+        .agg(
+            F.lit(d).alias("dims"),
+            F.count("fv").alias("n_overlap"),
+            r4(F.count("fv") / F.lit(float(TOP_K))).alias(f"recall_at_{TOP_K}"),
+        )
+        for d in MRL_DIMS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

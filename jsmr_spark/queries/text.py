@@ -292,3 +292,59 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "bm25", F.row_number().over(Window.orderBy(*keys)).cast("int").alias("rnk")
     )
+
+
+ZIPF_TOP = 1000  # fit the distribution head (full fixture vocab is smaller)
+
+
+@query(
+    "q_text_zipf",
+    f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    head AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fit,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS slope,
+           round(regr_intercept(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS intercept
+    FROM head WHERE r <= {ZIPF_TOP}
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution: OLS slope
+    of ln(freq) on ln(rank) over the top-{ZIPF_TOP} vocabulary head
+    (natural corpora run slope ~ -1; a corpus whose slope drifts has a
+    vocabulary-mix problem — the same monitoring family as
+    q_corpus_divergence). Token counting is one explode + keyed agg;
+    ranking is TakeOrdered-bounded to the fit head so the rank window
+    never global-sorts a 100 TB vocabulary; regr_slope runs over
+    <= {ZIPF_TOP} points. regr_* cross-engine parity is the established
+    q_agg_regr pattern (sub-ulp accumulation drift, absorbed by
+    round(,4))."""
+    freq = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    keys = [F.desc("f"), F.asc("tok")]
+    head = (
+        freq.orderBy(*keys)
+        .limit(ZIPF_TOP)
+        .select(
+            "f",
+            F.row_number().over(Window.orderBy(*keys)).alias("r"),
+        )
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return head.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        r4(F.regr_slope(lf, lr)).alias("slope"),
+        r4(F.regr_intercept(lf, lr)).alias("intercept"),
+    )

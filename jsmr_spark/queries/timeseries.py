@@ -652,3 +652,134 @@ def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err).alias("sum_abs_err"),
         r4(F.sum(err) / F.count(F.lit(1)).cast("double")).alias("mae"),
     )
+
+
+@query(
+    "q_stats_ks",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             count(*) FILTER (WHERE event_type = 'view') AS ca,
+             count(*) FILTER (WHERE event_type = 'click') AS cb
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pts),
+    cum AS (
+      SELECT c,
+             sum(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM pts
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+           CAST(max(abs(cum.cum_a * tot.nb - cum.cum_b * tot.na)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(cum.cum_a * tot.nb - cum.cum_b * tot.na)) AS BIGINT)
+                 / CAST(tot.na * tot.nb AS DOUBLE), 4) AS d_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (view vs click value
+    distributions) — the distribution-shape A/B companion to the Welch
+    t-test (means) and chi-square (categories). D = max ECDF gap,
+    computed EXACTLY: values are exact 2dp, so the domain collapses to
+    integer cents, the gap numerator |Ca*nb - Cb*na| is pure BIGINT
+    arithmetic, and the single final division is the only double.
+
+    Scale shape: one keyed aggregate collapses the corpus to <=56k
+    distinct cent rows (bounded by the VALUE DOMAIN, not corpus size —
+    the plan-audit justification for the global cumulative window),
+    then the running ECDF and max run over that bounded table."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "click"))
+    pts = ev.groupBy(cents(F.col("value")).alias("c")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("cb"),
+    )
+    tot = pts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        "c",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).alias("d_num"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "d_num",
+            r4(F.col("d_num") / (F.col("na") * F.col("nb")).cast("double")).alias(
+                "d_stat"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ml_auc",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             count(*) FILTER (WHERE event_type = 'purchase') AS p,
+             count(*) FILTER (WHERE event_type = 'view') AS n
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(p) AS np, sum(n) AS nn FROM pts),
+    cum AS (
+      SELECT c, p, n,
+             coalesce(sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_below
+      FROM pts
+    )
+    SELECT CAST(tot.np AS BIGINT) AS n_pos, CAST(tot.nn AS BIGINT) AS n_neg,
+           CAST(sum(2 * cum.n_below * cum.p + cum.n * cum.p) AS BIGINT) AS u2,
+           round(CAST(sum(2 * cum.n_below * cum.p + cum.n * cum.p) AS BIGINT)
+                 / CAST(2 * tot.np * tot.nn AS DOUBLE), 4) AS auc
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.np, tot.nn
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney U identity (positives =
+    purchase values, negatives = view values, score = value): AUC =
+    (pairs where pos > neg + half-credit ties) / (P*N), computed in
+    pure BIGINT by doubling — u2 = sum(2*negs_below*p_c + ties) — so
+    tie handling is exact rather than float-averaged ranks. The model-
+    eval primitive every training pipeline needs next to the t-test /
+    chi-square / KS readouts.
+
+    Same bounded-domain shape as q_stats_ks: corpus collapses to cent
+    rows first (keyed agg), the cumulative below-count runs over the
+    <=56k-row domain table, and the single division is the only
+    double."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy(cents(F.col("value")).alias("c")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n"),
+    )
+    tot = pts.agg(F.sum("p").alias("np"), F.sum("n").alias("nn"))
+    wb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.select(
+        "p", "n", F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("n_below")
+    )
+    u2 = F.sum(2 * F.col("n_below") * F.col("p") + F.col("n") * F.col("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("np", "nn")
+        .agg(u2.alias("u2"))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            "u2",
+            r4(
+                F.col("u2") / (2 * F.col("np") * F.col("nn")).cast("double")
+            ).alias("auc"),
+        )
+    )

@@ -550,3 +550,56 @@ def test_bm25_and_rrf_sanity(spark):
     rrf = get_query("q_rank_fusion").fn(spark, SF_DIR).collect()
     assert len(rrf) == 10
     assert all(0 < r.rrf <= 2.0 / 61 + 1e-9 for r in rrf)
+
+
+def test_ks_auc_zipf_mrl_invariants(spark):
+    """Statistical-identity pins for the round-6 batch-8 keys: KS and
+    AUC bounds, the AUC tie identity on identical distributions, the
+    Zipf slope sign, and the MRL self-recall control."""
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    ks = get_query("q_stats_ks").fn(spark, SF_DIR).collect()[0]
+    assert 0 <= ks.d_stat <= 1 and 0 <= ks.d_num <= ks.n_a * ks.n_b
+
+    auc = get_query("q_ml_auc").fn(spark, SF_DIR).collect()[0]
+    assert 0 <= auc.auc <= 1
+    assert 0 <= auc.u2 <= 2 * auc.n_pos * auc.n_neg
+
+    z = get_query("q_text_zipf").fn(spark, SF_DIR).collect()[0]
+    assert z.n_fit > 0 and z.slope < 0  # frequency falls with rank
+
+    mrl = {r.dims: r.recall_at_10 for r in get_query("q_ann_mrl").fn(spark, SF_DIR).collect()}
+    assert mrl[64] == 1.0  # self-recall control
+    assert set(mrl) == {64, 32, 16}
+    assert all(0 <= v <= 1 for v in mrl.values())
+
+
+def test_auc_is_half_on_identical_distributions(spark):
+    """Mann-Whitney sanity: pos and neg drawn as the SAME multiset must
+    give AUC exactly 0.5 (all mass in ties, exact half-credit)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in (1.0, 2.25, 3.5, 3.5, 7.75):
+        for typ in ("purchase", "view"):
+            eid += 1
+            rows.append((eid, t0, eid, typ, v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_auc_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        r = get_query("q_ml_auc").fn(spark, d).collect()[0]
+        assert r.auc == 0.5 and r.u2 == r.n_pos * r.n_neg
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -102,13 +102,19 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # docs x 1-row broadcast BM25 corpus-stats
                      # aggregate (N, total tokens, per-term df).
                      "q_text_bm25",
+                     # cent-domain ECDF/rank tables x 1-row broadcast
+                     # totals — 1-row by construction.
+                     "q_stats_ks", "q_ml_auc",
                      # inherits the BM25 stats crossJoin on its
                      # lexical branch; fusion join is a 50x50 equi-join.
                      "q_rank_fusion"}
 # Keys allowed to contain an un-partitioned Window even without a
 # TakeOrdered bound upstream — each must have a bounded input by
 # construction.
-ALLOW_GLOBAL_WINDOW: set[str] = set()
+# KS/AUC cumulative ECDF windows: the window input is the per-cent
+# aggregate of an exact-2dp metric, bounded by the VALUE DOMAIN
+# (<=56k rows however big the corpus), not by corpus size.
+ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc"}
 
 
 def has_global_window(plan: str) -> bool:

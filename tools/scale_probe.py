@@ -114,7 +114,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-6 batch 7: BM25 + RRF retrieval stack, posting-list
           # containment join, crosstab contingency pivot
           "q_text_bm25", "q_rank_fusion", "q_text_containment",
-          "q_stat_crosstab"]
+          "q_stat_crosstab",
+          # round-6 batch 8: exact KS / Mann-Whitney AUC over the
+          # bounded cent domain, Zipf head fit, MRL truncation recall
+          "q_stats_ks", "q_ml_auc", "q_text_zipf", "q_ann_mrl"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
