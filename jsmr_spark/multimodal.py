@@ -485,3 +485,43 @@ def scenecut_pipeline(docs: DataFrame) -> DataFrame:
     return with_video.select("doc_id", "video").mapInPandas(
         scenecut_batches, SCENECUT_SCHEMA
     )
+
+
+# --- audio silence detection ------------------------------------------
+
+SILENCE_THRESHOLD = 80_000  # frame energy below this = silence
+
+SILENCE_SCHEMA = "doc_id long, n_frames int, n_silent int, longest_run int"
+
+
+def audio_silence_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: parse the WAV, frame the PCM (same
+    AUDIO_FRAME split as audio_batches), flag frames whose exact
+    integer energy falls below SILENCE_THRESHOLD, and report the
+    silent-frame count plus the longest consecutive silent run — the
+    trim/VAD primitive an audio-curation pipeline runs before any
+    model sees a clip."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "n_frames", "n_silent", "longest_run")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            rate, n, pcm = parse_wav(bytes(blob))
+            fe = [
+                sum((s - 128) * (s - 128) for s in pcm[i : i + AUDIO_FRAME])
+                for i in range(0, n, AUDIO_FRAME)
+            ]
+            sil = [e < SILENCE_THRESHOLD for e in fe]
+            best = cur = 0
+            for flag in sil:
+                cur = cur + 1 if flag else 0
+                best = max(best, cur)
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(len(fe))
+            rows["n_silent"].append(sum(sil))
+            rows["longest_run"].append(best)
+        yield pd.DataFrame(rows)
+
+
+def audio_silence_pipeline(docs: DataFrame) -> DataFrame:
+    """doc_id/text -> synthesized WAV -> per-clip silence features."""
+    blobs = synthesize_wav_col(docs).select("doc_id", "blob")
+    return blobs.mapInPandas(audio_silence_batches, SILENCE_SCHEMA)

@@ -526,3 +526,103 @@ def q_privacy_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_topics") < LDIV_L)
     )
+
+
+TCLOSE_NUM, TCLOSE_DEN = 2, 5  # t-closeness threshold t = 2/5 = 0.4 (exact)
+
+
+@query(
+    "q_privacy_tclose",
+    f"""
+    WITH g AS (
+      SELECT lang, source, n_chars // 100 AS lb,
+             string_split(text, ' ')[1] AS topic
+      FROM documents
+    ),
+    grp AS (SELECT lang, source, lb, count(*) AS ng FROM g GROUP BY 1, 2, 3),
+    top_g AS (
+      SELECT lang, source, lb, topic, count(*) AS cgt FROM g GROUP BY 1, 2, 3, 4
+    ),
+    topd AS (SELECT topic, count(*) AS ct FROM g GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM g),
+    dense AS (
+      SELECT grp.lang, grp.source, grp.lb, grp.ng, topd.topic, topd.ct,
+             coalesce(top_g.cgt, 0) AS cgt, tot.n
+      FROM grp
+      CROSS JOIN topd
+      LEFT JOIN top_g ON top_g.lang = grp.lang AND top_g.source = grp.source
+                     AND top_g.lb = grp.lb AND top_g.topic = topd.topic
+      CROSS JOIN tot
+    ),
+    tv AS (
+      SELECT lang, source, lb, ng, max(n) AS n,
+             CAST(sum(abs(cgt * n - ct * ng)) AS BIGINT) AS num
+      FROM dense GROUP BY 1, 2, 3, 4
+    )
+    SELECT lang, source, CAST(lb AS BIGINT) AS len_bucket,
+           CAST(ng AS BIGINT) AS n_docs,
+           num AS tvd_num,
+           round(num / CAST(2 * ng * n AS DOUBLE), 4) AS tvd
+    FROM tv
+    WHERE {TCLOSE_DEN} * num > {TCLOSE_NUM} * 2 * ng * n
+    """,
+)
+def q_privacy_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third rung of the
+    privacy ladder after q_privacy_kanon (group size) and
+    q_privacy_ldiv (distinct sensitive values): a group is still
+    leaky if its sensitive-value DISTRIBUTION diverges from the
+    corpus-wide one, so this reports every quasi-identifier group
+    whose total-variation distance to the global topic distribution
+    exceeds t = 0.4. TVD is exact: the numerator sum|cgt*N - ct*ng|
+    is pure BIGINT cross-multiplication (valid to ~3e9 docs; past
+    that, downscale counts by a common factor), the threshold is an
+    integer comparison, and the reported tvd double is one final
+    division.
+
+    Scale shape: two keyed counts over the corpus, then the dense
+    (group x topic) comparison runs on the QI-domain x topic-domain
+    table (broadcast topic side) — never corpus-sized."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).alias("lb"),
+        F.element_at(F.split(F.col("text"), " "), 1).alias("topic"),
+    )
+    grp = g.groupBy("lang", "source", "lb").agg(F.count(F.lit(1)).alias("ng"))
+    top_g = g.groupBy("lang", "source", "lb", "topic").agg(
+        F.count(F.lit(1)).alias("cgt")
+    )
+    topd = g.groupBy("topic").agg(F.count(F.lit(1)).alias("ct"))
+    tot = g.agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        grp.crossJoin(F.broadcast(topd))
+        .join(top_g, ["lang", "source", "lb", "topic"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "lb",
+            "ng",
+            "ct",
+            F.coalesce(F.col("cgt"), F.lit(0)).alias("cgt"),
+            "n",
+        )
+    )
+    tv = dense.groupBy("lang", "source", "lb", "ng").agg(
+        F.max("n").alias("n"),
+        F.sum(F.abs(F.col("cgt") * F.col("n") - F.col("ct") * F.col("ng"))).alias(
+            "num"
+        ),
+    )
+    return tv.filter(
+        TCLOSE_DEN * F.col("num") > TCLOSE_NUM * 2 * F.col("ng") * F.col("n")
+    ).select(
+        "lang",
+        "source",
+        F.col("lb").cast("long").alias("len_bucket"),
+        F.col("ng").cast("long").alias("n_docs"),
+        F.col("num").alias("tvd_num"),
+        r4(F.col("num") / (2 * F.col("ng") * F.col("n")).cast("double")).alias("tvd"),
+    )

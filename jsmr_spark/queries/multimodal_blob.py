@@ -459,3 +459,71 @@ def q_multimodal_scenecut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cut_rate"),
         )
     )
+
+
+_SIL_E = [_hexenergy_dd(f"md5(text || 'a{i}')") for i in range(3)]
+_SIL_TH = 80_000  # mirrors jsmr_spark.multimodal.SILENCE_THRESHOLD
+_SIL_B = [f"({e} < {_SIL_TH})" for e in _SIL_E]
+
+_SILENCE_ORACLE = f"""
+    WITH e AS (
+      SELECT lang,
+             {_SIL_B[0]} AS b1, {_SIL_B[1]} AS b2, {_SIL_B[2]} AS b3
+      FROM documents
+    ),
+    c AS (
+      SELECT lang,
+             (CASE WHEN b1 THEN 1 ELSE 0 END + CASE WHEN b2 THEN 1 ELSE 0 END
+              + CASE WHEN b3 THEN 1 ELSE 0 END) AS n_silent,
+             CASE WHEN b1 AND b2 AND b3 THEN 3
+                  WHEN (b1 AND b2) OR (b2 AND b3) THEN 2
+                  WHEN b1 OR b2 OR b3 THEN 1 ELSE 0 END AS lr
+      FROM e
+    )
+    SELECT lang,
+           count(*) AS n_clips,
+           CAST(sum(n_silent) AS BIGINT) AS total_silent_frames,
+           CAST(sum(CASE WHEN lr = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_silent,
+           CAST(max(lr) AS INT) AS max_run,
+           round(CAST(sum(n_silent) AS BIGINT)
+                 / CAST(3 * count(*) AS DOUBLE), 4) AS silent_rate
+    FROM c GROUP BY lang
+"""
+
+
+@query("q_multimodal_silence", _SILENCE_ORACLE)
+def q_multimodal_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence detection / VAD census: frames below the exact
+    integer energy threshold are silence; per language the report
+    carries silent-frame counts, fully-silent clip counts, and the
+    longest silent run — what an audio-curation pipeline uses to trim
+    leading/trailing silence and drop dead clips before training. The
+    oracle recomputes every frame energy from the md5 sample chain AND
+    re-derives the longest run through explicit 3-frame case logic, so
+    a mis-framed PCM split or an off-by-one in the run-length scan
+    fails the hash.
+
+    Same Arrow scale shape as q_multimodal_audio: blobs stay in
+    executor batches; the run-length scan is the generic any-length
+    loop even though the fixture clips are 3 frames."""
+    from jsmr_spark.multimodal import audio_silence_pipeline
+
+    docs = t(spark, sf_dir, "documents")
+    feats = audio_silence_pipeline(docs)
+    return (
+        feats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_silent").cast("long").alias("total_silent_frames"),
+            F.sum((F.col("longest_run") == F.col("n_frames")).cast("int"))
+            .cast("long")
+            .alias("n_fully_silent"),
+            F.max("longest_run").alias("max_run"),
+            r4(
+                F.sum("n_silent").cast("double")
+                / (3 * F.count(F.lit(1))).cast("double")
+            ).alias("silent_rate"),
+        )
+    )

@@ -1196,3 +1196,52 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("hv") < thr).alias("n_sampled"),
         )
     )
+
+
+@query(
+    "q_mix_epochs",
+    """
+    WITH s AS (SELECT source, count(*) AS n_in FROM documents GROUP BY source),
+    m AS (SELECT max(n_in) AS mx FROM s)
+    SELECT s.source, CAST(s.n_in AS BIGINT) AS n_in,
+           CAST(greatest(1, m.mx // s.n_in) AS BIGINT) AS n_epochs,
+           CAST(s.n_in * greatest(1, m.mx // s.n_in) AS BIGINT) AS n_out
+    FROM s CROSS JOIN m
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch up-sampling materialization: small sources repeat
+    floor(max_source_size / size) times (>=1) so the training mixture
+    approaches balance — the 'dataset epochs' step after the mixture
+    RATES are chosen (q_mix_temperature computes rates; this key
+    actually materializes the repeats). The engine EXPLODES a
+    sequence(1, k) per row and the hashed n_out comes from COUNTING
+    the materialized rows, while the oracle derives the same number
+    arithmetically — so a dropped or doubled replica in the explode
+    fails the hash, not just the bookkeeping.
+
+    Scale shape: the factor table is per-source (tiny, broadcast); the
+    explode is a narrow map whose output is at most max/min times the
+    input — the same linear pass a real epochs writer runs; no shuffle
+    until the final per-source count."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    m = s.agg(F.max("n_in").alias("mx"))
+    factors = s.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_in",
+        F.greatest(F.lit(1), F.expr("mx div n_in")).alias("n_epochs"),
+    )
+    repeated = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(factors), "source")
+        .select(
+            "source",
+            "n_in",
+            "n_epochs",
+            F.explode(F.expr("sequence(1, n_epochs)")).alias("epoch"),
+        )
+    )
+    return repeated.groupBy("source", "n_in", "n_epochs").agg(
+        F.count(F.lit(1)).alias("n_out")
+    )

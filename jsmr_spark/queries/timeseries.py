@@ -783,3 +783,111 @@ def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@query(
+    "q_ts_cusum",
+    f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum({sql_cents("value")}) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT s.event_type, s.h, coalesce(hr.v, 0) AS v,
+             row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS i,
+             count(*) OVER (PARTITION BY s.event_type) AS tt,
+             CAST(sum(coalesce(hr.v, 0))
+                  OVER (PARTITION BY s.event_type) AS BIGINT) AS total
+      FROM spine s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    ),
+    dev AS (
+      SELECT event_type, h, tt, total,
+             abs(tt * CAST(sum(v) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - i * total) AS d
+      FROM filled
+    )
+    SELECT event_type, CAST(tt AS BIGINT) AS n_hours, h AS cp_hour,
+           CAST(d AS BIGINT) AS dev_num,
+           round(d / CAST(tt AS DOUBLE) / 100.0::DOUBLE, 4) AS max_dev_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY d DESC, h) AS r
+      FROM dev
+    ) x WHERE r = 1
+    """,
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style changepoint detection: per event type, the hour
+    where the cumulative revenue deviates most from the constant-rate
+    expectation — argmax_t |T * cum(t) - t * total|, the cumulative-
+    deviation chart whose peak marks the most likely level shift. The
+    deviation numerator is pure BIGINT cross-multiplication over exact
+    cents (no float CUSUM recursion, which plain SQL windows cannot
+    express anyway); the reported deviation-in-value-units is one
+    final division. Argmax tie breaks to the earliest hour.
+
+    Scale shape: corpus collapses to the per-type hourly table first
+    (keyed agg + spine zero-fill, same as q_ts_seasonal); every window
+    is partitioned by event_type over O(hours) rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        cents(F.col("value")).alias("vc"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.sum("vc").alias("v"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("h")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce(F.col("v"), F.lit(0)).alias("v"))
+        .select(
+            "event_type",
+            "h",
+            "v",
+            F.row_number().over(wo).alias("i"),
+            F.count(F.lit(1)).over(wp).alias("tt"),
+            F.sum("v").over(wp).alias("total"),
+        )
+    )
+    dev = filled.select(
+        "event_type",
+        "h",
+        "tt",
+        "total",
+        F.abs(
+            F.col("tt") * F.sum("v").over(wcum) - F.col("i") * F.col("total")
+        ).alias("d"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("h"))
+    return (
+        dev.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("tt").cast("long").alias("n_hours"),
+            F.col("h").alias("cp_hour"),
+            F.col("d").alias("dev_num"),
+            r4(F.col("d") / F.col("tt").cast("double") / F.lit(100.0)).alias(
+                "max_dev_value"
+            ),
+        )
+    )

@@ -603,3 +603,32 @@ def test_auc_is_half_on_identical_distributions(spark):
         assert r.auc == 0.5 and r.u2 == r.n_pos * r.n_neg
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tclose_cusum_silence_epochs_invariants(spark):
+    """Batch-9 pins: TVD bounds and threshold consistency, CUSUM
+    deviation bounds and spine length, silence-rate bounds, and the
+    epoch-materialization identity n_out == n_in * n_epochs."""
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    for r in get_query("q_privacy_tclose").fn(spark, SF_DIR).collect():
+        assert 0.4 - 1e-4 < r.tvd <= 1.0 + 1e-9, r
+        assert 0 <= r.tvd_num
+
+    cus = get_query("q_ts_cusum").fn(spark, SF_DIR).collect()
+    assert len(cus) == 5
+    for r in cus:
+        assert r.n_hours > 0 and r.dev_num >= 0
+        assert r.cp_hour is not None
+
+    for r in get_query("q_multimodal_silence").fn(spark, SF_DIR).collect():
+        assert 0.0 <= r.silent_rate <= 1.0
+        assert 0 <= r.n_fully_silent <= r.n_clips
+        assert 0 <= r.max_run <= 3
+
+    eps = get_query("q_mix_epochs").fn(spark, SF_DIR).collect()
+    mx = max(r.n_in for r in eps)
+    for r in eps:
+        assert r.n_out == r.n_in * r.n_epochs
+        assert r.n_epochs == max(1, mx // r.n_in)

@@ -29,6 +29,7 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 # operator (distributed exact-integer covariance):
                 "q_embed_pca_power",
                 "q_multimodal_decode", "q_multimodal_resize", "q_multimodal_framesample",
+                "q_multimodal_silence",
                 "q_sim_threshold_pairs", "q_dedup_embedding",
                 "stream_watermark_late",
                 # polymorphic UDTF: BatchEvalPythonUDTF IS the surface
@@ -105,6 +106,12 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # cent-domain ECDF/rank tables x 1-row broadcast
                      # totals — 1-row by construction.
                      "q_stats_ks", "q_ml_auc",
+                     # QI groups x broadcast topic-domain table (the
+                     # dense group-vs-global distribution compare) —
+                     # bounded by QI x topic domains, never the corpus.
+                     "q_privacy_tclose",
+                     # source table x 1-row broadcast max aggregate.
+                     "q_mix_epochs",
                      # inherits the BM25 stats crossJoin on its
                      # lexical branch; fusion join is a 50x50 equi-join.
                      "q_rank_fusion"}

@@ -117,7 +117,12 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_stat_crosstab",
           # round-6 batch 8: exact KS / Mann-Whitney AUC over the
           # bounded cent domain, Zipf head fit, MRL truncation recall
-          "q_stats_ks", "q_ml_auc", "q_text_zipf", "q_ann_mrl"]
+          "q_stats_ks", "q_ml_auc", "q_text_zipf", "q_ann_mrl",
+          # round-6 batch 9: dense QI x topic TVD audit, hour-spine
+          # CUSUM argmax, audio silence Arrow lane, sequence-explode
+          # epoch materialization
+          "q_privacy_tclose", "q_ts_cusum", "q_multimodal_silence",
+          "q_mix_epochs"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
