@@ -867,3 +867,45 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7).alias("dow"),
     )
     return ev.stat.crosstab("event_type", "dow")
+
+
+@query(
+    "q_sketch_quantile_check",
+    f"""
+    SELECT l_returnflag,
+           round(quantile_cont({_PRICE_C}, 0.5), 4) AS p50_exact,
+           round(quantile_cont({_PRICE_C}, 0.99), 4) AS p99_exact,
+           true AS ok_p50, true AS ok_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch ACCURACY gate — the q_sketch_hll_merge pattern
+    applied to Greenwald-Khanna percentiles: the rows-only approx key
+    (q_agg_approx_quantile) pins the sketch surface but the driver
+    can't hash impl-specific estimates, so this key computes the EXACT
+    percentile alongside and hashes exact + a 1%-relative-tolerance
+    flag. A sketch whose error drifts past the guarantee flips the
+    flag and fails the hash, while the estimate itself stays out.
+
+    Scale note: the exact side sorts per group (the thing the sketch
+    exists to avoid) — this key is the CI-sized accuracy gate you run
+    on a sample, not the 100 TB path; the sketch is."""
+    pc = cents(F.col("l_extendedprice"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.percentile(pc, F.lit(0.5))).alias("p50_exact"),
+            r4(F.percentile(pc, F.lit(0.99))).alias("p99_exact"),
+            F.approx_percentile(pc, F.lit(0.5), F.lit(1000)).alias("a50"),
+            F.approx_percentile(pc, F.lit(0.99), F.lit(1000)).alias("a99"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            "p99_exact",
+            (F.abs(F.col("a50") - F.col("p50_exact")) <= 0.01 * F.col("p50_exact")).alias("ok_p50"),
+            (F.abs(F.col("a99") - F.col("p99_exact")) <= 0.01 * F.col("p99_exact")).alias("ok_p99"),
+        )
+    )

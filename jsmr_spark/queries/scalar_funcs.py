@@ -360,3 +360,42 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "q_flatten_nested",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(text, ' ')[1:3] END AS arr
+      FROM documents
+    )
+    SELECT d.doc_id, u.pos, u.tok
+    FROM d LEFT JOIN LATERAL (
+      SELECT CAST(i - 1 AS INT) AS pos, arr[CAST(i AS INT)] AS tok
+      FROM unnest(generate_series(1, len(arr))) t(i)
+    ) u ON true
+    """,
+)
+def q_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER flatten (posexplode_outer): unnesting that PRESERVES rows
+    whose array is empty — the semantics plain explode silently drops,
+    and the bug class (documents vanishing because their annotation
+    list was empty) every nested-ingest pipeline hits once. Every 7th
+    doc carries an empty array and must survive as a (doc_id, NULL,
+    NULL) row; the oracle restates outer-unnest as a LEFT LATERAL so
+    the preserved-row rule is hash-pinned, not just the happy path.
+
+    pos is 0-based (Spark's posexplode convention; the oracle aligns
+    with i-1). Scale shape: narrow generator, no shuffle — flatten
+    fan-out is bounded by the array length like every explode."""
+    toks = F.split(F.col("text"), " ")
+    arr = F.when(
+        F.col("doc_id") % 7 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(toks, 1, 3))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", arr.alias("arr"))
+        .select("doc_id", F.posexplode_outer("arr").alias("pos", "tok"))
+    )

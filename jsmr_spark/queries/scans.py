@@ -738,3 +738,79 @@ def source_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@query(
+    "q_join_dpp",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum({sql_cents("value")}) AS BIGINT) AS sum_cents,
+           true AS dpp_active
+    FROM events
+    WHERE CAST(ts AS DATE) IN (
+      SELECT DISTINCT CAST(ts AS DATE) FROM events
+      WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 10 = 0
+    )
+    GROUP BY event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE mechanism that makes star-joins
+    on a 100 TB date-partitioned fact affordable: the fact is staged
+    day-partitioned, the dim side carries a non-partition filter (tag
+    = 'keep', every 10th day), and at runtime Spark turns the dim's
+    surviving keys into a partition filter on the fact scan, reading
+    3 of 30 partitions instead of all of them. The plan predicate
+    `dynamicpruningexpression` is ASSERTED here and surfaced as the
+    hashed dpp_active column — if a config or plan change silently
+    disables DPP, the key fails, not just slows down.
+
+    The per-type aggregate over the surviving days is hash-checked
+    against the oracle's semantic restatement (days where
+    day-since-epoch % 10 = 0), so the pruning must also be CORRECT —
+    over-pruning drops rows and under-pruning adds them."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"jsmr_dpp_{spark.sparkContext.applicationId}"
+    )
+    fact_p, dim_p = os.path.join(base, "fact"), os.path.join(base, "dim")
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("day")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact_p)
+    (
+        ev.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.when(
+                F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 10 == 0,
+                "keep",
+            )
+            .otherwise("skip")
+            .alias("tag"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_p)
+    )
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruning" in plan.lower()
+    rows = (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .collect()  # materialize before the staging dir can be cleaned
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.event_type, r.n, r.sum_cents, dpp) for r in rows],
+        "event_type string, n bigint, sum_cents bigint, dpp_active boolean",
+    )

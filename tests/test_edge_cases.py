@@ -632,3 +632,30 @@ def test_tclose_cusum_silence_epochs_invariants(spark):
     for r in eps:
         assert r.n_out == r.n_in * r.n_epochs
         assert r.n_epochs == max(1, mx // r.n_in)
+
+
+def test_dpp_quantile_flatten_invariants(spark):
+    """Batch-10 pins: the DPP flag must be TRUE (the key exists to
+    assert the mechanism), the sketch accuracy flags hold, and outer
+    flatten preserves exactly the empty-array docs as null rows."""
+    import duckdb
+
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR
+
+    dpp = get_query("q_join_dpp").fn(spark, SF_DIR).collect()
+    assert dpp and all(r.dpp_active for r in dpp)
+
+    for r in get_query("q_sketch_quantile_check").fn(spark, SF_DIR).collect():
+        assert r.ok_p50 and r.ok_p99 and r.p50_exact <= r.p99_exact
+
+    flat = get_query("q_flatten_nested").fn(spark, SF_DIR).collect()
+    null_docs = {r.doc_id for r in flat if r.pos is None}
+    expect = {
+        d
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet') WHERE doc_id % 7 = 0"
+        ).fetchall()
+    }
+    assert null_docs == expect
+    assert all(r.tok is not None for r in flat if r.pos is not None)

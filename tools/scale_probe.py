@@ -122,7 +122,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # CUSUM argmax, audio silence Arrow lane, sequence-explode
           # epoch materialization
           "q_privacy_tclose", "q_ts_cusum", "q_multimodal_silence",
-          "q_mix_epochs"]
+          "q_mix_epochs",
+          # round-6 batch 10: partitioned-stage DPP round-trip (side-
+          # effect wall like sink_compact), sketch accuracy gate
+          # (exact sort side), outer flatten generator
+          "q_join_dpp", "q_sketch_quantile_check", "q_flatten_nested"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
