@@ -25,7 +25,14 @@ the driver never touches data.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 PYDS_NAME = "jsmr_docs_pyds"
 PYDS_COLUMNS = ["doc_id", "lang", "n_chars"]
@@ -84,3 +91,131 @@ class _DocsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration (re-register overwrites on Spark 4)."""
     spark.dataSource.register(DocsDataSource)
+
+
+# --- custom Python BATCH WRITER (DataSource.writer) -------------------
+
+SINK_NAME = "jsmr_tsv_sink"
+
+
+class TsvSinkDataSource(DataSource):
+    """Tab-separated batch SINK via the Python DataSource writer API —
+    the outbound twin of DocsDataSource: each executor task streams its
+    Arrow batches to one part file (never materializing the partition),
+    returns a WriterCommitMessage naming the file, and the DRIVER
+    commits by writing a manifest listing exactly the files of
+    successful tasks — the same two-phase rename-free commit protocol
+    a real object-store sink uses (speculative/retried task files not
+    in the manifest are simply never read)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SINK_NAME
+
+    def writer(self, schema, overwrite: bool):
+        return _TsvWriter(self.options.get("path"))
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class _TsvCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class _TsvWriter(DataSourceArrowWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.tsv"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as fh:
+            for batch in iterator:
+                for row in batch.to_pylist():
+                    fh.write("\t".join(str(v) for v in row.values()) + "\n")
+                    n += 1
+        return _TsvCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = [{"file": m.file, "rows": m.rows} for m in messages]
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        pass  # uncommitted part files are ignored by manifest readers
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(TsvSinkDataSource)
+
+
+# --- custom Python STREAMING WRITER (DataSource.streamWriter) ---------
+
+STREAM_SINK_NAME = "jsmr_tsv_stream_sink"
+
+
+class TsvStreamSinkDataSource(DataSource):
+    """Streaming flavor of the TSV sink: same per-task part files and
+    driver-side manifest, but committed PER MICRO-BATCH with the
+    batchId — and idempotently, so a replayed batch (restart, retry)
+    can never double its rows in the manifest. Reading through the
+    manifest is therefore exactly-once even though the underlying
+    files are append-only — the Python-connector version of the
+    foreachBatch exactly-once pattern (stream_exactly_once_sink)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return STREAM_SINK_NAME
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _TsvStreamWriter(self.options.get("path"))
+
+
+class _TsvStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.tsv"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                fh.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _TsvCommit(fname, n)
+
+    def commit(self, messages, batchId: int):
+        import json
+        import os
+
+        mpath = os.path.join(self.path, f"_BATCH_{batchId:06d}.json")
+        if os.path.exists(mpath):  # replayed batch: files already manifested
+            return
+        manifest = [
+            {"file": m.file, "rows": m.rows} for m in messages if m is not None
+        ]
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, mpath)  # atomic publish
+
+    def abort(self, messages, batchId: int):
+        pass  # unmanifested part files are never read
+
+
+def register_stream_sink(spark) -> None:
+    spark.dataSource.register(TsvStreamSinkDataSource)

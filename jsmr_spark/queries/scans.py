@@ -814,3 +814,52 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.event_type, r.n, r.sum_cents, dpp) for r in rows],
         "event_type string, n bigint, sum_cents bigint, dpp_active boolean",
     )
+
+
+@query("sink_python_datasource", _SINK_AGG_ORACLE)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python SINK (Spark 4 DataSource writer API) — completes
+    the user-defined-connector matrix: source_python_datasource reads
+    through a Python reader, this key WRITES through a Python
+    DataSourceArrowWriter (Arrow batches stream to one TSV part per
+    task, WriterCommitMessages name the files, the driver's commit
+    writes a manifest — the rename-free two-phase protocol of a real
+    object-store sink; retried task files outside the manifest are
+    never read). The re-read goes through the manifest only, and the
+    usual sink aggregate is hash-checked, so a lost part, a double
+    write, or a manifest/commit bug fails the hash."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.pyds import register_sink
+
+    register_sink(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jsmr_pyds_sink_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        src = (
+            t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+            )
+        )
+        src.write.format("jsmr_tsv_sink").option("path", out_dir).mode(
+            "append"
+        ).save()
+        manifest = json.load(open(os.path.join(out_dir, "_MANIFEST.json")))
+        paths = [os.path.join(out_dir, m["file"]) for m in manifest]
+        back = (
+            spark.read.schema(_SINK_SCHEMA)
+            .option("sep", "\t")
+            .csv(paths)
+        )
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, _SINK_SCHEMA)

@@ -560,3 +560,73 @@ def stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsmr_spark.streaming.core import run_dedup_within_wm_stream
 
     return run_dedup_within_wm_stream(spark, sf_dir)
+
+
+@query(
+    "stream_python_sink",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum({_VAL_C}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined Python STREAMING SINK (Spark 4 DataSource
+    streamWriter) — the outbound twin of stream_python_source: events
+    replay through chunked micro-batches into a custom TSV connector
+    whose per-batch manifest commit is IDEMPOTENT on batchId, so a
+    replayed batch can never double its rows. The read-back goes
+    through the manifests only, and the per-type aggregate is
+    hash-checked against the batch truth — a lost part file, a
+    double-committed batch, or rows leaking outside the manifest all
+    fail the hash. See jsmr_spark/pyds.py:TsvStreamSinkDataSource."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from jsmr_spark.pyds import register_stream_sink
+    from jsmr_spark.streaming.core import _replay_shuffle_clamp, _stage_chunks
+
+    register_stream_sink(spark)
+    base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
+    out = os.path.join(base, "pysink")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        schema = spark.read.parquet(os.path.join(src, "chunk_000")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "chunk_*"))
+            .select("event_id", "event_type", cents(F.col("value")).alias("vc"))
+        )
+        with _replay_shuffle_clamp(spark, n_rows):
+            q = (
+                stream.writeStream.format("jsmr_tsv_stream_sink")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        files = []
+        for mf in sorted(os.listdir(out)):
+            if mf.startswith("_BATCH_"):
+                files += [
+                    os.path.join(out, m["file"])
+                    for m in json.load(open(os.path.join(out, mf)))
+                ]
+        back = (
+            spark.read.schema("event_id long, event_type string, vc long")
+            .option("sep", "\t")
+            .csv(files)
+        )
+        rows = (
+            back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("sum_cents"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type string, n bigint, sum_cents bigint")

@@ -529,3 +529,56 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.* FROM udtf_docs_poly d, LATERAL split_cols(d.text, 3) s"
     )
+
+
+@query(
+    "q_grouped_arrow",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           max({sql_cents("l_extendedprice")}) AS max_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map via applyInArrow (Spark 4): the zero-copy sibling of
+    q_grouped_map — each group arrives as ONE pyarrow Table (no pandas
+    block conversion at all) and the function returns a Table, closing
+    the grouped half of the Arrow-native lane next to mapInArrow's
+    ungrouped half. Group aggregates run as pyarrow compute kernels;
+    cents via round-half-towards-infinity matches compat.cents
+    bit-for-bit (the q_udf_mapinarrow parity argument)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(table: pa.Table) -> pa.Table:
+        cents_i = pc.cast(
+            pc.round(
+                pc.multiply(table.column("l_extendedprice"), pa.scalar(100.0)),
+                0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        qty = pc.cast(table.column("l_quantity"), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_qty": pa.array([pc.sum(qty).as_py()], pa.int64()),
+                "max_price_cents": pa.array([pc.max(cents_i).as_py()], pa.int64()),
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag", "l_linestatus")
+        .applyInArrow(
+            group_stats,
+            "l_returnflag string, l_linestatus string, n bigint, sum_qty bigint, max_price_cents bigint",
+        )
+    )

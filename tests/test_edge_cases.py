@@ -659,3 +659,22 @@ def test_dpp_quantile_flatten_invariants(spark):
     }
     assert null_docs == expect
     assert all(r.tok is not None for r in flat if r.pos is not None)
+
+
+def test_stream_sink_commit_is_idempotent(tmp_path):
+    """The Python streaming sink's manifest commit must be a no-op on
+    a replayed batchId — the property that makes the read-through-
+    manifest path exactly-once under micro-batch retries."""
+    import json
+    import os
+
+    from jsmr_spark.pyds import _TsvCommit, _TsvStreamWriter
+
+    w = _TsvStreamWriter(str(tmp_path))
+    os.makedirs(tmp_path, exist_ok=True)
+    w.commit([_TsvCommit("part-a.tsv", 10)], batchId=7)
+    # replayed batch: different (retried) part file must NOT replace
+    # or duplicate the committed manifest
+    w.commit([_TsvCommit("part-b.tsv", 10)], batchId=7)
+    manifest = json.load(open(tmp_path / "_BATCH_000007.json"))
+    assert manifest == [{"file": "part-a.tsv", "rows": 10}]

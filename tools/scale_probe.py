@@ -126,7 +126,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-6 batch 10: partitioned-stage DPP round-trip (side-
           # effect wall like sink_compact), sketch accuracy gate
           # (exact sort side), outer flatten generator
-          "q_join_dpp", "q_sketch_quantile_check", "q_flatten_nested"]
+          "q_join_dpp", "q_sketch_quantile_check", "q_flatten_nested",
+          # round-6 batch 11: python connector sinks (side-effect
+          # walls), arrow grouped map
+          "sink_python_datasource", "q_grouped_arrow",
+          "stream_python_sink"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
