@@ -1088,3 +1088,156 @@ def test_chi2_matches_python_model(spark):
     assert abs(row.chi2 - chi2) < 1e-3
     assert abs(row.cramers_v - sqrt(chi2 / (n * min(len(rt) - 1, len(ct) - 1)))) < 1e-3
     assert row.chi2 >= 0 and 0.0 <= row.cramers_v <= 1.0
+
+
+# --- round-6 late-batch brute-force references -----------------------
+
+
+def _tmp_table_dir(spark, name, rows, schema):
+    import os
+    import tempfile
+    import uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_prop_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, schema).write.parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=5, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=doc_texts)
+@settings(**SETTINGS)
+def test_containment_matches_set_model(spark, texts):
+    """q_text_containment == the literal set-theory definition computed
+    in Python over every ordered doc pair."""
+    import shutil
+
+    from jsmr_spark.queries.dedup_extra import CONT_DEN, CONT_NUM, CONT_SHINGLE
+    from jsmr_spark.registry import get_query
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    d = _tmp_table_dir(
+        spark, "documents", rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    try:
+        got = {
+            (r.doc_a, r.doc_b): (r.n_shared, r.n_a)
+            for r in get_query("q_text_containment").fn(spark, d).collect()
+        }
+        sh = {}
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            sh[i] = {
+                " ".join(toks[j : j + CONT_SHINGLE])
+                for j in range(len(toks) - CONT_SHINGLE + 1)
+            }
+        exp = {}
+        for a in sh:
+            for b in sh:
+                if a == b or not sh[a]:
+                    continue
+                inter = len(sh[a] & sh[b])
+                if inter and CONT_DEN * inter >= CONT_NUM * len(sh[a]):
+                    exp[(a, b)] = (inter, len(sh[a]))
+        assert got == exp
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # user
+        st.integers(min_value=0, max_value=200),          # minutes offset
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=9),            # k (channel seed)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=events_strategy)
+@settings(**SETTINGS)
+def test_attribution_matches_sequential_model(spark, evs):
+    """q_attribution_last_touch == a literal per-purchase scan of the
+    click history (7-day lookback, (ts, event_id) order, last wins)."""
+    import datetime as dt
+    import shutil
+    from collections import defaultdict
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (eid + 1, t0 + dt.timedelta(minutes=mins), u, typ, 7.25, '{"k": "%d"}' % k)
+        for eid, (u, mins, typ, k) in enumerate(evs)
+    ]
+    d = _tmp_table_dir(
+        spark, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    try:
+        got = {
+            r.channel: (r.n_purchases, r.revenue_cents)
+            for r in get_query("q_attribution_last_touch").fn(spark, d).collect()
+        }
+        exp = defaultdict(lambda: [0, 0])
+        for eid, ts, u, typ, _v, _p in rows:
+            if typ != "purchase":
+                continue
+            clicks = [
+                (cts, ceid, kk)
+                for (ceid, cts, cu, ctyp, _cv, kk) in [
+                    (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+                ]
+                if cu == u and ctyp == "click"
+                and (cts, ceid) < (ts, eid)
+                and cts >= ts - dt.timedelta(days=7)
+            ]
+            if clicks:
+                _, _, props = max(clicks)
+                import json
+                ch = "ch%d" % (int(json.loads(props)["k"]) % 5)
+            else:
+                ch = "direct"
+            exp[ch][0] += 1
+            exp[ch][1] += 725
+        assert got == {k: tuple(v) for k, v in exp.items()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@given(evs=events_strategy)
+@settings(**SETTINGS)
+def test_auc_matches_pair_counting(spark, evs):
+    """q_ml_auc == literal Mann-Whitney pair counting (wins + half
+    ties over all pos x neg pairs)."""
+    import datetime as dt
+    import shutil
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        (eid + 1, t0, u, typ, float(mins) / 4, "{}")
+        for eid, (u, mins, typ, _k) in enumerate(evs)
+    ]
+    pos = [v for (_, _, _, typ, v, _) in rows if typ == "purchase"]
+    neg = [v for (_, _, _, typ, v, _) in rows if typ == "view"]
+    if not pos or not neg:
+        return
+    d = _tmp_table_dir(
+        spark, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    try:
+        r = get_query("q_ml_auc").fn(spark, d).collect()[0]
+        u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+        assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
