@@ -909,3 +909,75 @@ def q_sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("a99") - F.col("p99_exact")) <= 0.01 * F.col("p99_exact")).alias("ok_p99"),
         )
     )
+
+
+@query(
+    "q_agg_mad",
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, m.med, abs(l.l_quantity - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, min(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           round(min(m.med), 4) AS med_qty,
+           round(min(m.mad), 4) AS mad_qty,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_rows
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median, MAD (median absolute
+    deviation), and a 3-MAD outlier census — the robust counterpart of
+    q_agg_stats' stddev (one far outlier moves stddev arbitrarily but
+    moves the median/MAD not at all, which is why data-quality gates on
+    scraped corpora use this form).
+
+    Exactness: l_quantity is integral, so both medians interpolate at
+    worst to an exact .5 (IEEE-exact on both engines), the absolute
+    deviations are exact doubles, and the 3*MAD outlier comparison is
+    deterministic — only the two reported medians carry round(,4), as
+    documentation rather than necessity.
+
+    Scale shape: two passes over the fact table, each reduced by
+    partial aggregation before its exchange, plus two broadcast joins
+    of a groups-sized (3-row) dimension back onto the facts — no
+    row-level shuffle beyond the two keyed aggregations. Exact
+    distributed medians sort within groups; at 100 TB swap the exact
+    percentile for approx_percentile and gate it with the
+    q_sketch_quantile_check pattern."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_quantity") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.min("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            r4(F.min("med")).alias("med_qty"),
+            r4(F.min("mad")).alias("mad_qty"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -378,3 +378,119 @@ def q_pipeline_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_norm"),
         )
     )
+
+
+def _sql_micro(num: str, den: str) -> str:
+    """Exact half-away-from-zero rounding of num/den to integer
+    micro-units, in pure integer (HUGEINT) arithmetic — only positive
+    quantities are ever divided, so DuckDB's truncating `//` and
+    Python's flooring `//` agree."""
+    return f"""
+    CASE WHEN (({num}) >= 0) = (({den}) >= 0)
+         THEN (2 * abs({num}) * 1000000 + abs({den})) // (2 * abs({den}))
+         ELSE -((2 * abs({num}) * 1000000 + abs({den})) // (2 * abs({den})))
+    END"""
+
+
+def _py_micro(num: int, den: int) -> int:
+    """Python twin of :func:`_sql_micro` (arbitrary-precision ints)."""
+    s = 1 if (num >= 0) == (den >= 0) else -1
+    n_, d_ = abs(num) * 1_000_000, abs(den)
+    return s * ((2 * n_ + d_) // (2 * d_))
+
+
+_OLS_MINOR = "(s11*s22 - s12*s12)"
+
+_OLS_ORACLE = f"""
+WITH x AS (
+  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(round(l_discount*100, 0) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice*100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+  FROM x
+),
+d AS (
+  SELECT n,
+         n*{_OLS_MINOR} - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         sy*{_OLS_MINOR} - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+         n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST({_sql_micro("det0", "det")} AS BIGINT) AS beta0_micro,
+       CAST({_sql_micro("det1", "det")} AS BIGINT) AS beta1_micro,
+       CAST({_sql_micro("det2", "det")} AS BIGINT) AS beta2_micro
+FROM d
+"""
+
+
+@query("q_ml_linreg", _OLS_ORACLE)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-feature linear regression (OLS by normal equations):
+    fit extendedprice_cents ~ quantity + discount_pct over the full
+    fact table and emit the coefficients in exact integer micro-cents.
+
+    This is the distributed-linear-algebra shape (same family as the
+    PCA Gram reduce in queries/similarity.py): ONE partial-aggregated
+    pass computes the 9 Gram/moment sums — map-side combine collapses
+    every partition to a single row, so the exchange moves 9 scalars
+    regardless of input size — and the 3x3 solve is a control-plane
+    Cramer elimination in arbitrary-precision Python ints. No float
+    ever enters: the Gram sums are exact BIGINTs (headroom to ~sf1000:
+    max per-row product qty*price_cents ~ 5.5e8, 6e9 rows -> 3.3e18 <
+    2^63), the determinants are exact big ints, and the final
+    micro-unit rounding is the integer half-away-from-zero rule —
+    bit-identical to the oracle's HUGEINT Cramer by construction, not
+    by tolerance. Contrast sklearn-style float solvers, which drift
+    with partition order and would need tolerance flags.
+
+    The single-feature twin is q_agg_regr (regr_slope per group); this
+    key is the multi-feature generalization every pricing/quality
+    model actually needs."""
+    x1 = F.col("l_quantity").cast("long")
+    x2 = (F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long")
+    y = (F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    row = (
+        t(spark, sf_dir, "lineitem")
+        .select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("s1"),
+            F.sum("x2").alias("s2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+        .collect()[0]  # control-plane: 9 scalars, size-independent
+    )
+    n, s1, s2, sy = int(row.n), int(row.s1), int(row.s2), int(row.sy)
+    s11, s12, s22 = int(row.s11), int(row.s12), int(row.s22)
+    s1y, s2y = int(row.s1y), int(row.s2y)
+    minor = s11 * s22 - s12 * s12
+    det = n * minor - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * minor - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    if det == 0:  # collinear features: not reachable on the fixtures
+        raise ValueError("q_ml_linreg: singular normal equations")
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                _py_micro(det0, det),
+                _py_micro(det1, det),
+                _py_micro(det2, det),
+            )
+        ],
+        "n_rows long, beta0_micro long, beta1_micro long, beta2_micro long",
+    )

@@ -257,3 +257,69 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "lang", "n_tokens", "priority"
     )
+
+
+BALANCED_CAP = 10  # per-class row cap for the balanced downsample
+
+
+def _balanced_rank_sql(id_cast: str) -> str:
+    """Portable per-class ordering key: the 48-bit integer prefix of
+    md5(doc_id's decimal string) — uniform, engine-identical."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    return hex12_sql(f"md5({id_cast})")
+
+
+@query(
+    "q_sample_balanced",
+    f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_balanced_rank_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rk <= {BALANCED_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= {BALANCED_CAP} THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM r GROUP BY lang
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: cap every class (language) at
+    BALANCED_CAP rows, chosen by ranking each class on the portable
+    md5 hash of the row id — the deterministic form of 'sample K per
+    class', the standard rebalancing step before training on a corpus
+    whose class mix is skewed (en dominates every web crawl). No
+    rand(): a rescaled or reshuffled rerun keeps the identical sample.
+
+    The hash lets the driver pin MEMBERSHIP, not just counts: the
+    kept_id_sum column is the exact sum of the kept doc_ids, so any
+    drift in which rows are selected fails the hash even when the
+    count survives.
+
+    Scale shape: one hash-partitioned window per class (row_number
+    over the class partition) and one hash-agg — a single exchange on
+    the class key. Class skew is real here (en IS the hot key): at
+    100 TB the row_number window on the dominant class serializes one
+    partition, so the scale path pre-filters with a per-partition
+    top-K (rank only rows whose hash falls under an
+    upper-bound-of-cap quantile) before the global window; the
+    operator keeps the direct form because cap << class size makes
+    the window's sort the same cost as the scan."""
+    h = F.expr(_balanced_rank_sql("cast(doc_id as string)"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    r = (
+        t(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = F.col("rk") <= BALANCED_CAP
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
+    )

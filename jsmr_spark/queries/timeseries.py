@@ -891,3 +891,70 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_ts_hampel",
+    """
+    WITH d AS (
+      SELECT event_id, event_type,
+             CAST(round(value*100,0) AS BIGINT) AS value_cents,
+             quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.5) OVER w AS med_cents,
+             quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.75) OVER w
+               - quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.25) OVER w AS iqr_cents
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_id, event_type, value_cents, med_cents, iqr_cents,
+           abs(value_cents - med_cents) > 1.5 * iqr_cents AS is_outlier
+    FROM d
+    """,
+)
+def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style rolling robust outlier filter: flag a reading when
+    it sits more than 1.5 IQRs from the rolling median of its centered
+    7-row window — the despiking pass sensor/metrics pipelines run
+    before any mean-based aggregate, robust where q_ts_zscore's
+    mean/stddev window is not (one spike inflates its own threshold).
+
+    Exactness: values quantize to exact integer cents first, so every
+    windowed quantile interpolates between integers at quarter
+    fractions — IEEE-exact on both engines (Spark percentile and
+    DuckDB quantile_cont both interpolate at rank (n-1)*q) — and the
+    1.5*IQR comparison is exact eighth-fraction arithmetic:
+    deterministic flags, no rounding needed anywhere. Window frames
+    are pinned by the (ts, event_id) tie-break.
+
+    Scale shape: one exchange on event_type, then a bounded 7-row
+    sliding frame per partition — O(1) state per row, embarrassingly
+    parallel within partitions after the sort. Series count (5 event
+    types) is the parallelism bound here; a per-device corpus
+    partitions on the device key instead and scales with devices."""
+    vc = cents(F.col("value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 3)
+    )
+    d = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        vc.alias("value_cents"),
+        F.percentile(vc, F.lit(0.5)).over(w).alias("med_cents"),
+        (
+            F.percentile(vc, F.lit(0.75)).over(w)
+            - F.percentile(vc, F.lit(0.25)).over(w)
+        ).alias("iqr_cents"),
+    )
+    return d.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        "med_cents",
+        "iqr_cents",
+        (
+            F.abs(F.col("value_cents") - F.col("med_cents"))
+            > 1.5 * F.col("iqr_cents")
+        ).alias("is_outlier"),
+    )
