@@ -130,7 +130,14 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-6 batch 11: python connector sinks (side-effect
           # walls), arrow grouped map
           "sink_python_datasource", "q_grouped_arrow",
-          "stream_python_sink"]
+          "stream_python_sink",
+          # round-6 batch 12: robust dispersion (two keyed medians +
+          # broadcast joins), membership-pinned balanced sample (one
+          # class-keyed window), Hampel despike (7-row frame per
+          # series), exact-OLS Gram pass (9-scalar exchange),
+          # bucket-amortized cogroup lane
+          "q_agg_mad", "q_sample_balanced", "q_ts_hampel", "q_ml_linreg",
+          "q_cogrouped_map"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
