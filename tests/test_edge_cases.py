@@ -678,3 +678,215 @@ def test_stream_sink_commit_is_idempotent(tmp_path):
     w.commit([_TsvCommit("part-b.tsv", 10)], batchId=7)
     manifest = json.load(open(tmp_path / "_BATCH_000007.json"))
     assert manifest == [{"file": "part-a.tsv", "rows": 10}]
+
+
+def test_mad_median_tie_and_strict_outlier_boundary(spark):
+    """Pin q_agg_mad's three boundary rules on a hand-built frame:
+    a zero MAD still counts deviators (strict > 0), the .5 median
+    interpolation is exact, and a deviation EXACTLY at 3*MAD does not
+    flag (strict inequality)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = (
+        # A: mad=0 (majority identical); the lone 100 deviates -> 1 outlier
+        [("A", 1.0)] * 4 + [("A", 100.0)]
+        # B: even count -> med 2.5, adev {1.5,.5,.5,1.5} -> mad 1.0, none > 3
+        + [("B", 1.0), ("B", 2.0), ("B", 3.0), ("B", 4.0)]
+        # C: med 5, mad 2; max adev is EXACTLY 6 == 3*mad -> 0 outliers
+        + [("C", 1.0), ("C", 3.0), ("C", 5.0), ("C", 7.0), ("C", 11.0)]
+    )
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double")
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_mad_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            r.l_returnflag: (r.med_qty, r.mad_qty, r.n_outliers, r.n_rows)
+            for r in get_query("q_agg_mad").fn(spark, d).collect()
+        }
+        assert out == {
+            "A": (1.0, 0.0, 1, 5),
+            "B": (2.5, 1.0, 0, 4),
+            "C": (5.0, 2.0, 0, 5),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sample_balanced_membership_matches_portable_hash(spark):
+    """q_sample_balanced must keep a class smaller than the cap whole,
+    and for a capped class must keep EXACTLY the BALANCED_CAP ids whose
+    md5-prefix rank is lowest — recomputed here independently with
+    hashlib, so any drift in the portable hash or the tie-break fails
+    on membership (kept_id_sum), not just counts."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.queries.sampling_geo import BALANCED_CAP
+    from jsmr_spark.registry import get_query
+
+    small = [(100 + i, "aa") for i in range(3)]
+    big = [(200 + i, "bb") for i in range(25)]
+    df = spark.createDataFrame(
+        [(i, lang) for i, lang in small + big], "doc_id long, lang string"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_bal_{uuid.uuid4().hex[:8]}")
+
+    def rank_key(doc_id: int) -> tuple[int, int]:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        return (h, doc_id)
+
+    expect_bb = sorted((i for i, _ in big), key=rank_key)[:BALANCED_CAP]
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.lang: (r.n_total, r.n_kept, r.kept_id_sum)
+            for r in get_query("q_sample_balanced").fn(spark, d).collect()
+        }
+        assert out["aa"] == (3, 3, sum(i for i, _ in small)), out
+        assert out["bb"] == (25, BALANCED_CAP, sum(expect_bb)), (
+            out,
+            expect_bb,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hampel_spike_flag_and_partition_edge_frames(spark):
+    """Pin q_ts_hampel on a constant series with one spike: only the
+    spike flags (its own window's IQR is 0 and its deviation huge;
+    neighbors see the spike inflate their IQR, never their deviation),
+    and the FIRST row's shrunken 4-row frame interpolates p75 at rank
+    2.25 -> iqr 1225 cents, pinning the edge-frame arithmetic (the
+    spike leads the series so the edge frame is the interpolating
+    one)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    vals = [50.0] + [1.0] * 8  # cents: 5000 then 100 x8
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, "tick", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_ham_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_id: r
+            for r in get_query("q_ts_hampel").fn(spark, d).collect()
+        }
+        flagged = sorted(i for i, r in out.items() if r.is_outlier)
+        assert flagged == [1], flagged
+        # spike row's own 4-row edge frame (cents 5000,100,100,100):
+        # p25 @ rank 0.75 = 100, p75 @ rank 2.25 = 100 + 0.25*4900,
+        # deviation 4900 > 1.5*1225 -> flagged
+        assert out[1].med_cents == 100.0
+        assert out[1].iqr_cents == 1225.0
+        # a mid-series row: full 7-row frame of constants, iqr 0
+        assert out[6].med_cents == 100.0 and out[6].iqr_cents == 0.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_linreg_recovers_exact_planted_coefficients(spark):
+    """Plant y = 200 + 300*qty + 50*disc_pct cents exactly and assert
+    q_ml_linreg returns the planted coefficients in exact micro-cents
+    (zero residual -> the rational solve must be exact, no tolerance);
+    then sanity-check the fixture fit against numpy's float lstsq."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    from jsmr_spark.registry import get_query
+
+    rows = []
+    for q in range(1, 6):
+        for dp in (0, 5, 10):
+            price_cents = 200 + 300 * q + 50 * dp
+            rows.append((float(q), dp / 100.0, price_cents / 100.0))
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_ols_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        r = get_query("q_ml_linreg").fn(spark, d).collect()[0]
+        assert (r.n_rows, r.beta0_micro, r.beta1_micro, r.beta2_micro) == (
+            15,
+            200_000_000,
+            300_000_000,
+            50_000_000,
+        ), r
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # fixture sanity vs a float solver: agree to <1e-6 relative
+    sf = "/root/testdata/sf0.001"
+    r = get_query("q_ml_linreg").fn(spark, sf).collect()[0]
+    import duckdb
+
+    dd = duckdb.sql(
+        f"""SELECT round(l_quantity) x1, round(l_discount*100) x2,
+                   round(l_extendedprice*100) y
+            FROM read_parquet('{sf}/lineitem.parquet')"""
+    ).df()
+    X = np.column_stack([np.ones(len(dd)), dd.x1, dd.x2])
+    beta = np.linalg.lstsq(X, dd.y, rcond=None)[0]
+    got = np.array([r.beta0_micro, r.beta1_micro, r.beta2_micro]) / 1e6
+    assert np.allclose(got, beta, rtol=1e-6), (got, beta)
+
+
+def test_cogrouped_map_counts_all_views_at_tied_ts(spark):
+    """Several views at EXACTLY the click ts must all count (the
+    cum-max collapse feeding merge_asof's last-match rule): 3 tied
+    views -> n_views_before = 3, and an earlier click still sees 0."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 0.0, "{}"),
+        (2, t0, 7, "view", 0.0, "{}"),
+        (3, t0, 7, "view", 0.0, "{}"),
+        (4, t0, 7, "click", 0.0, "{}"),
+        (5, t0 - dt.timedelta(hours=1), 7, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_cogt_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.click_id: r.n_views_before
+            for r in get_query("q_cogrouped_map").fn(spark, d).collect()
+        }
+        assert out == {4: 3, 5: 0}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
