@@ -742,3 +742,126 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "rrf", F.row_number().over(Window.orderBy(*fkeys)).cast("int").alias("rnk")
     )
+
+
+MRR_K = 10
+MRR_QMOD = 50  # every 50th vec_id is a query -> ~2% of the corpus
+MRR_LCM = 2520  # lcm(1..10): 2520/rank is an exact integer for rank<=K
+
+
+@query(
+    "q_rank_mrr",
+    f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding, {_NORM_ONE_DD} AS nrm FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding, nrm
+      FROM normed WHERE vec_id % {MRR_QMOD} = 0
+    ),
+    ranked AS (
+      SELECT q.q_id, q.q_label, c.label,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_aggregate(list_transform(q.embedding, (x, i) ->
+                          CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+                          / (q.nrm * c.nrm), 4) DESC, c.vec_id
+             ) AS rnk
+      FROM q JOIN normed c ON c.vec_id <> q.q_id
+    ),
+    first_hit AS (
+      SELECT q_id, min(rnk) AS first_rnk
+      FROM ranked WHERE label = q_label AND rnk <= {MRR_K}
+      GROUP BY q_id
+    )
+    SELECT q.q_label AS label,
+           count(*) AS n_queries,
+           CAST(count(f.first_rnk) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN f.first_rnk IS NOT NULL
+                         THEN {MRR_LCM} // f.first_rnk ELSE 0 END) AS BIGINT)
+             AS rr_scaled_sum,
+           CAST(sum(CASE WHEN f.first_rnk IS NOT NULL
+                         THEN {MRR_LCM} // f.first_rnk ELSE 0 END) AS DOUBLE)
+             / ({MRR_LCM}.0 * count(*)) AS mrr
+    FROM q LEFT JOIN first_hit f ON q.q_id = f.q_id
+    GROUP BY q.q_label
+    """,
+)
+def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 retrieval evaluation (Mean Reciprocal Rank): for every
+    query vector (a deterministic ~2% id-sampled subset), rank the rest
+    of the corpus by cosine and find the first same-label hit in the
+    top 10; report per-label query counts, hit counts, and MRR. The
+    metric sibling of q_sim_recall_report (recall@k) and q_ml_auc —
+    MRR is what ranking/retrieval teams actually tune first.
+
+    Exactness: similarities round to 4dp BEFORE ranking with a vec_id
+    tie-break (the module-wide rule), and the reciprocal ranks are kept
+    EXACT by scaling with lcm(1..10) = 2520: 2520/rank is an
+    integer for every admissible rank, so rr_scaled_sum is an exact
+    BIGINT and the final mrr double is one exact multiply + one
+    correctly-rounded division from exact integers — bit-identical
+    cross-engine with no float accumulation of 1/rank terms.
+
+    Scale shape: the query side (~2%) broadcasts; candidates never
+    shuffle for similarity (narrow map against the broadcast), and the
+    per-query rank window partitions on q_id. This exhaustive form is
+    the CI-sized evaluation harness you run on a sample — the 100 TB
+    path scores the SAME metric over ANN candidates (q_sim_ann_lsh /
+    _ivf feed the identical ranker), and recall@k (q_sim_recall_report)
+    quantifies what that pruning costs."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") % MRR_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = r4(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    )
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_label", "label", "vec_id", sim.alias("sim"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    first_hit = (
+        ranked.filter(
+            (F.col("label") == F.col("q_label")) & (F.col("rnk") <= MRR_K)
+        )
+        .groupBy("q_id")
+        .agg(F.min("rnk").alias("first_rnk"))
+    )
+    rr = F.when(
+        F.col("first_rnk").isNotNull(),
+        F.expr(f"{MRR_LCM} DIV first_rnk"),
+    ).otherwise(F.lit(0))
+    return (
+        q.join(first_hit, "q_id", "left")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.count("first_rnk").cast("long").alias("n_hit"),
+            F.sum(rr).cast("long").alias("rr_scaled_sum"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_hit",
+            "rr_scaled_sum",
+            (
+                F.col("rr_scaled_sum").cast("double")
+                / (F.lit(float(MRR_LCM)) * F.col("n_queries"))
+            ).alias("mrr"),
+        )
+    )

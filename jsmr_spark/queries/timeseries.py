@@ -958,3 +958,136 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 1.5 * F.col("iqr_cents")
         ).alias("is_outlier"),
     )
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def _acf_lag_sql(k: int) -> str:
+    """One lag's pairwise-complete Pearson block over the hourly
+    count series (identical expression text on both engines)."""
+    return f"""
+    SELECT event_type, {k} AS lag_h,
+           count(*) AS n_pairs,
+           CAST(sum(n * nk) AS BIGINT) AS sxy,
+           round(
+             CASE WHEN
+                 (CAST(count(*) AS DOUBLE) * CAST(sum(n * n) AS DOUBLE)
+                    - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                 * (CAST(count(*) AS DOUBLE) * CAST(sum(nk * nk) AS DOUBLE)
+                    - CAST(sum(nk) AS DOUBLE) * CAST(sum(nk) AS DOUBLE)) > 0
+             THEN
+               (CAST(count(*) AS DOUBLE) * CAST(sum(n * nk) AS DOUBLE)
+                  - CAST(sum(n) AS DOUBLE) * CAST(sum(nk) AS DOUBLE))
+               / sqrt(
+                   (CAST(count(*) AS DOUBLE) * CAST(sum(n * n) AS DOUBLE)
+                      - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+                   * (CAST(count(*) AS DOUBLE) * CAST(sum(nk * nk) AS DOUBLE)
+                      - CAST(sum(nk) AS DOUBLE) * CAST(sum(nk) AS DOUBLE))
+                 )
+             ELSE NULL END, 4) AS acf
+    FROM lagged
+    WHERE nk{k} IS NOT NULL AND bk{k} = bucket - INTERVAL {k} HOUR
+    GROUP BY event_type
+    """.replace("n * nk", f"n * nk{k}").replace("sum(nk)", f"sum(nk{k})").replace(
+        "sum(nk * nk)", f"sum(nk{k} * nk{k})"
+    ).replace("nk * nk", f"nk{k} * nk{k}")
+
+
+_ACF_ORACLE = (
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, bucket, n,
+    """
+    + ",\n".join(
+        f"""lag(n, {k}) OVER (PARTITION BY event_type ORDER BY bucket) AS nk{k},
+            lag(bucket, {k}) OVER (PARTITION BY event_type ORDER BY bucket) AS bk{k}"""
+        for k in ACF_LAGS
+    )
+    + """
+      FROM hourly
+    )
+    """
+    + " UNION ALL ".join(_acf_lag_sql(k) for k in ACF_LAGS)
+)
+
+
+@query(("q_ts_acf"), _ACF_ORACLE)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1-3
+    hours, per event type — the seasonality diagnostic you run before
+    picking q_ts_seasonal's lag or q_ts_ewma's horizon (hourly traffic
+    with a daily cycle shows it immediately at these lags).
+
+    Lag pairs are 'pairwise complete over the real clock': lag(k) over
+    the observed buckets is only accepted when the lagged bucket is
+    EXACTLY k hours earlier, so a gap in the series drops the pair on
+    both engines instead of silently pairing across it (the classic
+    lag-over-sparse-series bug).
+
+    Exactness: the series is integer counts, every moment sum is an
+    exact BIGINT, and Pearson r is computed from those exact integers
+    through one identical double expression tree on both engines
+    (casts of exact ints are correctly rounded, ditto each
+    multiply/subtract/sqrt/divide) with round(,4) absorbing nothing
+    but the final presentation. The sxy column pins the exact integer
+    cross-moment next to the rounded r.
+
+    Scale shape: the hourly rollup is one map-side-combined hash
+    aggregate (the q_ts_resample shape); the lag windows then run over
+    the ROLLED-UP series — hours x types, control-plane sized at any
+    input scale — so the per-type window sort never touches raw
+    events."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        *[
+            c
+            for k in ACF_LAGS
+            for c in (
+                F.lag("n", k).over(w).alias(f"nk{k}"),
+                F.lag("bucket", k).over(w).alias(f"bk{k}"),
+            )
+        ],
+    )
+    parts = []
+    for k in ACF_LAGS:
+        nk = F.col(f"nk{k}")
+        valid = nk.isNotNull() & (
+            F.col(f"bk{k}") == F.col("bucket") - F.expr(f"INTERVAL {k} HOUR")
+        )
+        d = lagged.filter(valid)
+        npd = F.count(F.lit(1)).cast("double")
+        sx, sy = F.sum("n").cast("double"), F.sum(nk).cast("double")
+        sxx = F.sum(F.col("n") * F.col("n")).cast("double")
+        syy = F.sum(nk * nk).cast("double")
+        sxy = F.sum(F.col("n") * nk)
+        densq = (npd * sxx - sx * sx) * (npd * syy - sy * sy)
+        parts.append(
+            d.groupBy("event_type").agg(
+                F.lit(k).cast("int").alias("lag_h"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                sxy.cast("long").alias("sxy"),
+                r4(
+                    F.when(
+                        densq > 0,
+                        (npd * sxy.cast("double") - sx * sy) / F.sqrt(densq),
+                    )  # zero-variance series: r undefined -> NULL
+                ).alias("acf"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

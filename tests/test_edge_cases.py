@@ -890,3 +890,97 @@ def test_cogrouped_map_counts_all_views_at_tied_ts(spark):
         assert out == {4: 3, 5: 0}, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mrr_first_hit_rank_and_top10_miss(spark):
+    """Pin q_rank_mrr's boundary rules on a hand-built corpus: at a
+    sim TIE the smaller vec_id ranks first (the wrong-label twin id 1
+    beats the same-label twin id 2, so the first hit is rank 2 ->
+    rr 2520//2 = 1260), and a same-label candidate pushed past rank 10
+    by 12 nearer wrong-label vectors is a MISS (rr 0, n_hit 0) even
+    though it exists."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = [
+        # queries (vec_id % 50 == 0)
+        (0, [1.0, 0.0], 1),
+        (50, [0.0, 1.0], 2),
+        # query 0's same-label twin: sim 1.0 -> rank 1 -> rr 2520
+        (2, [1.0, 0.0], 1),
+        # query 50's only same-label candidate sits at sim 0 -> rank >10
+        (1, [1.0, 0.0], 2),
+        # 12 wrong-label candidates near query 50 (sim ~1) bury it
+    ] + [(101 + i, [0.01 * (i + 1), 1.0], 3) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in e], lb) for i, e, lb in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_mrr_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {
+            r.label: (r.n_queries, r.n_hit, r.rr_scaled_sum, r.mrr)
+            for r in get_query("q_rank_mrr").fn(spark, d).collect()
+        }
+        assert out == {1: (1, 1, 1260, 0.5), 2: (1, 0, 0, 0.0)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_acf_alternating_series_and_gap_drops_pairs(spark):
+    """Pin q_ts_acf on constructed hourly counts: a 1,2,1,2,... series
+    gives acf exactly -1 at lag 1, +1 at lag 2, -1 at lag 3; a series
+    with a missing hour must DROP the pairs that would span the gap
+    (n_pairs counts only clock-contiguous pairs) and a zero-variance
+    side yields NULL, not a crash."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def emit(et, hour, count):
+        nonlocal eid
+        for j in range(count):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=hour, minutes=j), 1, et, 1.0, "{}")
+            )
+
+    for h, c in enumerate([1, 2, 1, 2, 1, 2]):
+        emit("x", h, c)
+    # y: hours 0,1 then a GAP at hour 2, then 3,4; later side constant
+    for h, c in [(0, 1), (1, 2), (3, 1), (4, 2)]:
+        emit("y", h, c)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_acf_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.event_type, r.lag_h): (r.n_pairs, r.acf)
+            for r in get_query("q_ts_acf").fn(spark, d).collect()
+        }
+        assert out[("x", 1)] == (5, -1.0), out
+        assert out[("x", 2)] == (4, 1.0), out
+        assert out[("x", 3)] == (3, -1.0), out
+        # gap: only (h1,h0) and (h4,h3) survive lag 1; both later
+        # values are 2 -> zero variance -> NULL acf
+        assert out[("y", 1)] == (2, None), out
+        # lag 2 would need h2/h5 partners -> no clock-contiguous pairs
+        assert ("y", 2) not in out, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -60,6 +60,20 @@ KEYS = [
     "q_multimodal_scenecut",
     "q_stats_chi2",
     "q_mr_join",
+    # batch-12 operators: two-pass exact medians over broadcast-joined
+    # groups, class-keyed windowed sample membership, per-series
+    # sliding quantile frames, the 9-scalar Gram collect (its sums
+    # must be partition-order independent), and the bucketed cogroup
+    # lane (bucket count derives from parallelism — results must not)
+    "q_agg_mad",
+    "q_sample_balanced",
+    "q_ts_hampel",
+    "q_ml_linreg",
+    "q_cogrouped_map",
+    # rounded-then-ranked retrieval metric and the rolled-up-series
+    # lag windows (hour buckets must not depend on partitioning)
+    "q_rank_mrr",
+    "q_ts_acf",
 ]
 
 

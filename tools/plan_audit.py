@@ -36,6 +36,8 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 # (analyze()-derived schema), same as q_udtf.
                 "q_udtf_analyze"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
+                     # broadcast query-panel x corpus: the exhaustive eval baseline
+                     "q_rank_mrr",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
