@@ -984,3 +984,45 @@ def test_acf_alternating_series_and_gap_drops_pairs(spark):
         assert ("y", 2) not in out, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmv_below_k_is_exact_and_merge_unions_types(spark):
+    """Below k distinct values the KMV sketch IS the value set: every
+    per-type estimate must equal the exact count, and the ALL row must
+    estimate the UNION of the per-type sketches (15 distinct users
+    across two overlapping 10-user types), not their sum."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(1, 11):  # type a: users 1..10
+        eid += 1
+        rows.append((eid, t0, u, "a", 1.0, "{}"))
+    for u in range(6, 16):  # type b: users 6..15 (5 overlap)
+        eid += 1
+        rows.append((eid, t0, u, "b", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_kmv_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_type: (r.n_exact, r.n_est, r.est_ok)
+            for r in get_query("q_sketch_kmv").fn(spark, d).collect()
+        }
+        assert out == {
+            "a": (10, 10, True),
+            "b": (10, 10, True),
+            "ALL": (15, 15, True),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

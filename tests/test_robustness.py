@@ -74,6 +74,9 @@ KEYS = [
     # lag windows (hour buckets must not depend on partitioning)
     "q_rank_mrr",
     "q_ts_acf",
+    # order-statistic sketch: per-partition top-k heaps must merge to
+    # the same R_k whatever the partitioning
+    "q_sketch_kmv",
 ]
 
 

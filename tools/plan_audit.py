@@ -42,6 +42,8 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
+                     # global-exact x merged-sketch 1-row aggregates.
+                     "q_sketch_kmv",
                      # three 1-row bitmap-cardinality aggregates joined
                      # for inclusion-exclusion — 1x1x1 by construction.
                      "q_sketch_bitmap_intersect",

@@ -137,7 +137,7 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # series), exact-OLS Gram pass (9-scalar exchange),
           # bucket-amortized cogroup lane
           "q_agg_mad", "q_sample_balanced", "q_ts_hampel", "q_ml_linreg",
-          "q_cogrouped_map", "q_rank_mrr", "q_ts_acf"]
+          "q_cogrouped_map", "q_rank_mrr", "q_ts_acf", "q_sketch_kmv"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
