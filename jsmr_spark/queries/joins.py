@@ -1553,3 +1553,120 @@ def q_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests. Small dim side broadcasts like any semi join;
     the fact side never duplicates rows (existence, not inner)."""
     return sql(spark, sf_dir, _EXISTENCE_SQL)
+
+
+NEAREST_GAP_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "q_join_asof_nearest",
+    f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS tc
+      FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, epoch_us(ts) AS tv
+      FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT c.click_id, c.user_id, v.view_id,
+             abs(c.tc - v.tv) AS gap_us, v.tv, c.tc,
+             row_number() OVER (
+               PARTITION BY c.click_id
+               ORDER BY abs(c.tc - v.tv), v.tv, v.view_id
+             ) AS rnk
+      FROM c JOIN v ON c.user_id = v.user_id
+      WHERE abs(c.tc - v.tv) <= {NEAREST_GAP_US}
+    )
+    SELECT c.click_id, c.user_id, b.view_id,
+           b.gap_us,
+           CASE WHEN b.view_id IS NULL THEN NULL
+                WHEN b.tv < b.tc THEN 'before'
+                WHEN b.tv > b.tc THEN 'after'
+                ELSE 'exact' END AS direction
+    FROM c LEFT JOIN (SELECT * FROM cand WHERE rnk = 1) b
+      ON c.click_id = b.click_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each click pairs with the closest same-user
+    view in EITHER time direction within a 1-hour gap — the variant
+    the backward-only as-of (q_join_asof) cannot express, needed when
+    the reference signal may land just after the event (sensor
+    alignment, log-clock slop). Ties at equal distance prefer the
+    EARLIER view, then the smaller view_id; clicks with no view inside
+    the gap survive with NULLs (left semantics).
+
+    Scale shape: the oracle's per-user theta join is quadratic in the
+    per-user row counts, so the engine plan BUCKET-BLOCKS time instead
+    (the q_join_theta recipe): clicks fan out to their gap-width
+    bucket +-1, the join is an EQUI-join on (user_id, bucket), and the
+    exact |gap| predicate filters candidates — pair count is bounded
+    by real temporal neighbors, never by the user's full history. One
+    keyed exchange per side, one row_number per click over its
+    candidates.
+
+    Exactness: gaps are exact integer microseconds (epoch_us on both
+    engines), so ordering, the gap cutoff, and the before/after/exact
+    label are all integer decisions."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("tc"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.unix_micros(F.col("ts")).alias("tv"),
+        F.expr(f"unix_micros(ts) DIV {NEAREST_GAP_US}").alias("vb"),
+    )
+    fanout = c.select(
+        "click_id",
+        "user_id",
+        "tc",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"tc DIV {NEAREST_GAP_US}") + F.lit(o)
+                    for o in (-1, 0, 1)
+                ]
+            )
+        ).alias("cb"),
+    )
+    cand = (
+        fanout.join(
+            v,
+            (F.col("user_id") == F.col("v_user")) & (F.col("cb") == F.col("vb")),
+        )
+        .filter(F.abs(F.col("tc") - F.col("tv")) <= NEAREST_GAP_US)
+        .select(
+            "click_id",
+            "view_id",
+            F.abs(F.col("tc") - F.col("tv")).alias("gap_us"),
+            "tv",
+        )
+        # the click's 3 fanout buckets are distinct, so each (click,
+        # view) pair joins at most once; the rank picks the winner
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("click_id").orderBy(
+                    "gap_us", F.asc("tv"), F.asc("view_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    return c.join(cand, "click_id", "left").select(
+        "click_id",
+        "user_id",
+        "view_id",
+        "gap_us",
+        F.when(F.col("view_id").isNull(), F.lit(None).cast("string"))
+        .when(F.col("tv") < F.col("tc"), "before")
+        .when(F.col("tv") > F.col("tc"), "after")
+        .otherwise("exact")
+        .alias("direction"),
+    )

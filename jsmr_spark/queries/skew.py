@@ -18,7 +18,7 @@ xxhash64 is the right choice over the md5-derived portable hash
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import cents, sql_cents
@@ -107,4 +107,78 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.flatten(F.collect_list("pcusts")))).cast(
             "long"
         ).alias("n_custs"),
+    )
+
+
+SKEW_TOP = 10
+
+
+@query(
+    "q_skew_report",
+    f"""
+    WITH k AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+             max(n) AS max_n,
+             CAST(round(median(n), 0) AS BIGINT) AS med_n
+      FROM k
+    ),
+    top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+      FROM k
+    )
+    SELECT t.rnk, t.user_id, t.n AS n_rows_key,
+           CAST(t.n * 1000000 // o.n_rows AS BIGINT) AS share_ppm,
+           CAST(t.n * 10 // o.med_n AS BIGINT) AS x10_vs_median,
+           o.n_keys, o.n_rows
+    FROM top t, tot o
+    WHERE t.rnk <= {SKEW_TOP}
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the report you run BEFORE deciding
+    whether a keyed join/agg needs the salting in this module or AQE's
+    skew split. Per heavy key: row count, parts-per-million share of
+    the table, and a 10x-scaled ratio to the median key — all exact
+    integers (share and ratio via BIGINT floor division, the median of
+    integer counts rounded to BIGINT), so the driver hashes the full
+    diagnosis.
+
+    Scale shape: one map-side-combined count per key (the exchange
+    moves one row per key per partition), a TakeOrdered top-10 over
+    the per-key counts, and a 1-row global aggregate broadcast onto
+    the 10 survivors. The per-key count table is exactly the histogram
+    AQE consults internally — this surfaces it as data. Exact medians
+    over the key histogram sort ~n_keys rows, bounded by key
+    cardinality, not table size."""
+    k = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.percentile("n", F.lit(0.5)), 0).cast("long").alias("med_n"),
+    )
+    top = (
+        k.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(SKEW_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("user_id"))),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "user_id",
+        F.col("n").alias("n_rows_key"),
+        F.expr("CAST(n * 1000000 AS BIGINT) DIV n_rows").alias("share_ppm"),
+        F.expr("CAST(n * 10 AS BIGINT) DIV med_n").alias("x10_vs_median"),
+        "n_keys",
+        "n_rows",
     )

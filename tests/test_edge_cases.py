@@ -1026,3 +1026,87 @@ def test_kmv_below_k_is_exact_and_merge_unions_types(spark):
         }, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_skew_report_exact_shares_and_tie_order(spark):
+    """Pin q_skew_report's integer arithmetic on a known histogram:
+    user 1 x7, user 2 x3, users 3..12 x1 -> median key 1, user 1 is
+    350000 ppm and 70 tenths-of-median; count ties rank by user_id."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 7, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for u, c in [(1, 7), (2, 3)] + [(u, 1) for u in range(3, 13)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, t0, u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_skr_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.rnk: (r.user_id, r.n_rows_key, r.share_ppm, r.x10_vs_median,
+                    r.n_keys, r.n_rows)
+            for r in get_query("q_skew_report").fn(spark, d).collect()
+        }
+        assert out[1] == (1, 7, 350000, 70, 12, 20), out
+        assert out[2] == (2, 3, 150000, 30, 12, 20), out
+        # ties at count 1 rank by user_id ascending
+        assert [out[r][0] for r in range(3, 11)] == list(range(3, 11)), out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_nearest_tie_gap_cutoff_and_bucket_edge(spark):
+    """Pin q_join_asof_nearest's rules: an equidistant before/after
+    pair resolves to the EARLIER view; a nearest view outside the
+    1-hour gap leaves the click unmatched (NULLs survive); an exact-ts
+    view labels 'exact' with gap 0. The +-30 min pair straddles an
+    hour-bucket boundary, so the match only exists if the bucket
+    fan-out reaches the adjacent bucket."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 7, 1, 0, 15, 0)  # near the hour edge
+    rows = [
+        # user 1: views 30 min before and after the click (tie -> view 1)
+        (1, t0 - dt.timedelta(minutes=30), 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "view", 0.0, "{}"),
+        (3, t0, 1, "click", 0.0, "{}"),
+        # user 2: only view is 90 min away -> unmatched
+        (4, t0 + dt.timedelta(minutes=90), 2, "view", 0.0, "{}"),
+        (5, t0, 2, "click", 0.0, "{}"),
+        # user 3: view at exactly the click ts
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0, 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_nrst_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.click_id: (r.view_id, r.gap_us, r.direction)
+            for r in get_query("q_join_asof_nearest").fn(spark, d).collect()
+        }
+        assert out[3] == (1, 1_800_000_000, "before"), out
+        assert out[5] == (None, None, None), out
+        assert out[7] == (6, 0, "exact"), out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

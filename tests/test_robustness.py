@@ -77,6 +77,10 @@ KEYS = [
     # order-statistic sketch: per-partition top-k heaps must merge to
     # the same R_k whatever the partitioning
     "q_sketch_kmv",
+    # top-k over per-key counts with a broadcast 1-row global, and the
+    # bucket-blocked nearest join (fanout must be partition-invariant)
+    "q_skew_report",
+    "q_join_asof_nearest",
 ]
 
 

@@ -137,7 +137,8 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # series), exact-OLS Gram pass (9-scalar exchange),
           # bucket-amortized cogroup lane
           "q_agg_mad", "q_sample_balanced", "q_ts_hampel", "q_ml_linreg",
-          "q_cogrouped_map", "q_rank_mrr", "q_ts_acf", "q_sketch_kmv"]
+          "q_cogrouped_map", "q_rank_mrr", "q_ts_acf", "q_sketch_kmv",
+          "q_skew_report", "q_join_asof_nearest"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
