@@ -857,3 +857,73 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(dup.cast("double") / n.cast("double") * 10000 + F.lit(0.5)) / 10000.0
         ).alias("dup_ratio"),
     )
+
+
+# --- CCNet-style perplexity-tertile corpus bucketing (round 6) --------
+
+
+def _ccnet_oracle() -> str:
+    from jsmr_spark.registry import get_query
+
+    ppl = get_query("q_text_perplexity").oracle
+    return f"""
+    WITH base AS ({ppl}),
+    r AS (
+      SELECT b.doc_id, d.lang, b.n_bigrams,
+             ntile(3) OVER (
+               ORDER BY (-CAST(b.sum_logprob_scaled AS DOUBLE)) / b.n_bigrams,
+                        b.doc_id
+             ) AS bkt
+      FROM base b JOIN documents d USING (doc_id)
+    )
+    SELECT CASE bkt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM r GROUP BY bkt, lang
+    """
+
+
+@query("q_text_ccnet_bucket", _ccnet_oracle())
+def q_text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus partition: rank every document by its bigram-LM
+    perplexity (q_text_perplexity's exact scaled score) and split the
+    corpus into head / middle / tail TERILES — head (lowest perplexity,
+    most fluent) is what CCNet keeps for LM training, tail is what the
+    quality review samples. Reported per (bucket, lang) with the exact
+    doc_id sum pinning MEMBERSHIP of each bucket, not just its size.
+
+    Bucketing is ntile over (score, doc_id), NOT float cutpoints: the
+    per-doc score (-sum_logprob_scaled)/n_bigrams is one division from
+    exact integers — bit-identical cross-engine — so a pure RANKING
+    decision is deterministic, while interpolated percentile cutpoints
+    on arbitrary doubles could diverge by an ulp exactly at a bucket
+    boundary. The ntile is a corpus-wide sort by construction (ranking
+    IS the operator); the 100 TB path computes approximate tertile
+    cutpoints from a sample (the q_quantile_bins shape) and trades
+    exact boundary membership for a map-only bucket assignment."""
+    ppl = q_text_perplexity(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    score = (-F.col("sum_logprob_scaled").cast("double")) / F.col("n_bigrams")
+    r = (
+        ppl.join(docs, "doc_id")
+        .select("doc_id", "lang", "n_bigrams", score.alias("score"))
+        .withColumn(
+            "bkt",
+            F.ntile(3).over(Window.orderBy(F.asc("score"), F.asc("doc_id"))),
+        )
+    )
+    return r.groupBy(
+        F.when(F.col("bkt") == 1, "head")
+        .when(F.col("bkt") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "lang",
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )
+

@@ -1110,3 +1110,45 @@ def test_asof_nearest_tie_gap_cutoff_and_bucket_edge(spark):
         assert out[7] == (6, 0, "exact"), out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ccnet_buckets_order_by_fluency_and_partition_exactly(spark):
+    """Pin q_text_ccnet_bucket's semantics on a constructed corpus:
+    9 docs split into exact tertiles (3/3/3), the most predictable
+    documents (one repeated bigram) land in head, the all-unique-token
+    documents land in tail, and the doc_id sums prove the membership
+    partition is exact and disjoint."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    fluent = "a b a b a b a b a b"
+    medium = "c d e c d f c g d h"
+    rows = (
+        [(i, fluent, "en", "w", len(fluent)) for i in (1, 2, 3)]
+        + [(i, medium, "en", "w", len(medium)) for i in (4, 5, 6)]
+        + [
+            (i, " ".join(f"u{i}t{j}" for j in range(10)), "en", "w", 60)
+            for i in (7, 8, 9)
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_ccn_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.bucket: (r.n_docs, r.doc_id_sum)
+            for r in get_query("q_text_ccnet_bucket").fn(spark, d).collect()
+        }
+        assert out == {
+            "head": (3, 1 + 2 + 3),
+            "middle": (3, 4 + 5 + 6),
+            "tail": (3, 7 + 8 + 9),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

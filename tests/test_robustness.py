@@ -81,6 +81,9 @@ KEYS = [
     # bucket-blocked nearest join (fanout must be partition-invariant)
     "q_skew_report",
     "q_join_asof_nearest",
+    # corpus-wide ntile over the exact perplexity score: the global
+    # ranking must not depend on partitioning
+    "q_text_ccnet_bucket",
 ]
 
 

@@ -128,7 +128,11 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
 # KS/AUC cumulative ECDF windows: the window input is the per-cent
 # aggregate of an exact-2dp metric, bounded by the VALUE DOMAIN
 # (<=56k rows however big the corpus), not by corpus size.
-ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc"}
+ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
+                                 # corpus-wide quality ranking IS the
+                                 # operator (CCNet tertiles); the 100 TB
+                                 # path swaps ntile for sampled cutpoints
+                                 "q_text_ccnet_bucket"}
 
 
 def has_global_window(plan: str) -> bool:
