@@ -775,3 +775,73 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(cents(F.col("value"))).alias("revenue_cents"),
     )
+
+
+@query(
+    "q_session_rfm",
+    f"""
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS freq,
+             CAST(sum({sql_cents("value")}) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, monetary_cents,
+             ntile(5) OVER (ORDER BY last_us, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+      FROM p
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents,
+           CAST(sum(user_id) AS BIGINT) AS user_id_sum
+    FROM s GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_session_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing rollup: per
+    user, Recency (last purchase instant), Frequency (purchase count),
+    Monetary (exact cents), each quintile-scored 1..5, reported per
+    (R,F,M) cell with the exact user_id sum pinning cell MEMBERSHIP.
+    Score 5 = most recent / most frequent / highest spend (ntile
+    ascending puts the best quintile last).
+
+    Exactness: all three ranking keys are exact integers (epoch µs,
+    counts, cents) with a user_id tie-break, so the three ntiles are
+    pure deterministic rankings — no float enters the key at any
+    point, and every output column is an exact integer.
+
+    Scale shape: one map-side-combined aggregate collapses events to
+    one row per purchasing user, then three rankings over that rollup.
+    Ranking the user dimension is a user-cardinality sort (the exact
+    form); at 100 TB the standard trade is approximate quintile
+    cutpoints from a sample (q_quantile_bins shape) for a map-only
+    score assignment, giving up exact quintile boundaries."""
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros(F.col("ts"))).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(cents(F.col("value"))).cast("long").alias("monetary_cents"),
+        )
+    )
+    s = p.select(
+        "user_id",
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy("last_us", "user_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m_score"),
+    )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("monetary_cents"),
+        F.sum("user_id").cast("long").alias("user_id_sum"),
+    )

@@ -863,3 +863,67 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, _SINK_SCHEMA)
+
+
+VACUUM_VERSIONS = 5
+VACUUM_RETAIN = 2
+
+
+@query(
+    "sink_vacuum",
+    f"""
+    SELECT {VACUUM_VERSIONS} AS n_versions_before,
+           {VACUUM_RETAIN} AS n_versions_after,
+           {VACUUM_VERSIONS - VACUUM_RETAIN + 1} AS oldest_retained,
+           count(*) AS n_docs_latest,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_latest
+    FROM documents
+    """,
+)
+def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot VACUUM — the retention half of lake maintenance next to
+    sink_compact's file-count half: a versioned table directory
+    (v=1..{VACUUM_VERSIONS}, each snapshot a full rewrite with strictly
+    growing content) is vacuumed down to the newest {VACUUM_RETAIN}
+    versions; old snapshot directories are DELETED from disk, the
+    survivor listing is re-checked from the filesystem (not from
+    memory), and the latest snapshot is re-read and content-verified
+    against the source table. A vacuum that deletes the wrong versions
+    changes oldest_retained; one that corrupts the live snapshot
+    changes the content aggregate; both fail the hash.
+
+    Scale shape: retention is pure directory-listing + delete on the
+    snapshot CATALOG (version count, not data size); the only data
+    read is the verification scan of the latest snapshot. Real tables
+    gate deletion on a snapshot's expiry time rather than a count, but
+    the mechanism — list, sort by version, drop the tail — is this."""
+    base = os.path.join(tempfile.gettempdir(), f"jsmr_vac_{uuid.uuid4().hex[:8]}")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    try:
+        for ver in range(1, VACUUM_VERSIONS + 1):
+            docs.filter(F.col("doc_id") % VACUUM_VERSIONS < ver).write.parquet(
+                os.path.join(base, f"v={ver}")
+            )
+        before = sorted(
+            int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("v=")
+        )
+        for ver in before[: -VACUUM_RETAIN]:
+            shutil.rmtree(os.path.join(base, f"v={ver}"))
+        after = sorted(
+            int(d.split("=")[1]) for d in os.listdir(base) if d.startswith("v=")
+        )
+        latest = spark.read.parquet(os.path.join(base, f"v={after[-1]}"))
+        rows = latest.agg(
+            F.lit(len(before)).cast("int").alias("n_versions_before"),
+            F.lit(len(after)).cast("int").alias("n_versions_after"),
+            F.lit(after[0]).cast("int").alias("oldest_retained"),
+            F.count(F.lit(1)).alias("n_docs_latest"),
+            F.sum("n_chars").alias("sum_chars_latest"),
+        ).collect()  # materialize before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_versions_before int, n_versions_after int, oldest_retained int, "
+        "n_docs_latest long, sum_chars_latest long",
+    )

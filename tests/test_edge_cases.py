@@ -1152,3 +1152,46 @@ def test_ccnet_buckets_order_by_fluency_and_partition_exactly(spark):
         }, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rfm_scores_align_and_nonbuyers_are_absent(spark):
+    """Pin q_session_rfm: 5 users with strictly increasing recency,
+    frequency, and spend land on the diagonal cells (i,i,i) with their
+    own user_id as the membership sum; a user with views but no
+    purchases appears in no cell."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 8, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for u in range(1, 6):  # user u: u purchases, last at t0+u days, value u dollars
+        for j in range(u):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(days=u, minutes=j), u, "purchase",
+                 float(u), "{}")
+            )
+    eid += 1
+    rows.append((eid, t0, 9, "view", 100.0, "{}"))  # non-buyer
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_rfm_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.r_score, r.f_score, r.m_score): (r.n_users, r.monetary_cents,
+                                                r.user_id_sum)
+            for r in get_query("q_session_rfm").fn(spark, d).collect()
+        }
+        assert out == {
+            (i, i, i): (1, i * i * 100, i) for i in range(1, 6)
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -84,6 +84,9 @@ KEYS = [
     # corpus-wide ntile over the exact perplexity score: the global
     # ranking must not depend on partitioning
     "q_text_ccnet_bucket",
+    # versioned-dir side effect and the triple-ntile user rollup
+    "sink_vacuum",
+    "q_session_rfm",
 ]
 
 

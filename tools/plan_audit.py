@@ -132,7 +132,11 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # corpus-wide quality ranking IS the
                                  # operator (CCNet tertiles); the 100 TB
                                  # path swaps ntile for sampled cutpoints
-                                 "q_text_ccnet_bucket"}
+                                 "q_text_ccnet_bucket",
+                                 # user-dimension quintile ranking over the
+                                 # per-user rollup; 100 TB path = sampled
+                                 # cutpoints (q_quantile_bins shape)
+                                 "q_session_rfm"}
 
 
 def has_global_window(plan: str) -> bool:
