@@ -927,3 +927,68 @@ def q_text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("doc_id_sum"),
     )
 
+
+
+# --- langid confusion matrix (round 6) --------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from jsmr_spark.registry import get_query
+
+    langid = get_query("q_text_langid").oracle
+    return f"""
+    WITH base AS ({langid}),
+    cell AS (
+      SELECT actual_lang, predicted_lang, count(*) AS n,
+             CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+      FROM base GROUP BY actual_lang, predicted_lang
+    ),
+    act AS (SELECT actual_lang, sum(n) AS n_actual FROM cell GROUP BY 1),
+    pred AS (SELECT predicted_lang, sum(n) AS n_predicted FROM cell GROUP BY 1)
+    SELECT c.actual_lang, c.predicted_lang, c.n, c.doc_id_sum,
+           CAST(c.n * 1000000 // a.n_actual AS BIGINT) AS share_of_actual_ppm,
+           CAST(c.n * 1000000 // p.n_predicted AS BIGINT) AS share_of_predicted_ppm
+    FROM cell c
+    JOIN act a ON a.actual_lang = c.actual_lang
+    JOIN pred p ON p.predicted_lang = c.predicted_lang
+    """
+
+
+@query("q_text_lang_confusion", _lang_confusion_oracle())
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the n-gram language identifier: per
+    (actual, predicted) cell the doc count, the exact doc_id sum
+    (membership, not just counts), and the row-/column-normalized
+    shares in exact ppm — share_of_actual is per-language RECALL on
+    the diagonal, share_of_predicted is PRECISION. This is the eval
+    readout that tells you WHICH languages the q_text_langid heuristic
+    confuses, where its scalar `correct` flag only says how often.
+
+    The oracle composes q_text_langid's registered SQL as a CTE (the
+    q_text_ccnet_bucket pattern), so classifier and evaluation can
+    never drift apart. All outputs are exact integers (BIGINT floor
+    divisions); scale shape is the classifier's own (profile broadcast,
+    one doc-keyed aggregate) plus two language-cardinality rollups."""
+    base = q_text_langid(spark, sf_dir)
+    cell = base.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+    )
+    act = cell.groupBy("actual_lang").agg(F.sum("n").alias("n_actual"))
+    pred = cell.groupBy("predicted_lang").agg(F.sum("n").alias("n_predicted"))
+    return (
+        cell.join(F.broadcast(act), "actual_lang")
+        .join(F.broadcast(pred), "predicted_lang")
+        .select(
+            "actual_lang",
+            "predicted_lang",
+            "n",
+            "doc_id_sum",
+            F.expr("CAST(n * 1000000 AS BIGINT) DIV n_actual").alias(
+                "share_of_actual_ppm"
+            ),
+            F.expr("CAST(n * 1000000 AS BIGINT) DIV n_predicted").alias(
+                "share_of_predicted_ppm"
+            ),
+        )
+    )

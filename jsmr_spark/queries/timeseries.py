@@ -1091,3 +1091,72 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+CAL_BINS = 10
+
+
+@query(
+    "q_ml_calibration",
+    f"""
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    mx AS (SELECT max(c) AS max_c FROM pts),
+    binned AS (
+      SELECT CAST(p.c * {CAL_BINS} // (m.max_c + 1) AS INTEGER) AS bin,
+             p.c, p.pos
+      FROM pts p CROSS JOIN mx m
+    )
+    SELECT bin,
+           count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(c) AS BIGINT) AS sum_score_cents,
+           round(CAST(sum(c) AS BIGINT) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_score_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability table for the q_ml_auc classifier
+    setup (score = value cents, positive = purchase, negative = view):
+    scores split into {CAL_BINS} equal-width bins over the observed
+    range, and each bin reports its size, positive count, EXACT
+    positive rate in ppm, and mean score — the table a reliability
+    diagram plots, and the per-bin |accuracy − confidence| gaps an ECE
+    summarizes. AUC says the ranking is right; THIS says whether the
+    scores mean what they claim.
+
+    Exactness: bin assignment is BIGINT floor division against a 1-row
+    broadcast max aggregate, rates are exact ppm, and the only double
+    is the presentational mean (one division from exact integers).
+    Scale shape: one narrow map + 1-row broadcast + one {CAL_BINS}-group
+    hash aggregate — no sort, no window, corpus never shuffles beyond
+    the map-side-combined bin rollup."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.select(
+        cents(F.col("value")).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    mx = pts.agg(F.max("c").alias("max_c"))
+    binned = pts.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"CAST(c * {CAL_BINS} DIV (max_c + 1) AS INT)").alias("bin"),
+        "c",
+        "pos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("CAST(sum(pos) * 1000000 AS BIGINT) DIV count(*)").alias(
+            "pos_rate_ppm"
+        ),
+        F.sum("c").cast("long").alias("sum_score_cents"),
+        r4(F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            "mean_score_cents"
+        ),
+    )

@@ -1195,3 +1195,85 @@ def test_rfm_scores_align_and_nonbuyers_are_absent(spark):
         }, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_lang_confusion_shares_and_tie_prediction(spark):
+    """Pin q_text_lang_confusion on a constructed corpus: a 'bb' doc
+    written entirely in 'aa' tokens lands in the (bb -> aa) cell (the
+    profile-hit tie resolves to the lexicographically first language),
+    and the exact ppm shares row- and column-normalize the matrix."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = [
+        (1, "x x x x", "aa", "w", 7),
+        (2, "x x x x", "aa", "w", 7),
+        (3, "y y y y", "bb", "w", 7),
+        (4, "y y y y", "bb", "w", 7),
+        (5, "x x x x", "bb", "w", 7),  # bb doc in aa tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_cfm_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r.actual_lang, r.predicted_lang): (
+                r.n, r.doc_id_sum, r.share_of_actual_ppm, r.share_of_predicted_ppm
+            )
+            for r in get_query("q_text_lang_confusion").fn(spark, d).collect()
+        }
+        assert out == {
+            ("aa", "aa"): (2, 3, 1000000, 666666),
+            ("bb", "aa"): (1, 5, 333333, 333333),
+            ("bb", "bb"): (2, 7, 666666, 1000000),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_calibration_bins_exact_rates(spark):
+    """Pin q_ml_calibration's bin assignment and exact rates: scores
+    10 and 90 cents with max 90 land in bins 1 and 9 (c*10 // 91), a
+    mixed low bin reports 250000 ppm, a pure-positive bin 1000000."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 9, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.10, "{}"),
+        (2, t0, 1, "view", 0.10, "{}"),
+        (3, t0, 1, "view", 0.10, "{}"),
+        (4, t0, 1, "purchase", 0.10, "{}"),
+        (5, t0, 1, "purchase", 0.90, "{}"),
+        (6, t0, 1, "purchase", 0.90, "{}"),
+        (7, t0, 1, "signup", 99.0, "{}"),  # other types excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_cal_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.bin: (r.n, r.n_pos, r.pos_rate_ppm, r.sum_score_cents,
+                    r.mean_score_cents)
+            for r in get_query("q_ml_calibration").fn(spark, d).collect()
+        }
+        assert out == {
+            1: (4, 1, 250000, 40, 10.0),
+            9: (2, 2, 1000000, 180, 90.0),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

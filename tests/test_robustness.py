@@ -87,6 +87,9 @@ KEYS = [
     # versioned-dir side effect and the triple-ntile user rollup
     "sink_vacuum",
     "q_session_rfm",
+    # composed-classifier eval matrix and the broadcast-max binning
+    "q_text_lang_confusion",
+    "q_ml_calibration",
 ]
 
 

@@ -47,6 +47,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # top-10 heavy keys x 1-row broadcast global
                      # histogram aggregate — 10x1 by construction.
                      "q_skew_report",
+                     # scores x 1-row broadcast max aggregate (the
+                     # equal-width bin denominator) — q_quantile_bins'
+                     # cutpoint shape.
+                     "q_ml_calibration",
                      # three 1-row bitmap-cardinality aggregates joined
                      # for inclusion-exclusion — 1x1x1 by construction.
                      "q_sketch_bitmap_intersect",
