@@ -865,3 +865,78 @@ def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr"),
         )
     )
+
+
+OUT_Q = 1_000  # 1e-3 quantization grid for the exact outlier distances
+OUT_TOP = 10
+
+
+@query(
+    "q_embed_outliers",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {OUT_Q}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {OUT_Q}.0) AS BIGINT) AS xq
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (SELECT dim, count(*) AS n, sum(xq) AS s FROM e GROUP BY dim),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(sum((c.n * e.xq - c.s) * (c.n * e.xq - c.s)) AS BIGINT)
+               AS dist2n2
+      FROM e JOIN cent c ON c.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, dist2n2, rnk
+    FROM (SELECT vec_id, label, dist2n2,
+                 row_number() OVER (ORDER BY dist2n2 DESC, vec_id) AS rnk
+          FROM d) x
+    WHERE rnk <= {OUT_TOP}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier census: the {OUT_TOP} vectors farthest
+    from the corpus centroid — the quality gate that catches corrupt /
+    off-distribution embeddings before they poison ANN indexes or
+    k-means seeds (q_embed_stats is the per-dimension view; this is
+    the per-VECTOR view).
+
+    Exactness is the k-means trick: the centroid is never materialized
+    as a float mean — vectors quantize to a 1e-3 grid and the squared
+    distance scales by n^2: dist2n2 = sum_d (n*xq_d - S_d)^2, an exact
+    BIGINT on both engines, so the outlier ranking is an integer
+    decision (tie-break vec_id). Headroom: per-dim terms stay under
+    2^63/dims up to ~60k vectors at this grid; past that, coarsen the
+    grid (bound scales with its square) — same documented bound as
+    ml_cluster's enforced guard.
+
+    Scale shape: one narrow posexplode, one 64-group centroid
+    aggregate broadcast back, one vec-keyed aggregate, TakeOrdered
+    top-{OUT_TOP}. No all-pairs anywhere — centroid distance is
+    O(n*dims)."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.expr(
+                f"cast(floor(abs(cast(x as double) * {OUT_Q}.0) + 0.5)"
+                f" * signum(cast(x as double) * {OUT_Q}.0) as bigint)"
+            ).alias("xq"),
+        )
+    )
+    cent = e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xq").alias("s")
+    )
+    term = F.col("n") * F.col("xq") - F.col("s")
+    d = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).cast("long").alias("dist2n2"))
+    )
+    keys = [F.desc("dist2n2"), F.asc("vec_id")]
+    top = d.orderBy(*keys).limit(OUT_TOP)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))

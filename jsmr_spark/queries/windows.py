@@ -278,3 +278,59 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vc").alias("min_cents"),
         F.max("vc").alias("max_cents"),
     )
+
+
+@query(
+    "q_win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, anchor, count(*) AS len
+      FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks — the gaps-and-islands pattern: per user,
+    collapse events to distinct active days, anchor each run of
+    CONSECUTIVE days by `day - row_number` (constant within a run,
+    shifts at every gap), and report active days / streak count /
+    longest streak. The retention sibling of q_retention_cohort: DAU
+    tells you who showed up, streaks tell you who kept showing up.
+
+    Everything is exact date/integer arithmetic with a deterministic
+    per-user ordering (days are distinct, so no tie-break is needed).
+
+    Scale shape: one distinct (user, day) rollup (map-side combined),
+    one per-user window over the user's DAY list (bounded by the
+    calendar, not by event volume), two keyed aggregates. The event
+    table itself never sorts."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )

@@ -1277,3 +1277,87 @@ def test_calibration_bins_exact_rates(spark):
         }, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaks_islands_and_month_boundary(spark):
+    """Pin q_win_streaks' islands arithmetic: runs split exactly at
+    calendar gaps, a month boundary is NOT a gap (Jan 31 -> Feb 1),
+    multiple events on one day collapse to one active day."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    def ev(eid, day, user):
+        return (eid, dt.datetime(2024, 1, 1, 9) + dt.timedelta(days=day - 1),
+                user, "view", 1.0, "{}")
+
+    rows = (
+        # user 1: days 1,2,3 | 5 | 7,8  (three streaks, longest 3)
+        [ev(i, d, 1) for i, d in enumerate([1, 2, 3, 5, 7, 8], start=1)]
+        # user 1: a second event on day 2 must not double-count
+        + [ev(99, 2, 1)]
+        # user 2: Jan 30, Jan 31, Feb 1, Feb 2 -> ONE streak of 4
+        + [ev(100 + i, 30 + i, 2) for i in range(4)]
+        # user 3: single day
+        + [ev(200, 10, 3)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_stk_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.user_id: (r.active_days, r.n_streaks, r.longest_streak)
+            for r in get_query("q_win_streaks").fn(spark, d).collect()
+        }
+        assert out == {1: (6, 3, 3), 2: (4, 1, 4), 3: (1, 1, 1)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embed_outliers_exact_distance_and_tie(spark):
+    """Pin q_embed_outliers against a literal integer recomputation of
+    dist2n2 on a hand-built corpus, including the vec_id tie-break for
+    two identical far vectors."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    vecs = [(i, [1.0, 0.0], 0) for i in range(1, 11)] + [
+        (20, [-5.0, 5.0], 1),
+        (21, [-5.0, 5.0], 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in e], lb) for i, e, lb in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # literal recomputation at the 1e-3 grid
+    q = [(i, [round(x * 1000) for x in e]) for i, e, _ in vecs]
+    n = len(q)
+    s = [sum(v[d] for _, v in q) for d in range(2)]
+    dist = {i: sum((n * v[d] - s[d]) ** 2 for d in range(2)) for i, v in q}
+    expect = sorted(dist.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_out_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = [
+            (r.vec_id, r.dist2n2)
+            for r in sorted(
+                get_query("q_embed_outliers").fn(spark, d).collect(),
+                key=lambda r: r.rnk,
+            )
+        ]
+        assert got == expect, (got, expect)
+        assert got[0][0] == 20 and got[1][0] == 21  # tie -> smaller vec_id
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -90,6 +90,9 @@ KEYS = [
     # composed-classifier eval matrix and the broadcast-max binning
     "q_text_lang_confusion",
     "q_ml_calibration",
+    # islands anchoring and the integer centroid-distance TakeOrdered
+    "q_win_streaks",
+    "q_embed_outliers",
 ]
 
 
