@@ -845,3 +845,61 @@ def q_session_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").cast("long").alias("monetary_cents"),
         F.sum("user_id").cast("long").alias("user_id_sum"),
     )
+
+
+@query(
+    "q_agg_gini",
+    f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(sum({sql_cents("value")}) AS BIGINT) AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY x, user_id) AS i
+      FROM per_user
+    )
+    SELECT event_type,
+           count(*) AS n_users,
+           CAST(sum(x) AS BIGINT) AS total_cents,
+           CAST(sum(2 * i * x) - (count(*) + 1) * sum(x) AS BIGINT) AS gini_num,
+           round(CAST(sum(2 * i * x) - (count(*) + 1) * sum(x) AS BIGINT)
+                 / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS BIGINT)), 4)
+             AS gini
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of per-user spend within each event
+    type — the inequality readout data-mix monitors run over corpus
+    sources ("is 1% of users/sources contributing 90% of the data?"),
+    computed by the exact rank identity G = (2·Σ i·x_(i) − (n+1)·Σx)
+    / (n·Σx) over cents sorted with a user_id tie-break. The numerator
+    is an exact BIGINT (headroom ~1M users at these spend levels —
+    bound scales as n²·x_max), so the hash pins the full computation
+    and the only double is the final division.
+
+    Scale shape: one map-side-combined (type, user) rollup, one
+    per-type ranking window over the USER dimension (bounded by users
+    per type, not events), one keyed aggregate."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type", "x", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    num = F.sum(2 * F.col("i") * F.col("x")) - (n + 1) * sx
+    return ranked.groupBy("event_type").agg(
+        n.alias("n_users"),
+        sx.cast("long").alias("total_cents"),
+        num.cast("long").alias("gini_num"),
+        r4(num.cast("long") / (n.cast("double") * sx.cast("long"))).alias(
+            "gini"
+        ),
+    )

@@ -348,3 +348,82 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_slope(lf, lr)).alias("slope"),
         r4(F.regr_intercept(lf, lr)).alias("intercept"),
     )
+
+
+ENT_SCALE = 1_000_000  # 1e-6 fixed-point grid for ln() values
+
+
+def _lnq_sql(x: str) -> str:
+    """ln(x) snapped to the 1e-6 grid as BIGINT — the perplexity
+    recipe: libm ln is <=1ulp (not correctly rounded), so each distinct
+    value's log is quantized ONCE and every downstream aggregate is
+    exact integer arithmetic in any partition order."""
+    return (
+        f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {ENT_SCALE} + 0.5) AS BIGINT)"
+    )
+
+
+@query(
+    "q_text_entropy",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    s AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             CAST(sum(c * {_lnq_sql("c")}) AS BIGINT) AS clnc_scaled
+      FROM cnt GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_distinct, clnc_scaled,
+           round((CAST({_lnq_sql("n_tokens")} AS DOUBLE)
+                  - CAST(clnc_scaled AS DOUBLE) / n_tokens)
+                 / {ENT_SCALE}.0, 4) AS entropy_nats
+    FROM s
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token (Shannon) entropy in nats — the corpus
+    DIVERSITY monitor next to q_corpus_divergence's drift monitor: a
+    language whose entropy collapses is being flooded by boilerplate
+    or template text long before dedup rates move. Uses the identity
+    H = ln(N) − (1/N)·Σ c·ln(c) so only per-COUNT logs are needed.
+
+    Portability: each distinct count's ln() is snapped to a 1e-6
+    fixed-point BIGINT (the q_text_perplexity recipe — ln is <=1ulp
+    libm on both engines, and a flip would need the true value within
+    ~1e-16 of a half-grid point), making Σ c·ln(c) an exact integer in
+    any partition order; the hash pins that integer, and entropy
+    itself is two exact casts and a division. Headroom: the scaled sum
+    stays under 2^63 to ~3e11 tokens per language; past that the sum
+    column widens to DECIMAL — same bound family as the cents sums.
+
+    Scale shape: one (lang, token) count (map-side combined), one
+    per-lang rollup. Nothing sorts; nothing is per-row Python."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    lnq_c = F.expr(
+        f"CAST(floor(ln(CAST(c AS DOUBLE)) * {ENT_SCALE} + 0.5) AS BIGINT)"
+    )
+    s = cnt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * lnq_c).cast("long").alias("clnc_scaled"),
+    )
+    lnq_n = F.expr(
+        f"CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * {ENT_SCALE} + 0.5) AS BIGINT)"
+    )
+    return s.select(
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        "clnc_scaled",
+        r4(
+            (lnq_n.cast("double") - F.col("clnc_scaled").cast("double") / F.col("n_tokens"))
+            / F.lit(float(ENT_SCALE))
+        ).alias("entropy_nats"),
+    )

@@ -1361,3 +1361,75 @@ def test_embed_outliers_exact_distance_and_tie(spark):
         assert got[0][0] == 20 and got[1][0] == 21  # tie -> smaller vec_id
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_gini_zero_on_equal_and_exact_on_skewed(spark):
+    """Pin q_agg_gini's rank identity: equal spends give exactly 0;
+    spends [1,1,1,97] cents give numerator 288 and gini 0.72."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 10, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "eq", 0.25, "{}"),
+        (2, t0, 2, "eq", 0.25, "{}"),
+        (3, t0, 3, "eq", 0.25, "{}"),
+        (4, t0, 4, "eq", 0.25, "{}"),
+        (5, t0, 1, "sk", 0.01, "{}"),
+        (6, t0, 2, "sk", 0.01, "{}"),
+        (7, t0, 3, "sk", 0.01, "{}"),
+        (8, t0, 4, "sk", 0.97, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_gini_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_type: (r.n_users, r.total_cents, r.gini_num, r.gini)
+            for r in get_query("q_agg_gini").fn(spark, d).collect()
+        }
+        assert out == {"eq": (4, 100, 0, 0.0), "sk": (4, 100, 288, 0.72)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_entropy_zero_on_constant_and_lnk_on_uniform(spark):
+    """Pin q_text_entropy's identity: a language of one repeated token
+    has exactly 0 nats; k distinct once-only tokens have ln(k) (to the
+    1e-6 grid)."""
+    import math
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    k = 8
+    rows = [
+        (1, " ".join(["same"] * 12), "cc", "w", 1),
+        (2, " ".join(f"t{j}" for j in range(k)), "uu", "w", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_ent_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.lang: (r.n_tokens, r.n_distinct, r.clnc_scaled, r.entropy_nats)
+            for r in get_query("q_text_entropy").fn(spark, d).collect()
+        }
+        lnq = lambda x: math.floor(math.log(x) * 1_000_000 + 0.5)
+        assert out["cc"] == (12, 1, 12 * lnq(12), 0.0), out
+        assert out["uu"] == (k, k, 0, round(lnq(k) / 1e6, 4)), out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

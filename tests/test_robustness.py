@@ -93,6 +93,10 @@ KEYS = [
     # islands anchoring and the integer centroid-distance TakeOrdered
     "q_win_streaks",
     "q_embed_outliers",
+    # rank-identity Gini and the quantized-ln entropy sums (both must
+    # be partition-order independent by construction)
+    "q_agg_gini",
+    "q_text_entropy",
 ]
 
 
