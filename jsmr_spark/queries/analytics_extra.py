@@ -903,3 +903,79 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+@query(
+    "q_agg_pareto",
+    f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(sum({sql_cents("value")}) AS BIGINT) AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    c AS (
+      SELECT event_type, x,
+             sum(x) OVER (
+               PARTITION BY event_type
+               ORDER BY x DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per_user
+    ),
+    tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS total FROM per_user GROUP BY 1)
+    SELECT c.event_type,
+           count(*) AS n_users,
+           min(t.total) AS total_cents,
+           CAST(sum(CASE WHEN 5 * c.cum < 4 * t.total THEN 1 ELSE 0 END) + 1
+                AS BIGINT) AS n80,
+           CAST((sum(CASE WHEN 5 * c.cum < 4 * t.total THEN 1 ELSE 0 END) + 1)
+                * 1000000 // count(*) AS BIGINT) AS n80_ppm
+    FROM c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 readout next to q_agg_gini's
+    index): the SMALLEST number of top spenders covering >=80% of each
+    event type's total — n80 — and its ppm share of the user base. A
+    corpus where n80_ppm collapses is concentrating into few sources.
+
+    Exactness: the 80% boundary is the integer test 5*cum >= 4*total
+    (no float threshold), cumulative sums run over cents ranked
+    (x DESC, user_id), and n80 counts the strict-prefix rows plus the
+    crossing row — so a first user already holding 80% yields exactly
+    1. Every output column is an exact integer.
+
+    Scale shape: one (type, user) rollup, one per-type running-sum
+    window over the user dimension, one keyed aggregate — the same
+    user-bounded window budget as q_agg_gini."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("x"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = per_user.select(
+        "event_type", "x", F.sum("x").over(w).alias("cum")
+    )
+    tot = per_user.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("total")
+    )
+    n80 = (
+        F.sum(F.when(5 * F.col("cum") < 4 * F.col("total"), 1).otherwise(0)) + 1
+    )
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("total").alias("total_cents"),
+            n80.cast("long").alias("n80"),
+            F.expr(
+                "CAST((sum(CASE WHEN 5 * cum < 4 * total THEN 1 ELSE 0 END) + 1)"
+                " * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("n80_ppm"),
+        )
+    )

@@ -1433,3 +1433,48 @@ def test_entropy_zero_on_constant_and_lnk_on_uniform(spark):
         assert out["uu"] == (k, k, 0, round(lnq(k) / 1e6, 4)), out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pareto_n80_boundary_rules(spark):
+    """Pin q_agg_pareto's crossing rule: a single dominant user who
+    holds exactly 80% yields n80 = 1 (the integer test 5*cum >= 4*total
+    includes the crossing row); an equal split of 5 users needs 4 of
+    them to reach 80%."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 11, 1, 0, 0, 0)
+    rows = [
+        # 'dom': user 1 has exactly 80 of 100 cents
+        (1, t0, 1, "dom", 0.80, "{}"),
+        (2, t0, 2, "dom", 0.10, "{}"),
+        (3, t0, 3, "dom", 0.10, "{}"),
+        # 'flat': five equal users, 20 cents each -> n80 = 4
+        (4, t0, 1, "flat", 0.20, "{}"),
+        (5, t0, 2, "flat", 0.20, "{}"),
+        (6, t0, 3, "flat", 0.20, "{}"),
+        (7, t0, 4, "flat", 0.20, "{}"),
+        (8, t0, 5, "flat", 0.20, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_p80_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r.event_type: (r.n_users, r.total_cents, r.n80, r.n80_ppm)
+            for r in get_query("q_agg_pareto").fn(spark, d).collect()
+        }
+        assert out == {
+            "dom": (3, 100, 1, 333333),
+            "flat": (5, 100, 4, 800000),
+        }, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -97,6 +97,8 @@ KEYS = [
     # be partition-order independent by construction)
     "q_agg_gini",
     "q_text_entropy",
+    # running-sum crossing census over the user dimension
+    "q_agg_pareto",
 ]
 
 
