@@ -457,3 +457,50 @@ def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("new_id", "old_id", "n_common", "n_new", "n_old", "jaccard")
     )
+
+
+@query(
+    "q_dedup_rate_by_source",
+    """
+    WITH h AS (SELECT source, md5(text) AS dig FROM documents),
+    g AS (SELECT dig, count(*) AS c FROM h GROUP BY dig)
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM h JOIN g ON g.dig = h.dig
+    GROUP BY h.source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate monitoring per ingestion source: the share of
+    each source's documents whose exact text digest appears more than
+    once ANYWHERE in the corpus (cross-source duplicates count against
+    every source carrying them) — the attribution readout that tells
+    you WHICH feed is pumping copies before you pay to dedup them.
+    q_dedup_exact finds the duplicates; this key turns them into a
+    per-source rate in exact ppm.
+
+    Scale shape: one digest rollup (16-byte md5 keys, map-side
+    combined), one equi-join of docs against the digest-count table on
+    the digest (the dup side is duplicate-cardinality-sized and
+    usually broadcastable), one source-keyed aggregate. Text never
+    shuffles — only digests."""
+    h = t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text").cast("binary")).alias("dig")
+    )
+    g = h.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return (
+        h.join(g, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("long").alias("n_dup_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -927,3 +927,60 @@ def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_versions_before int, n_versions_after int, oldest_retained int, "
         "n_docs_latest long, sum_chars_latest long",
     )
+
+
+TT_VERSIONS = 3
+TT_READ_AS_OF = 2
+
+
+@query(
+    "source_time_travel",
+    f"""
+    SELECT {TT_READ_AS_OF} AS version_read,
+           {TT_VERSIONS} AS n_versions,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 4 <= {TT_READ_AS_OF}
+    """,
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read (the query half of the snapshot story —
+    sink_vacuum retains, snapshot_diff compares, THIS reads "AS OF"):
+    a versioned table directory with a manifest line per committed
+    version is resolved to version {TT_READ_AS_OF} through the
+    MANIFEST (never a hardcoded path — a version the manifest does not
+    list is unreadable, exactly like a lakehouse table log), and the
+    historical snapshot's content is verified against the source
+    predicate that produced it. Each version is a strictly growing
+    subset (doc_id % 4 <= v), so reading v2 after v3 exists proves the
+    read did NOT resolve to latest.
+
+    Scale shape: version resolution is one manifest read (KBs,
+    control-plane); the historical read is a plain partition-prunable
+    parquet scan of that snapshot — time travel costs what the
+    snapshot costs, nothing more."""
+    base = os.path.join(tempfile.gettempdir(), f"jsmr_tt_{uuid.uuid4().hex[:8]}")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    try:
+        os.makedirs(base, exist_ok=True)
+        manifest = os.path.join(base, "_versions")
+        for ver in range(1, TT_VERSIONS + 1):
+            docs.filter(F.col("doc_id") % 4 <= ver).write.parquet(
+                os.path.join(base, f"v={ver}")
+            )
+            with open(manifest, "a") as fh:
+                fh.write(f"{ver}\n")
+        committed = sorted(int(line) for line in open(manifest))
+        assert TT_READ_AS_OF in committed, "AS OF version not committed"
+        hist = spark.read.parquet(os.path.join(base, f"v={TT_READ_AS_OF}"))
+        rows = hist.agg(
+            F.lit(TT_READ_AS_OF).cast("int").alias("version_read"),
+            F.lit(len(committed)).cast("int").alias("n_versions"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        ).collect()  # materialize before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version_read int, n_versions int, n_docs long, sum_chars long"
+    )

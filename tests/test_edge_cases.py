@@ -1478,3 +1478,63 @@ def test_pareto_n80_boundary_rules(spark):
         }, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_time_travel_reads_historical_not_latest(spark):
+    """source_time_travel must resolve version 2 through the manifest
+    and read the HISTORICAL subset: with doc ids 0..7, v2 holds ids
+    with doc_id %% 4 <= 2 (six docs), not v3's full eight."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = [(i, f"t{i}", "en", "w", 10 + i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_ttt_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        r = get_query("source_time_travel").fn(spark, d).collect()[0]
+        keep = [i for i in range(8) if i % 4 <= 2]
+        assert (r.version_read, r.n_versions, r.n_docs, r.sum_chars) == (
+            2, 3, len(keep), sum(10 + i for i in keep)
+        ), r
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dup_rate_attributes_cross_source_copies(spark):
+    """q_dedup_rate_by_source must count a duplicate against EVERY
+    source carrying a copy: the same text in sources A and B marks one
+    doc in each; unique docs stay clean; ppm is exact floor division."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = [
+        (1, "same text here", "en", "A", 10),
+        (2, "same text here", "en", "B", 10),
+        (3, "unique a", "en", "A", 8),
+        (4, "unique b1", "en", "B", 8),
+        (5, "unique b2", "en", "B", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_dps_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.source: (r.n_docs, r.n_dup_docs, r.dup_ppm)
+            for r in get_query("q_dedup_rate_by_source").fn(spark, d).collect()
+        }
+        assert out == {"A": (2, 1, 500000), "B": (3, 1, 333333)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -99,6 +99,9 @@ KEYS = [
     "q_text_entropy",
     # running-sum crossing census over the user dimension
     "q_agg_pareto",
+    # manifest-resolved snapshot read and the digest-join dup monitor
+    "source_time_travel",
+    "q_dedup_rate_by_source",
 ]
 
 
