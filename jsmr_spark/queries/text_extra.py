@@ -992,3 +992,81 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- n-gram novelty census (round 6) ----------------------------------
+
+
+@query(
+    "q_text_novelty",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {hex12_sql("md5(sg)")} AS hv FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    g AS (SELECT hv, count(*) AS nd FROM sh GROUP BY hv),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_sh,
+             sum(CASE WHEN g.nd = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN g ON g.hv = sh.hv
+      GROUP BY sh.doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(p.n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+           CAST(sum(p.n_novel) * 1000000 // sum(p.n_sh) AS BIGINT) AS novelty_ppm
+    FROM per_doc p JOIN docs d ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty census: per language, the exact ppm share of
+    document 3-gram shingles that occur NOWHERE else in the corpus —
+    the memorization-risk / originality signal next to the duplication
+    signals (q_text_dup_spans measures repeats; this measures their
+    complement). A language whose novelty collapses is template text;
+    one whose novelty is ~1e6 shares no phrasing at all.
+
+    Both engines count over the same 48-bit md5 shingle hashes (the
+    MinHash diet), so a hash collision collapsing two shingles is
+    identical cross-engine and the counts hash exactly.
+
+    Scale shape: distinct (doc, shingle-hash) rows (8-byte keys), one
+    hash-keyed global census, one join of doc-shingles against the
+    census keyed on the hash, two keyed rollups — the exact plan
+    family as MinHash candidate generation, all narrow maps and keyed
+    shuffles."""
+    from jsmr_spark.queries.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    g = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        sh.join(g, "hv")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(sum(n_novel) * 1000000 DIV sum(n_sh) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -1538,3 +1538,44 @@ def test_dup_rate_attributes_cross_source_copies(spark):
         assert out == {"A": (2, 1, 500000), "B": (3, 1, 333333)}, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_novelty_shared_vs_unique_shingles(spark):
+    """Pin q_text_novelty: two docs sharing their full shingle set have
+    0 novel shingles; a doc with entirely unique text is 1000000 ppm;
+    a doc sharing exactly one of its three shingles lands at 666666."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    rows = [
+        # aa: identical docs -> every shingle shared -> 0 ppm
+        (1, "a b c d", "aa", "w", 7),
+        (2, "a b c d", "aa", "w", 7),
+        # bb: unique doc -> 1000000 ppm
+        (3, "p q r s", "bb", "w", 7),
+        # cc: shingles {c d e, d e f, e f g}; 'c d e'? none shared with
+        # aa ('a b c','b c d') -> craft overlap: doc sharing 'b c d'
+        (4, "b c d x y", "cc", "w", 9),  # shingles: 'b c d','c d x','d x y'
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_nov_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.lang: (r.n_docs, r.n_shingles, r.n_novel, r.novelty_ppm)
+            for r in get_query("q_text_novelty").fn(spark, d).collect()
+        }
+        # aa docs: shingles {'a b c','b c d'} x2 docs; 'b c d' is also
+        # in doc 4, 'a b c' appears in BOTH aa docs -> nothing novel
+        assert out["aa"] == (2, 4, 0, 0), out
+        assert out["bb"] == (1, 2, 2, 1000000), out
+        # doc 4: 'b c d' shared with aa, 'c d x'/'d x y' unique
+        assert out["cc"] == (1, 3, 2, 666666), out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

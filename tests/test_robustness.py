@@ -102,6 +102,8 @@ KEYS = [
     # manifest-resolved snapshot read and the digest-join dup monitor
     "source_time_travel",
     "q_dedup_rate_by_source",
+    # the shingle-census novelty rollup
+    "q_text_novelty",
 ]
 
 
