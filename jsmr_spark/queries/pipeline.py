@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.compat import cents, r4, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.queries.dedup import hex12_sql
 from jsmr_spark.queries.dedup_extra import EMB_COS_MIN
@@ -1244,4 +1244,103 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return repeated.groupBy("source", "n_in", "n_epochs").agg(
         F.count(F.lit(1)).alias("n_out")
+    )
+
+
+DRIFT_SPLIT = 50  # hash-bucket boundary between batch A and batch B
+
+
+@query(
+    "q_profile_drift",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_BUCKET_DUCK} < {DRIFT_SPLIT} THEN 1 ELSE 0 END AS in_a
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             sum(in_a) AS ca,
+             sum(1 - in_a) AS cb
+      FROM b GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS na,
+             CAST(sum(1 - in_a) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN in_a = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN in_a = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sb
+      FROM b
+    ),
+    tvd AS (
+      SELECT CAST(sum(abs(p.ca * t.nb - p.cb * t.na)) AS BIGINT) AS tvd_num
+      FROM per_lang p CROSS JOIN tot t
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(CAST(t.sa AS DOUBLE) / t.na, 4) AS mean_chars_a,
+           round(CAST(t.sb AS DOUBLE) / t.nb, 4) AS mean_chars_b,
+           v.tvd_num,
+           round(CAST(v.tvd_num AS DOUBLE) / (2.0 * t.na * t.nb), 4) AS lang_tvd
+    FROM tot t CROSS JOIN tvd v
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-drift report: split the corpus into two pseudo-batches by
+    the portable hash (the SAME boundary recipe as q_split_train, so
+    the 'old batch vs new batch' comparison is reproducible), then
+    compare their profiles — sizes, mean document length, and the
+    total-variation distance between their LANGUAGE mixes. This is the
+    gate a recurring ingest runs before merging a new crawl: a lang_tvd
+    jump means the feed changed under you.
+
+    Exactness: the TVD numerator is the cross-multiplied integer form
+    sum |c_a*n_b - c_b*n_a| (no per-lang float rates), hashed as an
+    exact BIGINT; means and the normalized TVD are single divisions
+    from exact integers. Headroom: c*n products stay under 2^63 to
+    ~3e9 docs per batch.
+
+    Scale shape: one narrow map (hash bucket), one lang-keyed rollup,
+    two 1-row aggregates crossJoined (1x1 by construction) — the
+    corpus is read once and never shuffled beyond the lang rollup."""
+    b = t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        F.when(F.expr(_BUCKET_SPARK) < DRIFT_SPLIT, 1).otherwise(0).alias("in_a"),
+    )
+    per_lang = b.groupBy("lang").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(1 - F.col("in_a")).alias("cb"),
+    )
+    tot = b.agg(
+        F.sum("in_a").cast("long").alias("na"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("nb"),
+        F.sum(F.when(F.col("in_a") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a") == 0, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    tvd = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            )
+            .cast("long")
+            .alias("tvd_num")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(tvd))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            r4(F.col("sa").cast("double") / F.col("na")).alias("mean_chars_a"),
+            r4(F.col("sb").cast("double") / F.col("nb")).alias("mean_chars_b"),
+            "tvd_num",
+            r4(
+                F.col("tvd_num").cast("double")
+                / (F.lit(2.0) * F.col("na") * F.col("nb"))
+            ).alias("lang_tvd"),
+        )
     )

@@ -1579,3 +1579,43 @@ def test_novelty_shared_vs_unique_shingles(spark):
         assert out["cc"] == (1, 3, 2, 666666), out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_profile_drift_matches_literal_recomputation(spark):
+    """Pin q_profile_drift against a hashlib recomputation of the
+    split boundary, per-half counts, mean lengths, and the exact TVD
+    numerator on a hand-built corpus."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    from collections import Counter
+
+    from jsmr_spark.registry import get_query
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3], "w", 10 + i)
+            for i in range(1, 41)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) % 100
+
+    a = [(i, lang, nc) for i, _, lang, _, nc in rows if bucket(i) < 50]
+    b = [(i, lang, nc) for i, _, lang, _, nc in rows if bucket(i) >= 50]
+    na, nb = len(a), len(b)
+    ca, cb = Counter(l for _, l, _ in a), Counter(l for _, l, _ in b)
+    tvd_num = sum(
+        abs(ca.get(l, 0) * nb - cb.get(l, 0) * na) for l in set(ca) | set(cb)
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_drift_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        r = get_query("q_profile_drift").fn(spark, d).collect()[0]
+        assert (r.n_a, r.n_b, r.tvd_num) == (na, nb, tvd_num), (r, na, nb, tvd_num)
+        assert r.mean_chars_a == round(sum(nc for *_, nc in a) / na, 4)
+        assert r.mean_chars_b == round(sum(nc for *_, nc in b) / nb, 4)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

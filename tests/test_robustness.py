@@ -104,6 +104,8 @@ KEYS = [
     "q_dedup_rate_by_source",
     # the shingle-census novelty rollup
     "q_text_novelty",
+    # cross-multiplied TVD over 1-row aggregate crossJoins
+    "q_profile_drift",
 ]
 
 

@@ -51,6 +51,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # equal-width bin denominator) — q_quantile_bins'
                      # cutpoint shape.
                      "q_ml_calibration",
+                     # lang rollup x 1-row totals, then 1x1 result
+                     # crossJoins — all broadcast singletons.
+                     "q_profile_drift",
                      # three 1-row bitmap-cardinality aggregates joined
                      # for inclusion-exclusion — 1x1x1 by construction.
                      "q_sketch_bitmap_intersect",
