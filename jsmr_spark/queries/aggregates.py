@@ -1104,3 +1104,76 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_ok"
         ),
     )
+
+
+@query(
+    "q_agg_winsorized",
+    """
+    WITH p AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS p05,
+             quantile_cont(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(min(p.p05), 4) AS p05,
+           round(min(p.p95), 4) AS p95,
+           CAST(sum(CASE WHEN l.l_quantity < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN l.l_quantity > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           round((sum(CASE WHEN l.l_quantity >= p.p05 AND l.l_quantity <= p.p95
+                           THEN l.l_quantity ELSE 0 END)
+                  + sum(CASE WHEN l.l_quantity < p.p05 THEN 1 ELSE 0 END) * min(p.p05)
+                  + sum(CASE WHEN l.l_quantity > p.p95 THEN 1 ELSE 0 END) * min(p.p95))
+                 / count(*), 4) AS win_mean
+    FROM lineitem l JOIN p ON p.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95% clamp) per group — the third member of
+    the robust family next to q_agg_mad (robust spread) and
+    q_ts_hampel (robust despike): the mean a reporting pipeline quotes
+    when a handful of fat-finger rows would otherwise move it.
+
+    Exactness without summing clamped doubles: the winsorized sum is
+    DECOMPOSED as sum(mid values) + n_low*p05 + n_high*p95 — the mid
+    sum is integral doubles (exact far past any probed scale), the two
+    clamp terms are one int*double product each, and the three-term
+    addition is written in the same textual order on both engines, so
+    the only drift-absorbing round(,4) is presentational. Clamp
+    comparisons are int-vs-interpolated-percentile doubles that both
+    engines derive identically from the same integers.
+
+    Scale shape: two passes (percentile cutpoints per group, then the
+    clamp census) joined back via a groups-sized broadcast — the
+    q_agg_mad plan family. Exact percentiles sort within groups; at
+    100 TB swap approx_percentile gated by q_sketch_quantile_check."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.05)).alias("p05"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
+    j = li.join(F.broadcast(p), "l_returnflag")
+    low = F.when(F.col("l_quantity") < F.col("p05"), 1).otherwise(0)
+    high = F.when(F.col("l_quantity") > F.col("p95"), 1).otherwise(0)
+    mid = F.when(
+        (F.col("l_quantity") >= F.col("p05"))
+        & (F.col("l_quantity") <= F.col("p95")),
+        F.col("l_quantity"),
+    ).otherwise(F.lit(0.0))
+    return j.groupBy("l_returnflag").agg(
+        r4(F.min("p05")).alias("p05"),
+        r4(F.min("p95")).alias("p95"),
+        F.sum(low).cast("long").alias("n_low"),
+        F.sum(high).cast("long").alias("n_high"),
+        r4(
+            (
+                F.sum(mid)
+                + F.sum(low) * F.min("p05")
+                + F.sum(high) * F.min("p95")
+            )
+            / F.count(F.lit(1))
+        ).alias("win_mean"),
+    )

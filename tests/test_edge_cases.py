@@ -1619,3 +1619,45 @@ def test_profile_drift_matches_literal_recomputation(spark):
         assert r.mean_chars_b == round(sum(nc for *_, nc in b) / nb, 4)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_winsorized_clamp_decomposition(spark):
+    """Pin q_agg_winsorized on a known frame: quantities 1..19 plus a
+    1000 outlier; p05/p95 interpolate at rank 0.05*(n-1)/0.95*(n-1),
+    the outlier clamps to p95, and win_mean equals the literal
+    decomposition mid_sum + n_low*p05 + n_high*p95 over n."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    vals = list(range(1, 20)) + [1000]  # n=20
+    df = spark.createDataFrame(
+        [("A", float(v)) for v in vals], "l_returnflag string, l_quantity double"
+    )
+    # literal recomputation (matching interpolation at rank (n-1)*q)
+    s = sorted(vals)
+    n = len(s)
+
+    def q(p):
+        r = (n - 1) * p
+        lo, hi = s[int(r)], s[min(int(r) + 1, n - 1)]
+        return lo + (hi - lo) * (r - int(r))
+
+    p05, p95 = q(0.05), q(0.95)
+    n_low = sum(1 for v in s if v < p05)
+    n_high = sum(1 for v in s if v > p95)
+    mid = sum(v for v in s if p05 <= v <= p95)
+    win_mean = round((mid + n_low * p05 + n_high * p95) / n, 4)
+
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_win_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        r = get_query("q_agg_winsorized").fn(spark, d).collect()[0]
+        assert (r.p05, r.p95, r.n_low, r.n_high, r.win_mean) == (
+            round(p05, 4), round(p95, 4), n_low, n_high, win_mean
+        ), (r, p05, p95, n_low, n_high, win_mean)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -106,6 +106,8 @@ KEYS = [
     "q_text_novelty",
     # cross-multiplied TVD over 1-row aggregate crossJoins
     "q_profile_drift",
+    # clamp-decomposed winsorized mean (percentile broadcast join)
+    "q_agg_winsorized",
 ]
 
 
