@@ -323,3 +323,68 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_id_sum"),
     )
+
+
+GEO_KNN_K = 3
+
+
+@query(
+    "q_geo_knn",
+    f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({GEO_EDGES_SQL}),
+    sym AS (
+      SELECT user_a AS src, user_b AS nbr, d2 FROM e
+      UNION ALL
+      SELECT user_b AS src, user_a AS nbr, d2 FROM e
+    ),
+    r AS (
+      SELECT src, nbr, d2,
+             row_number() OVER (
+               PARTITION BY src ORDER BY d2, nbr) AS rnk
+      FROM sym
+    )
+    SELECT src AS user_id, CAST(rnk AS INTEGER) AS rnk, nbr, CAST(d2 AS BIGINT) AS d2,
+           CAST(round(sqrt(CAST(d2 AS DOUBLE)), 0) AS BIGINT) AS dist_m
+    FROM r WHERE rnk <= {GEO_KNN_K}
+    """,
+)
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-nearest neighbors (k=3) within the 50 km
+    search radius: the grid-blocked candidate pairs from q_geo_gridjoin
+    symmetrize into directed (src, nbr) edges and each point ranks its
+    candidates by exact integer squared distance (nbr id tie-break) —
+    the "nearest stores / nearest sensors" query shape. Points with
+    fewer than k radius neighbors emit what exists: grid kNN is
+    radius-BOUNDED by construction; the unbounded form expands the
+    ring (3x3 -> 5x5 ...) until k candidates appear, same plan per
+    ring.
+
+    All ranking decisions are exact integers (d2, ids); the reported
+    meters are the one correctly-rounded sqrt at presentation.
+
+    Scale shape: inherits the gridjoin's blocking (candidates scale
+    with local density), one symmetrizing union (narrow), one
+    per-point rank window keyed on src — never an all-pairs scan."""
+    e = geo_pairs(spark, sf_dir)
+    sym = e.select(
+        F.col("user_a").alias("src"), F.col("user_b").alias("nbr"), "d2"
+    ).unionByName(
+        e.select(
+            F.col("user_b").alias("src"), F.col("user_a").alias("nbr"), "d2"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.asc("d2"), F.asc("nbr"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GEO_KNN_K)
+        .select(
+            F.col("src").alias("user_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "nbr",
+            F.col("d2").cast("long").alias("d2"),
+            F.floor(F.sqrt(F.col("d2").cast("double")) + F.lit(0.5))
+            .cast("long")
+            .alias("dist_m"),
+        )
+    )

@@ -1661,3 +1661,50 @@ def test_winsorized_clamp_decomposition(spark):
         ), (r, p05, p95, n_low, n_high, win_mean)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_geo_knn_rank_order_and_radius_bound(spark):
+    """Pin q_geo_knn: neighbor ranks follow exact integer d2 with the
+    nbr-id tie-break, a point with fewer than k radius-neighbors emits
+    only what exists, and results match a literal brute-force kNN over
+    the same synthetic coordinates."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.queries.sampling_geo import (
+        GEO_DOMAIN, GEO_KNN_K, GEO_PX, GEO_PY, GEO_RADIUS,
+    )
+    from jsmr_spark.registry import get_query
+
+    users = [1, 2, 3, 7, 2001, 40039]
+    t0 = dt.datetime(2024, 12, 1, 0, 0, 0)
+    rows = [(i + 1, t0, u, "view", 1.0, "{}") for i, u in enumerate(users)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    pts = {u: ((u * GEO_PX) % GEO_DOMAIN, (u * GEO_PY) % GEO_DOMAIN) for u in users}
+    expect = {}
+    for u, (x, y) in pts.items():
+        cand = sorted(
+            (
+                ((x - a) ** 2 + (y - b) ** 2, v)
+                for v, (a, b) in pts.items()
+                if v != u and (x - a) ** 2 + (y - b) ** 2 <= GEO_RADIUS**2
+            ),
+        )[:GEO_KNN_K]
+        for r, (d2, v) in enumerate(cand, start=1):
+            expect[(u, r)] = (v, d2)
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_knn_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.user_id, r.rnk): (r.nbr, r.d2)
+            for r in get_query("q_geo_knn").fn(spark, d).collect()
+        }
+        assert got == expect, (got, expect)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -108,6 +108,8 @@ KEYS = [
     "q_profile_drift",
     # clamp-decomposed winsorized mean (percentile broadcast join)
     "q_agg_winsorized",
+    # symmetrized grid-candidate ranking
+    "q_geo_knn",
 ]
 
 

@@ -96,6 +96,8 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # (the 3x3 grid fan-out); the candidate join
                      # itself is an equi-join on cell ids.
                      "q_geo_gridjoin",
+                     # inherits geo_pairs' 9-row offset fan-out.
+                     "q_geo_knn",
                      # inherits geo_pairs' 9-row offset fan-out; the
                      # wedge + closing-edge joins are equi-joins.
                      "q_graph_triangles",
