@@ -1177,3 +1177,143 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("win_mean"),
     )
+
+
+def _kmv_side_sql(name: str, event_type: str) -> str:
+    """CTE fragments for one side's distinct-user hash set."""
+    return f"""
+    {name} AS (
+      SELECT DISTINCT {_kmv_hash_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE event_type = '{event_type}'
+    ),
+    {name}_rk AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM {name}
+    )"""
+
+
+def _kmv_est_sql(n: str, rkcte: str) -> str:
+    """Estimate expression: exact below k, (k-1)*M//R_k above."""
+    return f"""CASE WHEN {n} >= {KMV_K}
+         THEN CAST({_KMV_SCALE} // (SELECT hv FROM {rkcte} WHERE r = {KMV_K}) AS BIGINT)
+         ELSE {n} END"""
+
+
+@query(
+    "q_sketch_kmv_intersect",
+    f"""
+    WITH {_kmv_side_sql("a", "purchase")},
+    {_kmv_side_sql("b", "view")},
+    u AS (
+      SELECT DISTINCT hv FROM (
+        SELECT hv FROM a_rk WHERE r <= {KMV_K}
+        UNION ALL SELECT hv FROM b_rk WHERE r <= {KMV_K}) z
+    ),
+    u_rk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM u),
+    counts AS (
+      SELECT (SELECT count(*) FROM a) AS n_a,
+             (SELECT count(*) FROM b) AS n_b,
+             (SELECT count(*) FROM (SELECT hv FROM a INTERSECT SELECT hv FROM b) i)
+               AS n_inter,
+             (SELECT count(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b) q)
+               AS n_union,
+             (SELECT count(*) FROM u) AS n_usk
+      FROM (SELECT 1) one
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a_exact,
+           CAST(n_b AS BIGINT) AS n_b_exact,
+           CAST(n_inter AS BIGINT) AS n_inter_exact,
+           CAST({_kmv_est_sql("n_a", "a_rk")} AS BIGINT) AS est_a,
+           CAST({_kmv_est_sql("n_b", "b_rk")} AS BIGINT) AS est_b,
+           CAST({_kmv_est_sql("n_usk", "u_rk")} AS BIGINT) AS est_union,
+           CAST({_kmv_est_sql("n_a", "a_rk")} + {_kmv_est_sql("n_b", "b_rk")}
+                - {_kmv_est_sql("n_usk", "u_rk")} AS BIGINT) AS est_inter,
+           abs(({_kmv_est_sql("n_a", "a_rk")} + {_kmv_est_sql("n_b", "b_rk")}
+                - {_kmv_est_sql("n_usk", "u_rk")}) - n_inter) * 10
+             <= 4 * n_union AS est_ok
+    FROM counts
+    """,
+)
+def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimation on KMV sketches: the purchase-user and
+    view-user sketches MERGE (union + re-take-k) into a union sketch,
+    and the overlap estimate falls out of inclusion-exclusion —
+    est|A∩B| = est|A| + est|B| − est|A∪B| — all from the k smallest
+    portable hashes per side, never re-reading raw data. The exact
+    counts run alongside as the verification baseline (the
+    q_sketch_bitmap_intersect shape, with sketches instead of exact
+    bitmaps), and every estimate is a deterministic rank statistic the
+    driver hashes exactly (the q_sketch_kmv property). est_ok gates
+    the overlap error at 40% of the union size — the inclusion-
+    exclusion bound, looser than the single-set gate because the
+    estimate subtracts three correlated sketches.
+
+    Scale shape: per-side sketches are order statistics (top-k heaps,
+    k longs of state); the merge touches only 2k sketch values. The
+    exact baseline does full distinct/intersect work and exists to
+    verify, not to run at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+
+    def side(et: str):
+        h = (
+            ev.filter(F.col("event_type") == et)
+            .select(
+                F.expr(_kmv_hash_sql("cast(user_id as string)")).alias("hv")
+            )
+            .distinct()
+        )
+        sk = h.orderBy("hv").limit(KMV_K)
+        return h, sk
+
+    ha, ska = side("purchase")
+    hb, skb = side("view")
+    usk = ska.unionByName(skb).distinct().orderBy("hv").limit(KMV_K)
+
+    def est(h_or_sk, n_col):
+        # 1-row frame: (count, kth value) -> estimate
+        return h_or_sk.agg(
+            F.count(F.lit(1)).alias(f"n_{n_col}"),
+            F.max("hv").alias(f"rk_{n_col}"),
+        )
+
+    na = ha.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = hb.agg(F.count(F.lit(1)).alias("n_b"))
+    ninter = ha.intersect(hb).agg(F.count(F.lit(1)).alias("n_inter"))
+    nunion = ha.union(hb).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    ea = est(ska, "ska")
+    eb = est(skb, "skb")
+    eu = est(usk, "usk")
+    row = (
+        na.crossJoin(nb)
+        .crossJoin(ninter)
+        .crossJoin(nunion)
+        .crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+    )
+
+    def est_expr(n_exact, n_sk, rk):
+        return F.when(
+            F.col(n_exact) >= KMV_K,
+            F.expr(f"CAST({_KMV_SCALE} AS BIGINT) DIV {rk}"),
+        ).otherwise(F.col(n_exact))
+
+    e_a = est_expr("n_a", "n_ska", "rk_ska")
+    e_b = est_expr("n_b", "n_skb", "rk_skb")
+    # union estimate uses the MERGED sketch's own size for the <k path
+    e_u = F.when(
+        F.col("n_usk") >= KMV_K,
+        F.expr(f"CAST({_KMV_SCALE} AS BIGINT) DIV rk_usk"),
+    ).otherwise(F.col("n_usk"))
+    e_i = e_a + e_b - e_u
+    return row.select(
+        F.col("n_a").cast("long").alias("n_a_exact"),
+        F.col("n_b").cast("long").alias("n_b_exact"),
+        F.col("n_inter").cast("long").alias("n_inter_exact"),
+        e_a.cast("long").alias("est_a"),
+        e_b.cast("long").alias("est_b"),
+        e_u.cast("long").alias("est_union"),
+        e_i.cast("long").alias("est_inter"),
+        (F.abs(e_i - F.col("n_inter")) * 10 <= 4 * F.col("n_union")).alias(
+            "est_ok"
+        ),
+    )

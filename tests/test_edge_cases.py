@@ -1708,3 +1708,39 @@ def test_geo_knn_rank_order_and_radius_bound(spark):
         assert got == expect, (got, expect)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kmv_intersect_exact_below_k(spark):
+    """Below k per side the KMV inclusion-exclusion is exact: sides of
+    10 and 12 users overlapping in 4 give est_inter == 4 and the union
+    estimate == 18, with est_ok true."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for u in range(1, 11):  # purchase: users 1..10
+        eid += 1
+        rows.append((eid, t0, u, "purchase", 1.0, "{}"))
+    for u in range(7, 19):  # view: users 7..18 (overlap 7..10)
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_kmi_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        r = get_query("q_sketch_kmv_intersect").fn(spark, d).collect()[0]
+        assert (
+            r.n_a_exact, r.n_b_exact, r.n_inter_exact,
+            r.est_a, r.est_b, r.est_union, r.est_inter, r.est_ok,
+        ) == (10, 12, 4, 10, 12, 18, 4, True), r
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -110,6 +110,9 @@ KEYS = [
     "q_agg_winsorized",
     # symmetrized grid-candidate ranking
     "q_geo_knn",
+    # merged-sketch inclusion-exclusion (order statistics must be
+    # partition-invariant)
+    "q_sketch_kmv_intersect",
 ]
 
 

@@ -44,6 +44,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      "q_profile_columns",
                      # global-exact x merged-sketch 1-row aggregates.
                      "q_sketch_kmv",
+                     # seven 1-row count/sketch aggregates crossJoined
+                     # for inclusion-exclusion — 1x1 by construction.
+                     "q_sketch_kmv_intersect",
                      # top-10 heavy keys x 1-row broadcast global
                      # histogram aggregate — 10x1 by construction.
                      "q_skew_report",
