@@ -1744,3 +1744,51 @@ def test_kmv_intersect_exact_below_k(spark):
         ) == (10, 12, 4, 10, 12, 18, 4, True), r
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrency_sweep_counts_overlaps_and_half_open_ends(spark):
+    """Pin q_ts_concurrency: three overlapping single-day user spans
+    peak at 3; a span STARTING at the exact microsecond another ends
+    does not overlap it (half-open [s, e+1) semantics)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2025, 2, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 span 10:00-10:10, user 2 span 10:05-10:15,
+        # user 3 span 10:08-10:09 -> all three open at 10:08
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + 10 * m, 1, "view", 0.0, "{}"),
+        (3, t0 + 5 * m, 2, "view", 0.0, "{}"),
+        (4, t0 + 15 * m, 2, "view", 0.0, "{}"),
+        (5, t0 + 8 * m, 3, "view", 0.0, "{}"),
+        (6, t0 + 9 * m, 3, "view", 0.0, "{}"),
+        # user 4 starts 1 microsecond AFTER user 2's span closes:
+        # e = last+1us, so a start at exactly last+1us never overlaps
+        (7, t0 + 15 * m + dt.timedelta(microseconds=1), 4, "view", 0.0, "{}"),
+        (8, t0 + 20 * m, 4, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = os.path.join(tempfile.gettempdir(), f"jsmr_conc_{uuid.uuid4().hex[:8]}")
+    try:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            str(r.day): (r.max_concurrent, r.n_instants)
+            for r in get_query("q_ts_concurrency").fn(spark, d).collect()
+        }
+        # peak 3 (users 1,2,3 at 10:08); user 4 alone after 2 closes.
+        # 7 distinct instants, not 8: user 2's end (last+1us) IS user
+        # 4's start instant and the two deltas net to 0 there — the
+        # same-instant merge that makes the prefix sum tie-free.
+        assert out == {"2025-02-01": (3, 7)}, out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -113,6 +113,8 @@ KEYS = [
     # merged-sketch inclusion-exclusion (order statistics must be
     # partition-invariant)
     "q_sketch_kmv_intersect",
+    # boundary prefix sweep (net deltas per instant, tie-free)
+    "q_ts_concurrency",
 ]
 
 

@@ -148,7 +148,12 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # user-dimension quintile ranking over the
                                  # per-user rollup; 100 TB path = sampled
                                  # cutpoints (q_quantile_bins shape)
-                                 "q_session_rfm"}
+                                 "q_session_rfm",
+                                 # prefix sweep over the boundary-instant
+                                 # table (two rows per user-day span, a
+                                 # rollup — never raw events); 100 TB path
+                                 # is the sharded two-pass parallel prefix
+                                 "q_ts_concurrency"}
 
 
 def has_global_window(plan: str) -> bool:

@@ -144,7 +144,7 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_agg_gini", "q_text_entropy", "q_agg_pareto",
           "source_time_travel", "q_dedup_rate_by_source", "q_text_novelty",
           "q_profile_drift", "q_agg_winsorized", "q_geo_knn",
-          "q_sketch_kmv_intersect"]
+          "q_sketch_kmv_intersect", "q_ts_concurrency"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
