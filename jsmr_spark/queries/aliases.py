@@ -1,4 +1,4 @@
-"""Driver-window coverage aliases — round-6 rotation (VERDICT r5 #3).
+"""Driver-window coverage aliases — round-7 rotation (VERDICT r6 #1).
 
 The driver's per-round correctness sweep verifies the FIRST 50 registry
 keys alphabetically. Key naming is the only lever the builder controls
@@ -9,26 +9,22 @@ canonical key (asserted by tests/test_differential.py::test_alias_identity);
 nothing is reimplemented, so a driver PASS on `a0_x` is a driver PASS on
 the canonical implementation of `x`.
 
-Round-6 rotation:
-  * RETIRED: the 11 round-4 aliases whose canonical keys went
-    driver-green in r4/r5 (sim_ann_ivf/lsh, sim_cosine_topk,
-    sim_threshold_pairs, stream_stateful_counter, merge_dedup,
-    text_decontam, text_quality, win_rank, sink_partitioned, map_funcs).
-    Their canonical keys stay registered and locally verified; the
-    cumulative driver-verified union only grows.
-  * KEPT: the 4 aliases that hash-FAILED in r4/r5 on the (now fixed)
-    HUGEINT oracle typing — multimodal decode/resize/framesample and
-    stream_rate_source — so round 6 confirms the fix on exactly the
-    keys that exposed it.
-  * ADDED: 46 keys — 41 never-driver-verified (HUGEINT cohort first:
-    they carried the same latent defect and should get the hard signal
-    post-fix; then sinks/graph/MR-compat/fuzzy/streaming families) and
-    5 keys whose code changed THIS round (q_stats_ttest p-value,
-    q_dedup_clusters_lsh adaptive planes, stream_ewma clamp, both
-    k-means overflow-guard sites), whose prior signal no longer covers
-    the current code. The window is now 100% aliases: every slot spends
-    the driver's budget on a key it has never checked in its current
-    form, none on re-verifying an unchanged green.
+Round-7 rotation:
+  * RETIRED: all 50 round-6 aliases — CORRECTNESS_r06 was 50/50 green
+    (the first fully green driver sweep of the build), so every one of
+    their canonical keys is now in the ever-verified union. Canonical
+    keys stay registered and locally verified; the union only grows.
+  * ADDED: 50 keys the driver has never hashed, ordered by the SURVEY
+    §2.D priority: first the 2 keys whose code changed THIS round
+    (q_dedup_semantic's corpus-adaptive k + GEMM assignment,
+    q_ts_hampel's composite series partitioning) — their prior local
+    signal no longer covers the current code; then the 5 keys whose
+    oracles exercise machinery the driver has never hashed (binaryFile
+    executor staging, the persisted-HLL sketch round-trip, recursive
+    weighted SSSP, crosstab pivot naming, the bucketed merge_asof
+    cogroup lane); then the §2.D mid-round, late-round and post-window
+    batches in plan order. Every slot spends the driver's budget on a
+    key it has never checked in its current form.
 """
 
 from __future__ import annotations
@@ -36,70 +32,68 @@ from __future__ import annotations
 from jsmr_spark.registry import register_alias
 
 _ALIASED = (
-    # kept from round 4: the keys that exposed the HUGEINT defect
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_multimodal_framesample",
-    "stream_rate_source",
-    # round-6 additions: post-fix HUGEINT cohort
-    "sink_parquet",
-    "source_python_datasource",
-    "source_json_corrupt",
-    "stream_python_source",
-    "q_graph_pagerank",
-    "q_pipeline_end2end",
-    "q_ts_ewma",
-    "q_win_range_frame",
-    "q_tpch_q12",
-    "q_pandas_udaf",
-    "q_observe_metrics",
-    "q_json_variant",
-    "q_incremental_agg",
-    "q_join_bloom",
-    "q_join_null_aware",
-    "q_pack_tokens",
-    "q_multimodal_join",
-    "q_rollup_chain",
-    "q_sample_stratified",
-    # oracle-typing fix found by the new type-faithful harness this round
-    "q_udf_mapinarrow",
-    # round-6 batch 2: fill the remaining 26 window slots with
-    # never-driver-verified keys instead of re-verifying greens.
-    # Changed-this-round keys first (their prior signal, if any, no
-    # longer covers the current code):
-    "q_stats_ttest",          # p_value_approx column added r6
-    "q_dedup_clusters_lsh",   # adaptive plane count r6
-    "stream_ewma",            # input-aware replay clamp r6
-    "q_kmeans_lloyd",         # overflow guard r6
-    "q_pipeline_vectors",     # overflow guard r6
-    # rest of the HUGEINT cohort (fixed r6, never driver-verified):
-    "sink_csv",
-    "sink_json",
-    "sink_orc",
-    "sink_compact",
-    "sink_compact_partitioned",
-    "sink_shards",
-    "source_csv",
-    "source_text",
-    "q_text_lang_dist",
-    "q_join_skew_salted",
-    "q_embed_pca_power",
-    # high-risk never-verified families: sinks, graph, MR-compat,
-    # config-driven pipelines, fuzzy join, streaming side effects
-    "sink_zorder",
-    "q_graph_reachability",
-    "q_graph_triangles",
-    "q_join_fuzzy",
-    "q_json_funcs",
-    "q_jobspec_pipeline",
-    "q_mr_inverted_index",
-    "q_mr_chain_dfhist",
-    "stream_cdc_apply",
-    "stream_exactly_once_sink",
+    # changed THIS round — adaptive SemDeDup k / GEMM assignment, and
+    # the (event_type x user-hash-bucket) Hampel window repartition
+    "q_dedup_semantic",
+    "q_ts_hampel",
+    # oracles with machinery the driver has never hashed (VERDICT r6 #1)
+    "source_binaryfile",
+    "q_sketch_hll_merge",
+    "q_graph_sssp",
+    "q_stat_crosstab",
+    "q_cogrouped_map",
+    # §2.D mid-round batch
+    "q_sketch_cms_topk",
+    "q_sample_weighted",
+    "q_stream_topk",
+    "q_agg_weighted_median",
+    "q_privacy_ldiv",
+    "q_join_interval",
+    "q_multimodal_scenecut",
+    "q_stats_chi2",
+    "q_mr_join",
+    "stream_stream_join",
+    "q_sketch_bitmap_intersect",
+    "sink_nested",
+    "sink_dynamic_overwrite",
+    # §2.D late-round batches
+    "q_udf_arrow",
+    "q_udtf_analyze",
+    "q_join_lateral",
+    "q_assoc_rules",
+    "q_ts_seasonal",
+    "q_corpus_divergence",
+    "stream_dedup_within_wm",
+    "q_join_existence",
+    "q_agg_filter_clause",
+    "source_generate",
+    "q_attribution_last_touch",
+    "q_text_bm25",
+    "q_rank_fusion",
+    "q_text_containment",
+    "q_stats_ks",
+    "q_ml_auc",
+    "q_text_zipf",
+    "q_ann_mrl",
+    "q_privacy_tclose",
+    "q_ts_cusum",
+    "q_multimodal_silence",
+    "q_mix_epochs",
+    # §2.D post-window batch 12 (first tranche)
+    "q_agg_mad",
+    "q_sample_balanced",
+    "q_ml_linreg",
+    "q_rank_mrr",
+    "q_ts_acf",
+    "q_sketch_kmv",
+    "q_skew_report",
+    "q_join_asof_nearest",
 )
+
+assert len(_ALIASED) == 50, len(_ALIASED)
 
 for _canonical in _ALIASED:
     # strip the q_ prefix so e.g. q_pack_tokens -> a0_pack_tokens;
-    # non-q keys keep their full name (a0_sink_parquet).
+    # non-q keys keep their full name (a0_sink_nested).
     _short = _canonical[2:] if _canonical.startswith("q_") else _canonical
     register_alias(f"a0_{_short}", _canonical)

@@ -316,9 +316,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-then-dedup over the embedding corpus ----------
 
-SEM_K = 16          # seed clusters; scale as n / target_cluster_size
+# Cluster count is CORPUS-ADAPTIVE (round 7): k = clamp(ceil(n / target),
+# SEM_K_MIN, SEM_K_MAX) computed as a 1-row aggregate INSIDE the plan and
+# mirrored by the oracle's scalar subquery — the q_dedup_clusters_lsh
+# recipe. Bounded clusters are the whole point of SemDeDup: k growing
+# with n keeps each cluster ~SEM_TARGET vectors, so the within-cluster
+# pairwise GEMM stays one-executor-sized at any corpus size. The ceil is
+# the positive-only truncating-division form (n + t - 1) DIV t, exact on
+# both engines.
+SEM_K_MIN = 16       # floor — matches the pre-r7 frozen seed count
+SEM_K_MAX = 4096     # bounds the broadcast centroid table (k x 64 rows)
+SEM_TARGET = 32      # target cluster size (vectors per cluster)
 SEM_TAU = 0.35      # cosine floor tuned to this synthetic corpus
 SEM_QSCALE = 10_000  # 1e-4 integer grid (same recipe as q_kmeans_lloyd)
+
+SEM_K_SQL = (
+    f"least({SEM_K_MAX}, greatest({SEM_K_MIN}, "
+    f"(count(*) + {SEM_TARGET - 1}) // {SEM_TARGET}))"
+)
 
 _SEM_PTS = f"""
   SELECT vec_id, CAST(r.i AS INTEGER) AS dim,
@@ -331,9 +346,12 @@ _SEM_PTS = f"""
     "q_dedup_semantic",
     f"""
     WITH pts AS ({_SEM_PTS}),
+    kq AS (SELECT {SEM_K_SQL} AS k FROM embeddings),
     seeds AS (
-      SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-      FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {SEM_K})
+      SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cid
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT DISTINCT vec_id FROM pts))
+      WHERE rn <= (SELECT k FROM kq)
     ),
     cent AS (
       SELECT s.cid, p.dim, p.x AS sx FROM seeds s JOIN pts p ON p.vec_id = s.vec_id
@@ -380,63 +398,100 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: vectors quantize to the 1e-4 integer grid once;
     cluster assignment is argmin of exact integer squared distance to
-    the {SEM_K} seed vectors (k lowest vec_ids — deterministic, no
-    sampled init; ties break on cid); cosines divide an exact BIGINT
-    dot by exact-derived norms in one double expression, so both
-    engines compare identical doubles against tau.
+    the k seed vectors (k lowest vec_ids — deterministic, no sampled
+    init; ties break on cid); cosines divide an exact BIGINT dot by
+    exact-derived norms in one double expression, so both engines
+    compare identical doubles against tau. k itself is exact integer
+    arithmetic ((n + t - 1) DIV t, positive-only truncation) so both
+    engines pick the identical seed prefix.
 
-    Scale shape: the seed/centroid table is {SEM_K} x 64 rows —
-    broadcast; assignment is one map-side join + keyed partial agg
-    (one shuffle on vec_id). The within-cluster pairwise runs as ONE
-    applyInPandas per cluster: each cluster ships as a single Arrow
-    batch and the cosine matrix is a NumPy GEMM over exact integer
-    floats (products <= 1e8, 64-term sums <= 6.4e9 — every partial is
-    < 2^53, so the matmul is exact in any summation order). At 100 TB,
-    k grows with the corpus (k ~ n / target_cluster_size) so each
-    cluster stays one-executor-sized; the oracle replays the same
-    algebra in long format."""
+    Scale shape: k = clamp(ceil(n / SEM_TARGET), SEM_K_MIN, SEM_K_MAX)
+    is computed from the corpus count (round 7 — previously a frozen
+    constant with the rule in a comment), so the expected cluster size
+    stays ~SEM_TARGET vectors at any corpus size with no hand-edited
+    config; the oracle mirrors the clamp as a scalar subquery. The
+    seed/centroid table (k x 64 quantized ints, constant-bounded by
+    SEM_K_MAX ~ 1 MB) ships to executors in a mapInPandas closure —
+    the MLlib KMeans broadcast-centers pattern — so assignment is a
+    per-batch NumPy matmul: no shuffle, no n*k*d intermediate rows
+    (the long-format join it replaces went quadratic once k scaled
+    with n; see sem_dedup_frame). The within-cluster pairwise then
+    runs as ONE applyInPandas per cluster: each cluster ships as a
+    single Arrow batch and the cosine matrix is a NumPy GEMM over
+    exact integer floats (products <= 1e8, 64-term sums <= 6.4e9 —
+    every partial is < 2^53, so the matmul is exact in any summation
+    order)."""
+    return sem_dedup_frame(spark, sf_dir)
+
+
+def sem_dedup_frame(
+    spark: SparkSession, sf_dir: str, k_frozen: int | None = None
+) -> DataFrame:
+    """Body of q_dedup_semantic with a pluggable cluster count.
+
+    The registered key (k_frozen=None) computes k from the corpus size
+    (the same clamp the oracle's scalar subquery evaluates); an
+    explicit k_frozen pins the pre-r7 constant — kept only so the
+    scale probe can run the adaptive-vs-frozen A/B.
+
+    Assignment is GEMM-shaped (round 7): the k seed centroids — at
+    most SEM_K_MAX x 64 quantized ints, a constant-bounded
+    control-plane table — are collected once and shipped to every
+    executor inside a mapInPandas closure (the MLlib KMeans
+    broadcast-centers pattern), so nearest-centroid assignment is a
+    per-batch NumPy matmul with NO shuffle and NO n*k*d intermediate
+    rows. The pre-r7 long-format join (pts x centroids on dim) built
+    n*k*64 rows through a keyed agg — linear while k was frozen, but
+    O(n^2 * d / target) once k scales with n: the 10x probe measured
+    it at ~100x assignment work. The matmul does the same FLOPs at
+    ~1e9/s-per-core vectorized, and every distance is exact integer
+    arithmetic (see q_dedup_semantic's exactness note)."""
     import numpy as np
     import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("int").alias("dim"),
-        (
-            F.floor(F.abs(F.col("v").cast("double") * SEM_QSCALE) + F.lit(0.5))
-            * F.signum(F.col("v").cast("double"))
-        )
-        .cast("long")
-        .alias("x"),
-    )
-    from pyspark.sql import Window
 
-    seeds = (
-        pts.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(SEM_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("int")
-            .alias("cid"),
-        )
+    def quantize(v: np.ndarray) -> np.ndarray:
+        vq = v.astype(np.float64) * SEM_QSCALE
+        return np.floor(np.abs(vq) + 0.5) * np.sign(vq)  # half-away, like SQL round
+
+    if k_frozen is not None:
+        k = int(k_frozen)
+    else:
+        n = emb.count()
+        k = min(SEM_K_MAX, max(SEM_K_MIN, (n + SEM_TARGET - 1) // SEM_TARGET))
+
+    # Control-plane collect: k <= SEM_K_MAX rows of 64 floats (~1 MB at
+    # the bound) — the seed table, NOT the corpus. cid = rank of vec_id
+    # among the k lowest, matching the oracle's row_number() - 1.
+    seed_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
-    cent = seeds.join(pts, "vec_id").select("cid", "dim", F.col("x").alias("sx"))
-    d = F.col("x") - F.col("sx")
-    assign = (
-        pts.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "cid")
-        .agg(F.sum(d * d).alias("d2"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cid")),
-        )
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
+    cent = quantize(np.array([r["embedding"] for r in seed_rows]))  # [k, 64]
+    cent_n2 = (cent * cent).sum(axis=1)  # exact ints < 2^53
+
+    def assign_batches(batches):
+        for pdf in batches:
+            q = quantize(np.vstack(pdf["embedding"].to_numpy()))  # [b, 64]
+            # d2 expanded: ||q||^2 - 2 q.C^T + ||C||^2 — every term an
+            # exact integer in float64 (products <= 1e8, 64-term sums
+            # <= 6.4e9, combination < 2^40), so argmin is exact and
+            # ties on equal d2 break to the LOWEST cid (np.argmin picks
+            # the first minimum), matching the oracle's ORDER BY d2, cid.
+            d2 = (
+                (q * q).sum(axis=1)[:, None]
+                - 2.0 * (q @ cent.T)
+                + cent_n2[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cid": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        assign_batches, "vec_id long, cid int"
     )
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,98 @@
+"""Same-session interleaved DuckDB/Spark A/B/A sweep (VERDICT r6 #3).
+
+BENCH.md's full-sweep totals accumulate across sessions through the
+resume cache, so the Spark and DuckDB columns for different keys can
+come from different machine states — the r4->r6 "DuckDB total halved"
+swing was exactly that. This script pins ONE run: a single process,
+one SparkSession and one DuckDB connection, engine-comparable keys
+only (side-effect sink_/source_/stream_ rows excluded — their ratio
+prices the side effect, not the engine), measured A/B/A:
+
+  phase A1: every oracle once through DuckDB      -> duck_total_1
+  phase B : every query once through Spark (wall) -> spark_total
+  phase A2: every oracle once through DuckDB      -> duck_total_2
+
+|A1 - A2| brackets the within-run environment noise on the
+denominator; the published ratio uses mean(A1, A2). One warm pass of
+both engines runs first (untimed), so the totals are steady-state.
+
+Usage: python tools/ab_sweep.py  -> prints one JSON line and a
+markdown block to splice into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from jsmr_spark.io import TABLES
+    from jsmr_spark.registry import canonical_specs
+    from jsmr_spark.session import get_spark
+
+    spark = get_spark("jsmr_ab_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    specs = {
+        n: s
+        for n, s in canonical_specs().items()
+        if s.oracle is not None
+        and not n.startswith(("sink_", "source_", "stream_"))
+    }
+    names = sorted(specs)
+    print(f"{len(names)} engine-comparable keys at {SF_DIR}", flush=True)
+
+    # untimed warm pass, both engines
+    for n in names:
+        con.execute(specs[n].oracle).df()
+        specs[n].fn(spark, SF_DIR).toPandas()
+    print("warm pass done", flush=True)
+
+    def duck_pass() -> float:
+        t0 = time.perf_counter()
+        for n in names:
+            con.execute(specs[n].oracle).df()
+        return time.perf_counter() - t0
+
+    def spark_pass() -> float:
+        t0 = time.perf_counter()
+        for n in names:
+            specs[n].fn(spark, SF_DIR).toPandas()
+        return time.perf_counter() - t0
+
+    a1 = duck_pass()
+    print(f"A1 duck_total  {a1:8.2f}s", flush=True)
+    b = spark_pass()
+    print(f"B  spark_total {b:8.2f}s", flush=True)
+    a2 = duck_pass()
+    print(f"A2 duck_total  {a2:8.2f}s", flush=True)
+
+    duck_mean = (a1 + a2) / 2
+    out = {
+        "sf_dir": SF_DIR,
+        "n_keys": len(names),
+        "duck_total_a1": round(a1, 2),
+        "duck_total_a2": round(a2, 2),
+        "spark_total": round(b, 2),
+        "ratio_vs_mean": round(b / duck_mean, 2),
+        "denominator_spread_pct": round(abs(a1 - a2) / duck_mean * 100, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

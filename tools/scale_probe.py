@@ -249,6 +249,26 @@ def patch_rows(rows):
         f.write("\n".join(text) + "\n")
 
 
+def _sem_control(spark):
+    """Frozen-k CONTROL for SemDeDup (round 7): the registered key now
+    computes k = clamp(ceil(n/32), 16, 4096) inside the DAG, so its own
+    probe row measures the adaptive rule. This control re-runs the 10x
+    corpus with the OLD frozen k=16 to show what the rule prevents
+    (mean cluster size growing with n, within-cluster GEMM ~N^2/k)."""
+    from jsmr_spark.queries.dedup_extra import sem_dedup_frame
+
+    t0 = time.perf_counter()
+    sem_dedup_frame(spark, BASE, k_frozen=16).toPandas()
+    small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sem_dedup_frame(spark, OUT_DIR, k_frozen=16).toPandas()
+    big = time.perf_counter() - t0
+    factor = big / small if small else float("inf")
+    name = "q_dedup_semantic frozen16@10x (control)"
+    print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
+    return (small, big, factor)
+
+
 def main():
     from jsmr_spark import io as jio
     from jsmr_spark.registry import canonical_specs
@@ -331,6 +351,8 @@ def main():
         lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
 
     if subset is not None:
+        if "q_dedup_semantic" in subset:
+            rows["q_dedup_semantic frozen16@10x (control)"] = _sem_control(spark)
         patch_rows(rows)
         return
 
@@ -352,6 +374,13 @@ def main():
     name = "q_dedup_clusters_lsh frozen8@10x (control)"
     print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{frozen_ctl:.1f}", flush=True)
     lines.append(f"| {name} | {small:.2f} | {big:.2f} | {frozen_ctl:.1f} |")
+
+    # frozen-k CONTROL for SemDeDup (round 7) — same pattern as the
+    # planes control above; the registered key is corpus-adaptive.
+    small, big, factor = _sem_control(spark)
+    lines.append(
+        f"| q_dedup_semantic frozen16@10x (control) | {small:.2f} | {big:.2f} | {factor:.1f} |"
+    )
 
     # fixed-eval-set CONTROL for the ANN recall report: the registered
     # key's query set is every RECALL_QMODth vector, so at 10x rows the
