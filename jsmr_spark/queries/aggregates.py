@@ -1317,3 +1317,121 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_ok"
         ),
     )
+
+
+# --- pairwise feature correlation matrix (round 7) --------------------
+
+# The features: integral quantity, whole-dollar price (round-0 — cents
+# would push sum(price^2) past BIGINT at probe scale), and the two
+# exact integer-percent rates. Pair list shared by the Spark plan and
+# the oracle generator so both enumerate identical rows.
+CORR_FEATS = ("qty", "price", "disc", "tax")
+CORR_PAIRS = tuple(
+    (CORR_FEATS[i], CORR_FEATS[j])
+    for i in range(len(CORR_FEATS))
+    for j in range(i + 1, len(CORR_FEATS))
+)
+
+
+def _corr_rexpr(a: str, b: str) -> str:
+    """Pearson r from exact BIGINT moments in ONE double expression —
+    identical text evaluates on Spark SQL and DuckDB (the q_ts_acf
+    recipe); zero-variance pairs yield NULL."""
+    num = (
+        f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    )
+    vx = (
+        f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+    )
+    vy = (
+        f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    )
+    return (
+        f"round(CASE WHEN {vx} * {vy} > 0"
+        f" THEN {num} / sqrt({vx} * {vy}) ELSE NULL END, 4)"
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    mom = ", ".join(
+        [f"CAST(sum({f}) AS BIGINT) AS s_{f}" for f in CORR_FEATS]
+        + [f"CAST(sum({f}*{f}) AS BIGINT) AS ss_{f}" for f in CORR_FEATS]
+        + [f"CAST(sum({a}*{b}) AS BIGINT) AS sp_{a}_{b}" for a, b in CORR_PAIRS]
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, '{a}' AS feat_x, '{b}' AS feat_y, n,"
+        f" {_corr_rexpr(a, b)} AS corr FROM w"
+        for a, b in CORR_PAIRS
+    )
+    return f"""
+    WITH f AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice, 0) AS BIGINT) AS price,
+             {sql_pct("l_discount")} AS disc,
+             {sql_pct("l_tax")} AS tax
+      FROM lineitem
+    ),
+    w AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, {mom}
+      FROM f GROUP BY l_returnflag
+    )
+    {arms}
+    """
+
+
+@query("q_agg_corr_matrix", _corr_matrix_oracle())
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) of the four
+    lineitem measures per return flag — the feature-correlation audit a
+    training pipeline runs before feeding tabular features to a model
+    (collinear features get dropped or merged).
+
+    Exactness: every moment (Σx, Σx², Σxy, n) is an exact BIGINT over
+    integral features — quantity and whole-dollar price (dollars, not
+    cents, keep Σprice² under 2^63 with ~300x headroom at the 10x
+    probe), integer-percent discount/tax — and each r is ONE identical
+    double expression over those integers with round(,4) presentation
+    and a NULL guard for zero variance.
+
+    Scale shape: one hash aggregate on the 3-value flag key computes
+    all 15 moments map-side-partially (the exchange moves a handful of
+    rows whatever the input size); the 6 pair rows then explode from
+    the wide row — no second pass over the data, no per-pair scan."""
+    f = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+        F.round("l_extendedprice", 0).cast("long").alias("price"),
+        pct(F.col("l_discount")).alias("disc"),
+        pct(F.col("l_tax")).alias("tax"),
+    )
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("n")]
+        + [F.sum(c).cast("long").alias(f"s_{c}") for c in CORR_FEATS]
+        + [
+            F.sum(F.col(c) * F.col(c)).cast("long").alias(f"ss_{c}")
+            for c in CORR_FEATS
+        ]
+        + [
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}")
+            for a, b in CORR_PAIRS
+        ]
+    )
+    wide = f.groupBy("l_returnflag").agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_x"),
+                F.lit(b).alias("feat_y"),
+                F.expr(_corr_rexpr(a, b)).alias("corr"),
+            )
+            for a, b in CORR_PAIRS
+        ]
+    )
+    return (
+        wide.select("l_returnflag", "n", F.explode(pair_structs).alias("p"))
+        .select("l_returnflag", "p.feat_x", "p.feat_y", "n", "p.corr")
+    )

@@ -586,3 +586,64 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("i") / F.col("n").cast("double")).alias("containment"),
         )
     )
+
+
+# --- word-order-insensitive exact dedup (round 7) -----------------------
+
+
+@query(
+    "q_dedup_bag_of_words",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(text) AS digest,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS bag_sig
+      FROM documents
+    )
+    SELECT bag_sig,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_exact_variants,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           count(DISTINCT digest) > 1 AS has_reordered
+    FROM d
+    GROUP BY bag_sig
+    """,
+)
+def q_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-insensitive exact dedup: documents collide when their
+    token MULTISETS match (signature = md5 of the sorted token list),
+    which catches shuffled/reordered copies that byte-exact dedup
+    misses — the cheap middle rung between q_dedup_exact and the
+    MinHash near-dup tier (a reordered copy has Jaccard 1.0 but a
+    different text digest). Groups report the canonical keeper, copy
+    and source counts, and whether any member is a REORDERING (more
+    than one exact digest inside one bag group).
+
+    Exactness: both signatures are md5 over identical strings —
+    list_sort/array_sort agree on ASCII byte order — and every output
+    is a count or min, so the hash check is exact.
+
+    Scale shape: the signature is a narrow per-row map (sort is
+    per-document, bounded by document length); then ONE hash aggregate
+    keyed on the 128-bit signature — identical cost to exact dedup,
+    no pairwise anything. Output is the full group census (one row per
+    distinct bag, keeper + flags) so the driver check is non-trivial
+    even on fixture slices without dups; the dups-only view is a
+    `n_docs > 1` filter."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.md5(
+            F.array_join(F.array_sort(F.split("text", " ")), " ").cast("binary")
+        ).alias("bag_sig"),
+    )
+    return d.groupBy("bag_sig").agg(
+        F.min("doc_id").cast("long").alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("digest").cast("long").alias("n_exact_variants"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.countDistinct("digest") > 1).alias("has_reordered"),
+    )

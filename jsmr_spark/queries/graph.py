@@ -459,3 +459,93 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     register_views(spark, sf_dir)
     return spark.sql(_SSSP_SPARK_RECURSION)
+
+
+# --- k-core peeling (round 7) -------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4  # unrolled peel rounds (bounded, like PR_ITERS)
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev_edges = "sym"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"d{r} AS (SELECT u, CAST(count(*) AS BIGINT) AS deg"
+            f" FROM {prev_edges} GROUP BY u),\n"
+            f"    a{r} AS (SELECT u FROM d{r} WHERE deg >= {KCORE_K})"
+        )
+        if r < KCORE_ROUNDS:
+            rounds.append(
+                f"s{r} AS (SELECT s.u, s.v FROM {prev_edges} s"
+                f" JOIN a{r} x ON x.u = s.u JOIN a{r} y ON y.u = s.v)"
+            )
+            prev_edges = f"s{r}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({geo_edges_sql(TRI_RADIUS)}),
+    sym AS (
+      SELECT user_a AS u, user_b AS v FROM e
+      UNION ALL
+      SELECT user_b, user_a FROM e
+    ),
+    {body}
+    SELECT d{KCORE_ROUNDS}.u AS user_id, d{KCORE_ROUNDS}.deg AS residual_degree
+    FROM d{KCORE_ROUNDS}
+    JOIN a{KCORE_ROUNDS} ON a{KCORE_ROUNDS}.u = d{KCORE_ROUNDS}.u
+    """
+
+
+@query("q_graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS}-round k-core peeling (k={KCORE_K}) over the
+    spatial-proximity graph: each round drops every node whose degree
+    within the surviving subgraph is < k, the standard decomposition
+    for separating graph hubs/communities from the sparse fringe
+    (Seidman 1983, "Network structure and minimum degree"). Output is
+    the nodes alive after the last round with their residual degree —
+    defined as the bounded-round peel (identical on both engines), the
+    exact k-core when the peel has converged.
+
+    Scale shape: one round = one degree aggregate keyed on the node +
+    two semi-joins restricting the edge list to survivors — the same
+    bounded-keyed-shuffles-per-iteration contract as q_graph_pagerank
+    and the CC loop (no driver-side state; the edge list is
+    localCheckpointed once so the rounds chain from a materialized
+    frame instead of re-running the blocked spatial join per round).
+    Degrees and the k test are exact integers — nothing to round."""
+    return kcore_frame(spark, sf_dir)
+
+
+def kcore_frame(
+    spark: SparkSession, sf_dir: str, radius: int = TRI_RADIUS
+) -> DataFrame:
+    """q_graph_kcore body at an explicit radius — the scale probe's
+    density-held control re-runs it at radius/sqrt(10) (see the
+    q_graph_triangles control: the 10x staging densifies the fixed
+    domain, so fixed-radius edge counts grow ~100x by construction)."""
+    from jsmr_spark.queries.sampling_geo import geo_pairs
+
+    e = geo_pairs(spark, sf_dir, radius).select("user_a", "user_b")
+    sym = (
+        e.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .unionAll(e.select(F.col("user_b").alias("u"), F.col("user_a").alias("v")))
+        .localCheckpoint()
+    )
+    edges = sym
+    deg = None
+    for r in range(KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        alive = deg.where(F.col("deg") >= KCORE_K).select("u")
+        if r < KCORE_ROUNDS - 1:
+            edges = (
+                edges.join(alive, "u")
+                .join(alive.select(F.col("u").alias("v")), "v")
+                .select("u", "v")
+            )
+    return (
+        deg.where(F.col("deg") >= KCORE_K)
+        .select(F.col("u").alias("user_id"), F.col("deg").alias("residual_degree"))
+    )

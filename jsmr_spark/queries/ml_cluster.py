@@ -494,3 +494,161 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, beta0_micro long, beta1_micro long, beta2_micro long",
     )
+
+
+# --- multinomial naive Bayes language classifier (round 7) -------------
+
+NB_SCALE = 1_000_000  # fixed-point grid for log-probabilities (micro-nats)
+
+# Quantize one libm ln to the 1e-6 grid (the perplexity recipe): libm
+# is <=1ulp but NOT correctly rounded, so each distinct log value is
+# snapped ONCE and all downstream arithmetic is exact integers.
+_NB_QLN = (
+    "CAST(floor(abs(ln({x})) * 1000000 + 0.5) AS BIGINT)"
+    " * (CASE WHEN ln({x}) < 0 THEN -1 ELSE 1 END)"
+)
+
+
+def _nb_oracle() -> str:
+    lp = _NB_QLN.format(
+        x="(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))"
+    )
+    prior = _NB_QLN.format(x="(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    vocab AS (SELECT DISTINCT token FROM tok),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    cnt AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY lang),
+    model AS (
+      SELECT cls.lang, vocab.token,
+             coalesce(cnt.c, 0) AS c, tot.tot, v.v,
+             {lp} AS lp_micro
+      FROM cls CROSS JOIN vocab CROSS JOIN v
+      JOIN tot ON tot.lang = cls.lang
+      LEFT JOIN cnt ON cnt.lang = cls.lang AND cnt.token = vocab.token
+    ),
+    priors AS (
+      SELECT cls.lang, {prior} AS prior_micro FROM cls CROSS JOIN n
+    ),
+    scored AS (
+      SELECT tf.doc_id, m.lang,
+             p.prior_micro + CAST(sum(tf.tf * m.lp_micro) AS BIGINT)
+               AS score_micro
+      FROM tf
+      JOIN model m ON m.token = tf.token
+      JOIN priors p ON p.lang = m.lang
+      GROUP BY tf.doc_id, m.lang, p.prior_micro
+    ),
+    best AS (
+      SELECT doc_id, lang AS pred_lang, score_micro
+      FROM (
+        SELECT scored.*, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score_micro DESC, lang) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT b.doc_id, d.lang AS true_lang, b.pred_lang, b.score_micro,
+           d.lang = b.pred_lang AS correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    """
+
+
+@query("q_ml_naive_bayes", _nb_oracle())
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained and scored in ONE lazy DAG:
+    class = language, features = token counts, add-one smoothing —
+    the classical quality/language classifier shape a curation
+    pipeline trains on its own corpus (fastText-style filters are this
+    plus better features). Output: per-document argmax class with its
+    score and a correctness flag against the labeled lang.
+
+    Exactness: every log-probability ln((c+1)/(tot+V)) and each class
+    prior ln(nd/N) is snapped ONCE to the 1e-6 integer grid (the
+    perplexity recipe — libm is <=1ulp, not correctly rounded, so only
+    the single snapped value crosses engines); scores are then exact
+    BIGINT dot products (tf * lp_micro sums, |score| < 2^40), and the
+    argmax breaks ties on the lang string — fully deterministic.
+
+    Scale shape: the model is (langs x vocab) — a keyed aggregate that
+    collapses the corpus map-side, NEVER per-document state; scoring
+    is one join of per-doc term frequencies against the model on the
+    token key (broadcast here; a plain keyed join at 100 TB vocab) +
+    one doc-keyed aggregate, then a per-doc argmax window over
+    langs-many rows. Training and inference are the same two
+    exchanges any wordcount pays."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cls = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = tok.select("token").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    cnt = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    model = (
+        cls.crossJoin(vocab)
+        .crossJoin(F.broadcast(v))
+        .join(tot, "lang")
+        .join(cnt, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            F.expr(
+                _NB_QLN.format(
+                    x="(CAST(coalesce(c, 0) + 1 AS DOUBLE)"
+                    " / CAST(tot + v AS DOUBLE))"
+                )
+            ).alias("lp_micro"),
+        )
+    )
+    priors = cls.crossJoin(F.broadcast(n)).select(
+        "lang",
+        F.expr(
+            _NB_QLN.format(x="(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))")
+        ).alias("prior_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("s"))
+        .join(F.broadcast(priors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("prior_micro") + F.col("s")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("lang")
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "score_micro")
+    )
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "pred_lang",
+        "score_micro",
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )

@@ -1344,3 +1344,159 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_tvd"),
         )
     )
+
+
+# --- k-fold assignment census (round 7) --------------------------------
+
+KFOLD_K = 5
+
+
+@query(
+    "q_split_kfold",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST({_bucket_sql("CAST(doc_id AS VARCHAR)")} % {KFOLD_K} AS INTEGER) AS fold,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) AS BIGINT) * 1000000
+             // (SELECT sum(len(string_split(text, ' '))) FROM documents)
+             AS token_share_ppm
+    FROM b GROUP BY fold, lang
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by portable hash of doc_id
+    (fold = hash-bucket mod K) with a per-(fold, lang) census — the
+    reproducibility contract of q_split_train extended to K rotating
+    held-out folds: membership is a pure function of the id, so every
+    engine, rerun and cluster size deals the identical folds, and the
+    census shows the deal is balanced per language before anyone
+    trains on it.
+
+    Exactness: fold ids and counts are exact integers; token shares
+    are exact ppm by positive-only truncating division against the
+    corpus total (a 1-row scalar subquery, mirrored broadcast-side in
+    the Spark plan).
+
+    Scale shape: one narrow map (hash + mod) and one hash aggregate on
+    the (K x langs)-ary key — partial aggregation collapses each map
+    partition to at most K*langs rows before the exchange. Fold counts
+    never require a shuffle of the corpus by fold."""
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.expr(_BUCKET_SPARK) % KFOLD_K).cast("int").alias("fold"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    tot = docs.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    return (
+        docs.groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV corpus_tokens").alias(
+                "token_share_ppm"
+            ),
+        )
+    )
+
+
+# --- priority-ordered canonical selection (round 7) ---------------------
+
+# Source priority for cross-source duplicate groups: curated (even
+# source index) beats scraped (odd), lower source index beats higher,
+# then lowest doc_id — the "keep the best provenance copy" rule.
+# Identical expression text runs on both engines (the _MIX_KEEP
+# precedent: 2-arg substring and INT are common dialect).
+_PRIORITY_EXPR = (
+    "(CAST(substring(source, 4) AS INT) % 2) * 1000000"
+    " + CAST(substring(source, 4) AS INT)"
+)
+
+
+@query(
+    "q_mix_dedup_priority",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             {_PRIORITY_EXPR} AS prio
+      FROM documents
+    ),
+    g AS (
+      SELECT digest,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM d GROUP BY digest
+    ),
+    keep AS (
+      SELECT digest, doc_id AS kept_doc_id, source AS kept_source
+      FROM (
+        SELECT d.*, row_number() OVER (
+          PARTITION BY digest ORDER BY prio, doc_id) AS rk
+        FROM d
+      ) WHERE rk = 1
+    )
+    SELECT g.digest, k.kept_doc_id, k.kept_source, g.n_copies, g.n_sources,
+           g.n_copies > 1 AS is_dup_group
+    FROM g JOIN keep k ON k.digest = g.digest
+    """,
+)
+def q_mix_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup where the kept copy is chosen by a
+    provenance PRIORITY rule (curated sources over scraped, then the
+    stable id tie-break) instead of q_dedup_keep_canonical's purely
+    content-local rule — the policy form every mixture pipeline needs
+    when the same document arrives via multiple feeds of different
+    trust.
+
+    Exactness: groups key on md5(text) (identical text both engines);
+    priority is exact integer arithmetic on the source index; the
+    winner is a deterministic row_number with a doc_id tie-break.
+
+    Scale shape: one digest-keyed exchange shared by the group census
+    and the winner window (same partitioning, no second shuffle of the
+    corpus). The output is the full KEEP TABLE — one row per distinct
+    document with its chosen keeper (the materialization downstream
+    reads), dup groups flagged by is_dup_group; a dups-only variant is
+    one filter away and was deliberately not registered so the driver
+    check stays non-trivial on fixtures whose small slices carry no
+    exact dups."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.expr(_PRIORITY_EXPR).alias("prio"),
+    )
+    g = d.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy("digest").orderBy("prio", "doc_id")
+    keep = (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "digest",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("source").alias("kept_source"),
+        )
+    )
+    return g.join(keep, "digest").select(
+        "digest",
+        "kept_doc_id",
+        "kept_source",
+        "n_copies",
+        "n_sources",
+        (F.col("n_copies") > 1).alias("is_dup_group"),
+    )

@@ -1070,3 +1070,89 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# --- vocabulary coverage curve (round 7) -------------------------------
+
+VOCAB_KS = (5, 10, 20)  # head sizes to evaluate
+
+
+def _vocab_coverage_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in VOCAB_KS)
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+    rk AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token) AS rnk
+      FROM cnt
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab FROM cnt
+    )
+    SELECT k.k,
+           CAST(sum(CASE WHEN rk.rnk <= k.k THEN rk.c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           tot.total AS total_tokens,
+           tot.vocab AS vocab_size,
+           CAST(sum(CASE WHEN rk.rnk <= k.k THEN rk.c ELSE 0 END) AS BIGINT)
+             * 1000000 // tot.total AS coverage_ppm
+    FROM rk CROSS JOIN (VALUES {ks}) k(k) CROSS JOIN tot
+    GROUP BY k.k, tot.total, tot.vocab
+    """
+
+
+@query("q_text_vocab_coverage", _vocab_coverage_oracle())
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each head size K, the share of
+    all token OCCURRENCES covered by the K most frequent tokens
+    (ties broken by token text) — the tokenizer-budget diagnostic a
+    pipeline runs before fixing a vocab size: where the curve flattens
+    is where a bigger vocabulary stops paying.
+
+    Exactness: counts and the cumulative covered sums are exact
+    BIGINTs; coverage is exact ppm by positive-only truncating integer
+    division (covered * 1e6 DIV total) — no float anywhere, so the
+    hash check is exact.
+
+    Scale shape: one token-keyed hash aggregate (map-side partial)
+    collapses the corpus to the distinct vocabulary; the rank window
+    runs over the VOCABULARY table, not the corpus — at 100 TB a
+    text vocabulary is millions of rows where the corpus is trillions,
+    and a one-partition window over millions of counted rows is
+    control-plane work. The K fan-out is a 3-row broadcast."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rk = cnt.select(
+        "token",
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("token")))
+        .alias("rnk"),
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    ks = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
+    covered = F.sum(
+        F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "total", "vocab")
+        .agg(covered.alias("covered_tokens"))
+        .select(
+            "k",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            F.expr("covered_tokens * 1000000 DIV total").alias("coverage_ppm"),
+        )
+    )

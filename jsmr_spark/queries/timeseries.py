@@ -1258,3 +1258,120 @@ def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_instants"),
         )
     )
+
+
+# --- LTTB-style triangle downsampling (round 7) -------------------------
+
+LTTB_BUCKET_US = 3_600_000_000  # 1-hour buckets on the µs timeline
+
+
+@query(
+    "q_ts_lttb",
+    f"""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             epoch_us(ts) // {LTTB_BUCKET_US} AS bucket,
+             epoch_us(ts) // 1000000 AS xs,
+             CAST(round(value*100,0) AS BIGINT) AS yc
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xs) AS BIGINT) AS sx,
+             CAST(sum(yc) AS BIGINT) AS sy
+      FROM pts GROUP BY event_type, bucket
+    ),
+    nbr AS (
+      SELECT event_type, bucket,
+             lag(n)  OVER w AS pn, lag(sx)  OVER w AS psx, lag(sy)  OVER w AS psy,
+             lead(n) OVER w AS nn, lead(sx) OVER w AS nsx, lead(sy) OVER w AS nsy
+      FROM agg
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    scored AS (
+      SELECT p.event_id, p.event_type, p.bucket, p.xs, p.yc,
+             abs((b.psx - b.pn * p.xs) * (b.nsy - b.nn * p.yc)
+               - (b.nsx - b.nn * p.xs) * (b.psy - b.pn * p.yc)) AS area2
+      FROM pts p
+      JOIN nbr b ON b.event_type = p.event_type AND b.bucket = p.bucket
+      WHERE b.pn IS NOT NULL AND b.nn IS NOT NULL
+    )
+    SELECT event_id, event_type, bucket, xs, yc, area2
+    FROM (
+      SELECT scored.*, row_number() OVER (
+        PARTITION BY event_type, bucket
+        ORDER BY area2 DESC, event_id) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-area downsampling of each event series to one point
+    per hour bucket — the parallel form of LTTB (Steinarsson 2013,
+    "Downsampling Time Series for Visual Representation"): in every
+    interior bucket keep the point spanning the largest triangle with
+    the PREVIOUS and NEXT buckets' mean points, so the kept skyline
+    preserves visual extremes instead of sampling them away. Sequential
+    LTTB anchors on the previously SELECTED point (an inherently serial
+    chain); anchoring on neighbor-bucket means is the standard
+    parallelization — every bucket decides independently.
+
+    Exactness: with mean points (Σx/n, Σy/n), twice the triangle area
+    scales by n_prev*n_next to the all-integer form
+    |(Σx_p − n_p·x)(Σy_n − n_n·y) − (Σx_n − n_n·x)(Σy_p − n_p·y)|.
+    x in whole SECONDS and y in cents keep every factor under ~2^31
+    (adjacent buckets are <=2h apart, so Σx_p − n_p·x = Σ(x_p − x) is
+    n_p*7200 at worst) and the products under ~2^57 — exact BIGINTs,
+    no float area anywhere; argmax ties break on event_id.
+
+    Scale shape: one (type, bucket)-keyed aggregate (map-side partial)
+    builds the bucket stats; lag/lead run over the BUCKET table (hours
+    x types — calendar-bounded, not corpus-sized); scoring is a keyed
+    equi-join of points to their own bucket's neighbor stats plus a
+    per-bucket argmax window — every stage keyed on (type, bucket),
+    nothing global."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # truncating integer DIV on positive µs — never double division
+        # (a double quotient can truncate differently at boundaries)
+        F.expr(f"unix_micros(ts) DIV {LTTB_BUCKET_US}").alias("bucket"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("xs"),
+        cents(F.col("value")).alias("yc"),
+    )
+    agg = pts.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xs").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    nbr = agg.select(
+        "event_type",
+        "bucket",
+        F.lag("n").over(w).alias("pn"),
+        F.lag("sx").over(w).alias("psx"),
+        F.lag("sy").over(w).alias("psy"),
+        F.lead("n").over(w).alias("nn"),
+        F.lead("sx").over(w).alias("nsx"),
+        F.lead("sy").over(w).alias("nsy"),
+    )
+    area2 = F.abs(
+        (F.col("psx") - F.col("pn") * F.col("xs"))
+        * (F.col("nsy") - F.col("nn") * F.col("yc"))
+        - (F.col("nsx") - F.col("nn") * F.col("xs"))
+        * (F.col("psy") - F.col("pn") * F.col("yc"))
+    )
+    scored = (
+        pts.join(nbr, ["event_type", "bucket"])
+        .where(F.col("pn").isNotNull() & F.col("nn").isNotNull())
+        .withColumn("area2", area2)
+    )
+    wr = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area2"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("event_id", "event_type", "bucket", "xs", "yc", "area2")
+    )

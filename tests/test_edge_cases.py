@@ -1792,3 +1792,211 @@ def test_concurrency_sweep_counts_overlaps_and_half_open_ends(spark):
         assert out == {"2025-02-01": (3, 7)}, out
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_naive_bayes_separable_vocab(spark):
+    """Two languages with fully disjoint vocabularies must classify
+    perfectly, and the model's smoothing must not flip the argmax even
+    for the shortest doc."""
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    rows_in = [
+        (1, "cat cat dog", "aa"),
+        (2, "dog cat cat cat", "aa"),
+        (3, "rock stone rock", "bb"),
+        (4, "stone", "bb"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, len(t), l, "src0") for i, t, l in rows_in],
+            "doc_id long, text string, n_chars long, lang string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in get_query("q_ml_naive_bayes").fn(spark, d).collect()}
+    assert len(out) == 4
+    assert all(r.correct for r in out.values()), out
+    assert out[4].pred_lang == "bb"
+
+
+def test_lttb_selects_the_spike(spark):
+    """Three hour-buckets, a flat series with one spike in the interior
+    bucket: the spike spans the largest triangle with the neighbor
+    means and must be the selected point; boundary buckets (no
+    prev/next) emit nothing."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    evs = [
+        (1, t0, 7, "tick", 1.00),
+        (2, t0 + dt.timedelta(minutes=59), 7, "tick", 1.00),
+        (3, t0 + dt.timedelta(hours=1, minutes=5), 7, "tick", 1.00),
+        (4, t0 + dt.timedelta(hours=1, minutes=30), 7, "tick", 50.00),  # spike
+        (5, t0 + dt.timedelta(hours=1, minutes=55), 7, "tick", 1.00),
+        (6, t0 + dt.timedelta(hours=2, minutes=10), 7, "tick", 1.00),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, ts, u, et, v, "{}") for i, ts, u, et, v in evs],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        rows = get_query("q_ts_lttb").fn(spark, d).collect()
+    assert len(rows) == 1, rows  # only the interior bucket selects
+    assert rows[0].event_id == 4 and rows[0].yc == 5000
+
+
+def test_kcore_peel_invariants(spark):
+    """Every surviving node's residual degree is >= k, and survivors
+    are a subset of the nodes whose ROUND-1 degree was already >= k
+    (peeling only removes)."""
+    from jsmr_spark.queries.graph import KCORE_K, kcore_frame
+    from jsmr_spark.queries.sampling_geo import geo_pairs
+    from jsmr_spark.queries.graph import TRI_RADIUS
+    from tests.conftest import SF_DIR as sf
+
+    out = {r.user_id: r.residual_degree for r in kcore_frame(spark, sf).collect()}
+    assert all(d >= KCORE_K for d in out.values())
+    e = geo_pairs(spark, sf, TRI_RADIUS).select("user_a", "user_b")
+    deg = {}
+    for r in e.collect():
+        deg[r.user_a] = deg.get(r.user_a, 0) + 1
+        deg[r.user_b] = deg.get(r.user_b, 0) + 1
+    round1 = {u for u, d in deg.items() if d >= KCORE_K}
+    assert set(out) <= round1
+    # residual degrees can only have shrunk vs the full graph
+    assert all(out[u] <= deg[u] for u in out)
+
+
+def test_corr_matrix_planted_correlations(spark):
+    """Plant qty == price (r = 1.0 exactly) and a CONSTANT discount
+    (zero variance -> NULL r for every pair that touches it)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    rows_in = [(i, float(i + 1), float(i + 1), 0.05, 0.01 * (i % 3)) for i in range(8)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, 1, 1, i, q, p, disc, tax, "N", "O",
+                 dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2),
+                 dt.datetime(2024, 1, 3), "c", "m", "x")
+                for i, q, p, disc, tax in rows_in
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp, "
+            "l_commitdate timestamp, l_receiptdate timestamp, "
+            "l_shipinstruct string, l_shipmode string, l_comment string",
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            (r.feat_x, r.feat_y): r.corr
+            for r in get_query("q_agg_corr_matrix").fn(spark, d).collect()
+        }
+    assert len(out) == 6
+    assert out[("qty", "price")] == 1.0
+    assert out[("qty", "disc")] is None and out[("price", "disc")] is None
+    assert out[("disc", "tax")] is None
+
+
+def test_vocab_coverage_hand_counts(spark):
+    """7-token vocabulary with known skew: K=5 must cover exactly the
+    top-5 counts; K=10/20 cover everything."""
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    # counts: a:5 b:4 c:3 d:2 e:2 f:1 g:1  (total 18; top5 = 16)
+    text = " ".join(["a"] * 5 + ["b"] * 4 + ["c"] * 3 + ["d"] * 2 + ["e"] * 2 + ["f", "g"])
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, text, len(text), "en", "src0")],
+            "doc_id long, text string, n_chars long, lang string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.k: r for r in get_query("q_text_vocab_coverage").fn(spark, d).collect()}
+    assert out[5].vocab_size == 7 and out[5].total_tokens == 18
+    assert out[5].covered_tokens == 16
+    assert out[5].coverage_ppm == 16 * 1000000 // 18
+    assert out[10].covered_tokens == 18 and out[20].coverage_ppm == 1000000
+
+
+def test_dedup_priority_prefers_even_then_low_index(spark):
+    """Same text from src1/src2/src4: src2 wins (even beats odd, then
+    lower index); a group entirely from odd sources keeps the lowest
+    odd index."""
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    docs = [
+        (1, "same text", "src1"),
+        (2, "same text", "src4"),
+        (3, "same text", "src2"),
+        (4, "other text", "src3"),
+        (5, "other text", "src5"),
+        (6, "unique", "src1"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, len(t), "en", s) for i, t, s in docs],
+            "doc_id long, text string, n_chars long, lang string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = get_query("q_mix_dedup_priority").fn(spark, d).collect()
+    assert len(rows) == 3  # full keep-table census: one row per digest
+    out = {r.kept_source: r for r in rows if r.is_dup_group}
+    assert len(out) == 2  # the unique doc is not a dup group
+    assert out["src2"].kept_doc_id == 3 and out["src2"].n_copies == 3
+    assert out["src2"].n_sources == 3
+    assert out["src3"].kept_doc_id == 4 and out["src3"].n_copies == 2
+
+
+def test_kfold_partition_of_corpus(spark):
+    """Folds partition the corpus: every doc lands in exactly one of K
+    folds, counts sum to the corpus, and token shares sum to <= 1e6
+    (truncating ppm)."""
+    from jsmr_spark.queries.pipeline import KFOLD_K
+    from jsmr_spark.registry import get_query
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_split_kfold").fn(spark, sf).collect()
+    assert {r.fold for r in rows} <= set(range(KFOLD_K))
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.token_share_ppm for r in rows) <= 1_000_000
+
+
+def test_bag_of_words_flags_reorderings(spark):
+    """'a b c' vs 'c b a' collide on the bag signature with TWO exact
+    variants (a true reordering); an exact-dup pair collides with ONE."""
+    import os
+    import tempfile
+
+    from jsmr_spark.registry import get_query
+
+    docs = [
+        (1, "a b c", "src0"),
+        (2, "c b a", "src1"),
+        (3, "x y", "src0"),
+        (4, "x y", "src2"),
+        (5, "lonely", "src0"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, len(t), "en", s) for i, t, s in docs],
+            "doc_id long, text string, n_chars long, lang string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = get_query("q_dedup_bag_of_words").fn(spark, d).collect()
+    assert len(rows) == 3  # full census: one row per distinct bag
+    out = {r.kept_doc_id: r for r in rows if r.n_docs > 1}
+    assert len(out) == 2
+    assert out[1].has_reordered and out[1].n_exact_variants == 2
+    assert not out[3].has_reordered and out[3].n_docs == 2

@@ -115,6 +115,20 @@ KEYS = [
     "q_sketch_kmv_intersect",
     # boundary prefix sweep (net deltas per instant, tie-free)
     "q_ts_concurrency",
+    # round-7 operators: quantized-ln NB scores (integer dot products
+    # must be partition-order independent), neighbor-mean triangle
+    # argmax, iterative peel over a checkpointed edge list, the
+    # 15-moment wide aggregate, the vocabulary rank window, the
+    # priority winner window, the mod-K fold census, and the sorted
+    # multiset signature aggregate
+    "q_ml_naive_bayes",
+    "q_ts_lttb",
+    "q_graph_kcore",
+    "q_agg_corr_matrix",
+    "q_text_vocab_coverage",
+    "q_mix_dedup_priority",
+    "q_split_kfold",
+    "q_dedup_bag_of_words",
 ]
 
 

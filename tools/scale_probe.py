@@ -144,7 +144,16 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_agg_gini", "q_text_entropy", "q_agg_pareto",
           "source_time_travel", "q_dedup_rate_by_source", "q_text_novelty",
           "q_profile_drift", "q_agg_winsorized", "q_geo_knn",
-          "q_sketch_kmv_intersect", "q_ts_concurrency"]
+          "q_sketch_kmv_intersect", "q_ts_concurrency",
+          # round-7 operators: one-DAG NB train+score, bucket-argmax
+          # downsampling, bounded peel rounds over the spatial edges
+          # (density-artifact factor expected, like triangles), the
+          # 15-moment wide agg, vocabulary rank window, digest-keyed
+          # priority winner, fold census, sorted-multiset signature
+          "q_ml_naive_bayes", "q_ts_lttb", "q_graph_kcore",
+          "q_agg_corr_matrix", "q_text_vocab_coverage",
+          "q_mix_dedup_priority", "q_split_kfold",
+          "q_dedup_bag_of_words"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
