@@ -109,7 +109,18 @@ def main():
         if name in todo
     ]
     rows.sort(key=lambda r: -r[4])
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"), "w") as f:
+    # Preserve the hand-curated pinned-A/B/A section (tools/ab_sweep.py
+    # results) across regenerations of the per-key table.
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md"
+    )
+    ab_marker = "## Pinned same-session A/B/A"
+    ab_tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if ab_marker in old:
+            ab_tail = old[old.index(ab_marker) :]
+    with open(bench_path, "w") as f:
         f.write(f"# BENCH — measured at {SF_DIR} (best of 3, warm shared session, local[{os.cpu_count()}])\n\n")
         f.write("Protocol: BASELINE.md. Sorted by ratio (spark/duckdb), worst first.\n")
         f.write("(Protocol note: since round 3, timings are best-of-3 after a warm\n")
@@ -171,6 +182,8 @@ def main():
             f" side-effect rows excluded)** | {q_d:.3f} | {q_s:.3f} |"
             f" {q_e:.3f} | {q_s/q_d:.2f} |\n"
         )
+        if ab_tail:
+            f.write("\n" + ab_tail)
     print(json.dumps({
         "total_duck": round(tot_d,3), "total_spark": round(tot_s,3),
         "total_exec": round(tot_e,3), "n": len(rows),
