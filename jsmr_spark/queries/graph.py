@@ -20,7 +20,7 @@ both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.queries.common import t
@@ -548,4 +548,184 @@ def kcore_frame(
     return (
         deg.where(F.col("deg") >= KCORE_K)
         .select(F.col("u").alias("user_id"), F.col("deg").alias("residual_degree"))
+    )
+
+
+_DEGREE_DIST_ORACLE = f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({geo_edges_sql(TRI_RADIUS)}),
+    ends AS (
+      SELECT user_a AS u FROM e
+      UNION ALL
+      SELECT user_b FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ends GROUP BY u),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+    SELECT deg AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_ppm
+    FROM deg GROUP BY deg
+"""
+
+
+@query("q_graph_degree_dist", _DEGREE_DIST_ORACLE)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the spatial-proximity graph: how many
+    nodes have each degree, with the node share in exact ppm — the
+    first diagnostic run on any production graph (heavy tail => hub
+    skew => the skew-join/salting levers elsewhere in this repo).
+    Census is over nodes incident to >= 1 edge (isolated users never
+    enter the edge list, identically on both engines).
+
+    Scale shape: the edge build is the grid-blocked radius self-join
+    (geo_pairs — candidates from the 3x3 cell neighborhood only, no
+    all-pairs); the distribution itself is two keyed hash aggregates
+    (node -> degree, degree -> count) plus a 1-row broadcast total.
+    Everything downstream of the edge list is map-side combinable, and
+    all outputs are exact integers."""
+    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b")
+    ends = e.select(F.col("user_a").alias("u")).unionAll(
+        e.select(F.col("user_b").alias("u"))
+    )
+    deg = ends.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("deg").alias("degree"),
+            "n_nodes",
+            F.expr("CAST(n_nodes * 1000000 AS BIGINT) DIV n").alias("share_ppm"),
+        )
+    )
+
+
+LP_ROUNDS = 3  # unrolled sync label-propagation rounds (bounded, like PR_ITERS)
+
+_TRADE_EDGES_SQL = """
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+"""
+
+
+def _label_prop_oracle() -> str:
+    rounds = []
+    prev = "lp0"
+    for r in range(1, LP_ROUNDS + 1):
+        rounds.append(
+            f"c{r} AS (SELECT e.u AS node, p.lbl AS lbl,"
+            f" CAST(sum(e.w) AS BIGINT) AS tw"
+            f" FROM sym e JOIN {prev} p ON p.node = e.v GROUP BY 1, 2),\n"
+            f"    b{r} AS (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, row_number() OVER ("
+            f"PARTITION BY node ORDER BY tw DESC, lbl) AS rn FROM c{r}"
+            f") WHERE rn = 1),\n"
+            f"    lp{r} AS (SELECT n.node, coalesce(b{r}.lbl, n.node) AS lbl"
+            f" FROM nodes n LEFT JOIN b{r} ON b{r}.node = n.node)"
+        )
+        prev = f"lp{r}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH edges0 AS ({_TRADE_EDGES_SQL}),
+    sym AS (
+      SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT src AS u, dst AS v, w FROM edges0
+        UNION ALL
+        SELECT dst AS u, src AS v, w FROM edges0
+      ) GROUP BY u, v
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    lp0 AS (SELECT node, node AS lbl FROM nodes),
+    {body},
+    sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+           FROM lp{LP_ROUNDS} GROUP BY lbl)
+    SELECT nt.n_name, CAST(f.lbl AS BIGINT) AS community,
+           sz.community_size
+    FROM lp{LP_ROUNDS} f
+    JOIN nation nt ON nt.n_nationkey = f.node
+    JOIN sz ON sz.lbl = f.lbl
+    """
+
+
+@query("q_graph_label_prop", _label_prop_oracle())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LP_ROUNDS}-round synchronous weighted label propagation over the
+    nation trade graph (Raghavan et al. 2007, "Near linear time
+    algorithm to detect community structures"): every node starts as
+    its own community; each round it adopts the label carrying the
+    largest total edge weight among its neighbors, tie-broken toward
+    the smaller label so both engines pick identically. Self-loop
+    trade (customer and supplier in the same nation) votes for the
+    node's own label — the natural weighting here, applied identically
+    on both sides.
+
+    Determinism: edge weights and vote sums are exact BIGINTs; the
+    argmax is a row_number with a total (tw DESC, lbl ASC) order, so
+    rounds never diverge between engines — no float modularity, no
+    random visit order (the sync variant trades LPA's usual oscillation
+    risk for reproducibility; {LP_ROUNDS} bounded rounds, like
+    q_graph_pagerank's power iterations).
+
+    Scale shape: one round = one keyed equi-join (labels ⨝ edges on the
+    neighbor key) + one (node, label) hash aggregate + one per-node
+    argmax window — the same bounded-keyed-shuffles-per-round contract
+    as PageRank/k-core/CC; labels are one row per node, edges stay
+    partitioned on the join key across rounds, and the driver holds
+    nothing."""
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    s = t(spark, sf_dir, "supplier").alias("s")
+    nation = t(spark, sf_dir, "nation")
+
+    edges0 = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(s, F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .groupBy(
+            F.col("c.c_nationkey").alias("src"),
+            F.col("s.s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    sym = (
+        edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionAll(
+            edges0.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    wv = Window.partitionBy("node").orderBy(F.desc("tw"), F.asc("lbl"))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.sum("w").cast("long").alias("tw"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("new_lbl"), F.col("node")).alias("lbl")
+        )
+    sz = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        labels.join(
+            nation.select(F.col("n_nationkey").alias("node"), "n_name"), "node"
+        )
+        .join(F.broadcast(sz), "lbl")
+        .select("n_name", F.col("lbl").cast("long").alias("community"), "community_size")
     )

@@ -1363,9 +1363,10 @@ KFOLD_K = 5
     SELECT fold, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(sum(n_tokens) AS BIGINT) * 1000000
-             // (SELECT sum(len(string_split(text, ' '))) FROM documents)
-             AS token_share_ppm
+           CAST(CAST(sum(n_tokens) AS BIGINT) * 1000000
+             // (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 FROM documents)
+             AS BIGINT) AS token_share_ppm
     FROM b GROUP BY fold, lang
     """,
 )

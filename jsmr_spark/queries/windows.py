@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jsmr_spark.compat import cents, sql_cents
+from jsmr_spark.compat import cents, r4, sql_cents
 from jsmr_spark.queries.common import t
 from jsmr_spark.registry import query
 
@@ -333,4 +333,43 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@query(
+    "q_win_cume_dist",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(cume_dist() OVER w, 4) AS cd,
+           CAST(count(*) OVER w2 AS BIGINT) AS n_at_or_below,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_part
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per customer — the empirical-CDF window function that
+    rounds out the ranking family (row_number/rank/dense_rank in
+    q_win_rank, percent_rank/ntile elsewhere): for each order, the
+    fraction of the customer's orders priced at or below it. The exact
+    integer numerator/denominator (running count over an explicit ROWS
+    frame, partition count) are emitted alongside so the hash check
+    pins the exact rationals, with the double kept to one final
+    division rounded identically on both engines.
+
+    Scale shape: identical to every other window key — one exchange on
+    the high-cardinality customer key, one in-partition sort, streaming
+    frame evaluation; per-partition state is one customer's orders."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("o_custkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        r4(F.cume_dist().over(w)).alias("cd"),
+        F.count(F.lit(1)).over(w2).cast("long").alias("n_at_or_below"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n_part"),
     )
