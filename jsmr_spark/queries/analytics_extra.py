@@ -979,3 +979,68 @@ def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n80_ppm"),
         )
     )
+
+
+_HHI_ORACLE = f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             CAST(sum({sql_cents("l_extendedprice")}) AS BIGINT) AS rc
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nk, CAST(sum(rc) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY nk
+    ),
+    sh AS (
+      SELECT rev.nk, CAST(rev.rc * 1000000 // tot.t AS BIGINT) AS sp
+      FROM rev JOIN tot ON tot.nk = rev.nk
+    )
+    SELECT n.n_name, tot.n_suppliers,
+           CAST(sum(sh.sp * sh.sp) // 1000000 AS BIGINT) AS hhi_ppm
+    FROM sh
+    JOIN tot ON tot.nk = sh.nk
+    JOIN nation n ON n.n_nationkey = sh.nk
+    GROUP BY n.n_name, tot.n_suppliers
+"""
+
+
+@query("q_agg_hhi", _HHI_ORACLE)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation: each
+    supplier's revenue share of its nation in exact ppm (BIGINT floor
+    division), HHI = sum of squared shares rescaled back to ppm — the
+    standard market-concentration readout (10000 ppm = the US DOJ's
+    0.01 'unconcentrated' line scaled to this grid), complementing the
+    Gini / Pareto concentration keys with the antitrust-flavored sum
+    of squares. All arithmetic is exact integer; the floor-truncated
+    share definition is applied identically on both engines.
+
+    Scale shape: one (nation, supplier) cents aggregate over lineitem
+    (map-side combined), a per-nation total, then a broadcast-sized
+    share join and one more keyed aggregate — no window, no sort; the
+    fact table is touched exactly once."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("rc"))
+    )
+    tot = rev.groupBy("nk").agg(
+        F.sum("rc").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    sh = rev.join(F.broadcast(tot), "nk").select(
+        "nk", "n_suppliers", F.expr("CAST(rc * 1000000 AS BIGINT) DIV t").alias("sp")
+    )
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    return (
+        sh.groupBy("nk", "n_suppliers")
+        .agg(F.expr("CAST(sum(sp * sp) DIV 1000000 AS BIGINT)").alias("hhi_ppm"))
+        .join(F.broadcast(nation), "nk")
+        .select("n_name", "n_suppliers", "hhi_ppm")
+    )

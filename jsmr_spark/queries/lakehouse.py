@@ -626,3 +626,83 @@ def q_privacy_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num").alias("tvd_num"),
         r4(F.col("num") / (2 * F.col("ng") * F.col("n")).cast("double")).alias("tvd"),
     )
+
+
+DP_LN_SCALE = 1_000_000  # 1e-6 grid for the quantized ln (text.py recipe)
+DP_U_DOM = 1_048_576  # 2^20 uniform grid for the inverse-CDF draw
+_DP_LNQ_DOM = 13_862_944  # ln(2^20) on the 1e-6 grid
+
+
+def _dp_lnq(x: str) -> str:
+    return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {DP_LN_SCALE} + 0.5) AS BIGINT)"
+
+
+def _dp_noise_sql(seed_expr: str, div: str) -> str:
+    """Laplace(b=1) noise in whole counts from a hash-uniform draw.
+
+    Inverse CDF: u ~ U(0,1) => noise = -sign(u-1/2) * ln(1-2|u-1/2|).
+    u comes from the portable md5 hash on a 2^20 grid, ln() is snapped
+    to the 1e-6 grid (q_text_entropy's recipe), and the magnitude is
+    rounded half-up BEFORE the sign is applied — floor division on a
+    non-negative quantity, so Spark's truncating DIV and DuckDB's
+    floor // agree (they diverge on negatives; `div` spells the
+    engine's integer-division operator)."""
+    u = f"({hex12_sql(f'md5({seed_expr})')} % {DP_U_DOM})"
+    r = f"greatest({DP_U_DOM} - 2 * abs({u} - {DP_U_DOM // 2}), 1)"
+    mag = f"(({_DP_LNQ_DOM} - {_dp_lnq(r)} + {DP_LN_SCALE // 2}) {div} {DP_LN_SCALE})"
+    sign = f"(CASE WHEN {u} >= {DP_U_DOM // 2} THEN 1 ELSE -1 END)"
+    return f"CAST({sign} * {mag} AS BIGINT)"
+
+
+_DP_SEED_DUCK = "concat(event_type, '|', CAST(CAST(ts AS DATE) AS VARCHAR))"
+_DP_SEED_SPARK = "concat(event_type, '|', CAST(CAST(ts AS DATE) AS STRING))"
+
+
+def _dp_oracle() -> str:
+    noise = _dp_noise_sql("seed", "//")
+    return f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {_DP_SEED_DUCK} AS seed,
+             CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day,
+           {noise} AS noise,
+           CAST(true_count + {noise} AS BIGINT) AS released_count
+    FROM c
+    """
+
+
+@query("q_privacy_dp_count", _dp_oracle())
+def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-style histogram release: per
+    (event_type, day) counts plus Laplace(b=1/eps, eps=1) noise — the
+    Dwork et al. 2006 counting-query mechanism, the release step after
+    the k-anonymity / l-diversity / t-closeness audits earlier in this
+    module. The noise draw here is DETERMINISTIC (inverse-CDF from the
+    portable hash of the cell key) so the key stays hash-checked
+    end-to-end across engines; a production release swaps the seed for
+    a real RNG — the mechanism, scale, and integer rounding recipe
+    (helper docstring) are exactly what ships, and determinism is what
+    makes them testable. The noise column is emitted for that audit;
+    a real release drops it.
+
+    Scale shape: one keyed hash aggregate over events, then pure
+    row-local arithmetic — map-side combinable, no second shuffle."""
+    noise = _dp_noise_sql("seed", "DIV")
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr(_DP_SEED_SPARK).alias("seed"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.expr(noise).alias("noise"),
+        F.expr(f"CAST(true_count + {noise} AS BIGINT)").alias("released_count"),
+    )

@@ -1156,3 +1156,60 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered_tokens * 1000000 DIV total").alias("coverage_ppm"),
         )
     )
+
+
+FH_BUCKETS = 64  # hashing-trick feature dimension
+
+_FEATURE_HASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2),
+    b AS (
+      SELECT lang, token, c,
+             CAST({hex12_sql("md5(token)")} % {FH_BUCKETS} AS INTEGER) AS bucket
+      FROM cnt
+    )
+    SELECT lang, bucket,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(max(c) AS BIGINT) AS max_type_count
+    FROM b GROUP BY lang, bucket
+"""
+
+
+@query("q_text_feature_hash", _FEATURE_HASH_ORACLE)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"): every token maps to
+    one of {FH_BUCKETS} buckets via the portable md5-derived hash, and
+    the per-(lang, bucket) census — total occurrences, distinct token
+    types sharing the bucket, the dominant type's count — is exactly
+    the collision profile you audit before shipping a hashed
+    bag-of-words model (n_types > 1 rows ARE the collisions). The
+    fixed-dimension companion to q_text_tfidf's exact vocabulary.
+
+    Scale shape: tokenize -> (lang, token) hash agg (map-side
+    combined, the wordcount shape) -> narrow hash map -> second
+    bounded agg (at most {FH_BUCKETS} x languages rows). No vocabulary
+    broadcast, no UDF — the point of the hashing trick at 100 TB is
+    that the feature space is fixed a priori, and the plan reflects
+    it: nothing grows with corpus vocabulary except the intermediate
+    token census."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b = cnt.select(
+        "lang",
+        "c",
+        F.expr(f"CAST({hex12_sql('md5(token)')} % {FH_BUCKETS} AS INT)").alias(
+            "bucket"
+        ),
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("c").cast("long").alias("max_type_count"),
+    )

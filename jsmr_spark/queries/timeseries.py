@@ -1375,3 +1375,298 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("event_id", "event_type", "bucket", "xs", "yc", "area2")
     )
+
+
+_DAY_SERIES_SQL = f"""
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum({sql_cents("value")}) AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2
+"""
+
+_DRAWDOWN_ORACLE = f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    r AS (
+      SELECT event_type, day, vc,
+             max(vc) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM d
+    ),
+    dd AS (
+      SELECT event_type, day, vc, run_max, run_max - vc AS dd_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY run_max - vc DESC, day) AS rn
+      FROM r
+    )
+    SELECT event_type,
+           CAST((SELECT count(*) FROM d x
+                 WHERE x.event_type = dd.event_type) AS BIGINT) AS n_days,
+           day AS trough_day, CAST(run_max AS BIGINT) AS peak_cents,
+           CAST(vc AS BIGINT) AS trough_cents,
+           CAST(dd_c AS BIGINT) AS drawdown_cents,
+           CAST(dd_c * 1000000 // run_max AS BIGINT) AS drawdown_ppm
+    FROM dd WHERE rn = 1
+"""
+
+
+@query("q_ts_drawdown", _DRAWDOWN_ORACLE)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event-type daily revenue series: running
+    peak via a cumulative-max window, drawdown = peak - value, and the
+    single worst day picked by a total (drawdown DESC, day ASC) order —
+    the risk metric every monitoring/finance pipeline wants next to
+    the EWMA/z-score/CUSUM family. Exact cents everywhere; the ppm
+    depth is one BIGINT floor division.
+
+    Scale shape: the corpus collapses to the (event_type, day) spine
+    first (keyed hash agg, map-side combined) — the window and argmax
+    run over entity x calendar rows, never raw events; same bounded-
+    spine contract as q_ts_cusum / q_ts_concurrency."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "event_type", "day", "vc", F.max("vc").over(wrun).alias("run_max")
+    ).withColumn("dd_c", F.col("run_max") - F.col("vc"))
+    wpick = Window.partitionBy("event_type").orderBy(F.desc("dd_c"), F.asc("day"))
+    days = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        r.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("trough_day"),
+            F.col("run_max").alias("peak_cents"),
+            F.col("vc").alias("trough_cents"),
+            F.col("dd_c").alias("drawdown_cents"),
+            F.expr("CAST(dd_c * 1000000 AS BIGINT) DIV run_max").alias(
+                "drawdown_ppm"
+            ),
+        )
+    )
+
+
+_PEAKS_ORACLE = f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    n AS (
+      SELECT event_type, day, vc,
+             lag(vc) OVER w AS prev_vc,
+             lead(vc) OVER w AS next_vc
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) FILTER (WHERE vc > prev_vc AND vc > next_vc)
+                AS BIGINT) AS n_peaks,
+           CAST(count(*) FILTER (WHERE vc < prev_vc AND vc < next_vc)
+                AS BIGINT) AS n_troughs,
+           CAST(max(CASE WHEN vc > prev_vc AND vc > next_vc THEN vc END)
+                AS BIGINT) AS max_peak_cents,
+           CAST(min(CASE WHEN vc < prev_vc AND vc < next_vc THEN vc END)
+                AS BIGINT) AS min_trough_cents
+    FROM n GROUP BY event_type
+"""
+
+
+@query("q_ts_peaks", _PEAKS_ORACLE)
+def q_ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema census per event-type daily series: a peak is a
+    day strictly above BOTH neighbors, a trough strictly below both
+    (strict comparisons, so plateaus count as neither — the unambiguous
+    convention, applied identically on both engines; series endpoints
+    have a NULL neighbor and three-valued logic excludes them). The
+    peak-detection primitive under seasonality/alerting dashboards,
+    complementing q_ts_cusum's changepoints (which find level SHIFTS,
+    not local extrema).
+
+    Scale shape: corpus -> (event_type, day) spine (one keyed agg),
+    lag/lead over the bounded spine, one final census aggregate. All
+    exact cents."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    n = d.select(
+        "event_type",
+        "vc",
+        F.lag("vc").over(w).alias("prev_vc"),
+        F.lead("vc").over(w).alias("next_vc"),
+    )
+    is_peak = (F.col("vc") > F.col("prev_vc")) & (F.col("vc") > F.col("next_vc"))
+    is_trough = (F.col("vc") < F.col("prev_vc")) & (F.col("vc") < F.col("next_vc"))
+    return n.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.count(F.when(is_peak, 1)).cast("long").alias("n_peaks"),
+        F.count(F.when(is_trough, 1)).cast("long").alias("n_troughs"),
+        F.max(F.when(is_peak, F.col("vc"))).cast("long").alias("max_peak_cents"),
+        F.min(F.when(is_trough, F.col("vc"))).cast("long").alias("min_trough_cents"),
+    )
+
+
+def _floor_sq_div(s: str, n: str) -> str:
+    """floor(s^2 / n) in overflow-safe BIGINT pieces: s*(s/n) + s*(s%n)/n.
+
+    Direct s*s overflows BIGINT once a series' cents sum passes ~3e9
+    (the 10x probe corpus is already there); the decomposition keeps
+    every intermediate below ~s*n and is floor-exact for s, n > 0 —
+    and, being one shared text, identical on both engines."""
+    return f"({s} * ({s} // {n}) + ({s} * ({s} % {n})) // {n})"
+
+
+_ANOVA_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(vc) AS BIGINT) AS sg,
+             CAST(sum(vc * vc) AS BIGINT) AS sg2
+      FROM v GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS BIGINT) AS s,
+             CAST(sum(sg2) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum({_floor_sq_div("sg", "ng")}) AS BIGINT) AS sum_t
+      FROM g
+    )
+    SELECT k AS k_groups, n AS n_events,
+           CAST(sum_t - {_floor_sq_div("s", "n")} AS BIGINT) AS ssb_cents2,
+           CAST(s2 - sum_t AS BIGINT) AS ssw_cents2,
+           CAST(((sum_t - {_floor_sq_div("s", "n")}) // (k - 1)) * 1000
+                // ((s2 - sum_t) // (n - k)) AS BIGINT) AS f_milli
+    FROM tot
+"""
+
+
+@query("q_stats_anova", _ANOVA_ORACLE)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the event-type groups on value
+    cents — the k-group generalization of q_stats_ttest (is ANY group
+    mean different?). Between/within sums of squares come from exact
+    BIGINT moments (n, sum, sum-of-squares per group); every division
+    is a floor division applied identically on both engines, with
+    floor(s^2/n) decomposed to stay in BIGINT range (helper docstring),
+    so the statistic is DEFINED as this integer recipe and the hash
+    check is exact — the same quantized-statistic contract as
+    q_graph_pagerank. Truncation error is < 1 cent^2 per term against
+    sums of ~1e12, far below any decision-relevant difference.
+
+    Scale shape: one map-side-combinable hash aggregate over events
+    (3 BIGINTs per group), a k-row total, arithmetic on one row."""
+    v = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("vc")
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("vc").cast("long").alias("sg"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sg2"),
+    )
+    sq = "sg * (sg DIV ng) + (sg * (sg % ng)) DIV ng"
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("sg2").cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(f"CAST(sum({sq}) AS BIGINT)").alias("sum_t"),
+    )
+    grand = "(s * (s DIV n) + (s * (s % n)) DIV n)"
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_events"),
+        F.expr(f"CAST(sum_t - {grand} AS BIGINT)").alias("ssb_cents2"),
+        F.expr("CAST(s2 - sum_t AS BIGINT)").alias("ssw_cents2"),
+        F.expr(
+            f"CAST(((sum_t - {grand}) DIV (k - 1)) * 1000"
+            " DIV ((s2 - sum_t) DIV (n - k)) AS BIGINT)"
+        ).alias("f_milli"),
+    )
+
+
+CONF_THRESH_C = 10_000  # prediction threshold: value >= 100.00
+
+_CONFUSION_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ),
+    c AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                              AND vc >= {CONF_THRESH_C}) AS BIGINT) AS tp,
+        CAST(count(*) FILTER (WHERE event_type = 'view'
+                              AND vc >= {CONF_THRESH_C}) AS BIGINT) AS fp,
+        CAST(count(*) FILTER (WHERE event_type = 'purchase'
+                              AND vc < {CONF_THRESH_C}) AS BIGINT) AS fn,
+        CAST(count(*) FILTER (WHERE event_type = 'view'
+                              AND vc < {CONF_THRESH_C}) AS BIGINT) AS tn
+      FROM e
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
+           CAST(2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
+                // ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn)))
+                AS BIGINT) AS f1_ppm,
+           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+             AS accuracy_ppm
+    FROM c
+"""
+
+
+@query("q_ml_confusion", _CONFUSION_ORACLE)
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary confusion matrix at a fixed decision threshold (predict
+    'purchase' when value >= {CONF_THRESH_C} cents; positives are the
+    actual purchases, negatives the views — the same label/score frame
+    as q_ml_auc) with precision / recall / F1 / accuracy in exact ppm.
+    q_ml_auc ranks the classifier threshold-free and q_ml_calibration
+    bins its scores; this key is the deployment-time readout at the
+    threshold you actually ship. F1 is the harmonic mean computed from
+    the ppm-truncated precision/recall — one shared integer recipe on
+    both engines, so the hash is exact.
+
+    Scale shape: one filtered scan -> four conditional counts in a
+    single map-side-combinable aggregate; arithmetic on one row."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    vc = cents(F.col("value"))
+    pos = F.col("event_type") == "purchase"
+    pred = vc >= CONF_THRESH_C
+    c = e.select(
+        F.count(F.when(pos & pred, 1)).cast("long").alias("tp"),
+        F.count(F.when(~pos & pred, 1)).cast("long").alias("fp"),
+        F.count(F.when(pos & ~pred, 1)).cast("long").alias("fn"),
+        F.count(F.when(~pos & ~pred, 1)).cast("long").alias("tn"),
+    )
+    prec = "(tp * 1000000 DIV (tp + fp))"
+    rec = "(tp * 1000000 DIV (tp + fn))"
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(f"CAST({prec} AS BIGINT)").alias("precision_ppm"),
+        F.expr(f"CAST({rec} AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            f"CAST(2 * {prec} * {rec} DIV ({prec} + {rec}) AS BIGINT)"
+        ).alias("f1_ppm"),
+        F.expr(
+            "CAST((tp + tn) * 1000000 DIV (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
