@@ -1044,3 +1044,148 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), "nk")
         .select("n_name", "n_suppliers", "hhi_ppm")
     )
+
+
+THEIL_LN_SCALE = 1_000_000  # 1e-6 grid for ln() (q_text_entropy's recipe)
+
+
+def _theil_lnq(x: str) -> str:
+    return (
+        f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {THEIL_LN_SCALE} + 0.5) AS BIGINT)"
+    )
+
+
+def _theil_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+      WHERE {sql_cents("value")} > 0
+    ),
+    c AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(vc * cnt) AS BIGINT) AS s,
+             CAST(sum(vc * cnt * {_theil_lnq("vc")}) AS BIGINT) AS sxlnx
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n AS n_events, s AS sum_cents,
+           CAST(sxlnx // s - ({_theil_lnq("s")} - {_theil_lnq("n")})
+                AS BIGINT) AS theil_micro
+    FROM m
+    """
+
+
+@query("q_agg_theil", _theil_oracle())
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per event type in exact micro-nats:
+    T = Σ(x/μ)ln(x/μ)/n collapses algebraically to
+    (Σ x·ln x)/S − ln(S/n) with S = Σx, so after snapping ln of each
+    DISTINCT cent value to the 1e-6 grid (q_text_entropy's recipe) the
+    whole statistic is BIGINT arithmetic with one floor division —
+    hash-exact on both engines. Completes the concentration family:
+    Gini (rank-based), Pareto (prefix share), HHI (sum of squares),
+    Theil (entropy-based, the one that decomposes additively across
+    subgroups). Zero values are excluded (ln undefined), identically
+    on both sides.
+
+    Scale shape: corpus -> (type, cent-value) hash agg first, so the
+    ln is evaluated once per DISTINCT value on the bounded cent
+    domain, then one keyed rollup. Map-side combinable throughout.
+    Overflow: vc·cnt ≤ S ~ 5e9 at the 10x probe; ·lnq ~ 2e7 -> ~1e17,
+    inside BIGINT."""
+    v = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("vc")
+    ).where(F.col("vc") > 0)
+    c = v.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lnq_vc = _theil_lnq("vc")  # no division inside — same text on both engines
+    m = c.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("vc") * F.col("cnt")).cast("long").alias("s"),
+        F.expr(f"CAST(sum(vc * cnt * {lnq_vc}) AS BIGINT)").alias("sxlnx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("s").alias("sum_cents"),
+        F.expr(
+            f"CAST(sxlnx DIV s - ({_theil_lnq('s')} - {_theil_lnq('n')})"
+            " AS BIGINT)"
+        ).alias("theil_micro"),
+    )
+
+
+# Benford expected first-digit shares in ppm: floor(log10(1+1/d) * 1e6).
+_BENFORD_PPM = {
+    d: int(__import__("math").floor(__import__("math").log10(1 + 1 / d) * 1e6))
+    for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+def _benford_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT {sql_cents("value")} AS vc FROM events
+      WHERE {sql_cents("value")} >= 1
+    ),
+    d AS (
+      SELECT CAST(substring(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM v
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT digit, n,
+           CAST(n * 1000000 // (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
+           CAST(abs(n * 1000000 // (SELECT t FROM tot) - ({_BENFORD_CASE}))
+                AS BIGINT) AS abs_dev_ppm
+    FROM c
+    """
+
+
+@query("q_quality_benford", _benford_oracle())
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit census over positive event cents: the
+    classic fabricated-data / unit-mix smoke test (Benford 1938) —
+    observed first-significant-digit shares in exact ppm next to the
+    law's expected log10(1+1/d) shares (precomputed integer literals,
+    so no engine evaluates a log) and the absolute deviation. A data-
+    quality gate alongside q_quality_constraints: a spike at one digit
+    usually means a default/filler value or a currency-unit mixup.
+
+    First digit extraction is string-based (leading character of the
+    decimal rendering of a positive BIGINT — identical on both
+    engines), avoiding float log10 binning entirely.
+
+    Scale shape: narrow map -> 9-group hash aggregate (map-side
+    combined) + a 1-row total; nothing else."""
+    v = t(spark, sf_dir, "events").select(cents(F.col("value")).alias("vc")).where(
+        F.col("vc") >= 1
+    )
+    d = v.select(
+        F.expr("CAST(substring(CAST(vc AS STRING), 1, 1) AS INT)").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 AS BIGINT) DIV t").alias("share_ppm"),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("benford_ppm"),
+            F.expr(
+                f"CAST(abs(n * 1000000 DIV t - ({_BENFORD_CASE})) AS BIGINT)"
+            ).alias("abs_dev_ppm"),
+        )
+    )

@@ -940,3 +940,130 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [F.desc("dist2n2"), F.asc("vec_id")]
     top = d.orderBy(*keys).limit(OUT_TOP)
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+
+
+_DRIFT_Q = 1_000  # 1e3 quantization: dot products of half-centroid sums stay in BIGINT
+
+
+def _drift_oracle() -> str:
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    half = f"({hex12_sql('md5(CAST(vec_id AS VARCHAR))')} % 2)"
+    return f"""
+    WITH e AS (
+      SELECT label, {half} AS half, u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {_DRIFT_Q}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {_DRIFT_Q}.0) AS BIGINT) AS xq
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    s AS (
+      SELECT label, half, dim, CAST(sum(xq) AS BIGINT) AS sx
+      FROM e GROUP BY 1, 2, 3
+    ),
+    nv AS (
+      SELECT label, {half} AS half, CAST(count(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.label,
+             CAST(sum(a.sx * b.sx) AS BIGINT) AS dot,
+             CAST(sum(a.sx * a.sx) AS BIGINT) AS na,
+             CAST(sum(b.sx * b.sx) AS BIGINT) AS nb
+      FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT j.label,
+           n0.n AS n_half0, n1.n AS n_half1,
+           j.dot AS dot_scaled,
+           round(CAST(j.dot AS DOUBLE)
+                 / sqrt(CAST(j.na AS DOUBLE) * CAST(j.nb AS DOUBLE)), 4)
+             AS centroid_cosine
+    FROM j
+    JOIN nv n0 ON n0.label = j.label AND n0.half = 0
+    JOIN nv n1 ON n1.label = j.label AND n1.half = 1
+    """
+
+
+@query("q_embed_drift", _drift_oracle())
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split each label's vectors
+    into two deterministic portable-hash halves and report the cosine
+    between the two half-centroids — at parity (same distribution) the
+    cosine sits near 1; a drop flags intra-label drift or a bimodal
+    label. The same split-half methodology as q_profile_drift's TVD
+    gate, lifted to the embedding space; in production the two 'halves'
+    become yesterday's batch vs today's.
+
+    Exactness: values quantized to 1e3 integers (coarser than
+    q_embed_stats' 1e6 because centroid SUMS get multiplied pairwise:
+    sums ~1e8 per dim at the 10x probe, dot ~64·1e16 — inside BIGINT;
+    at 1e6 the dot would overflow). Cosine normalization is unscaled —
+    the quantization constant cancels in the ratio. One final double
+    division + sqrt, rounded identically.
+
+    Scale shape: explode -> (label, half, dim) hash agg (map-side
+    combined, bounded by labels × 2 × 64 output rows), then joins on
+    the bounded centroid table only. The vector corpus is scanned
+    once."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    half_expr = f"CAST({hex12_sql('md5(CAST(vec_id AS STRING))')} % 2 AS BIGINT)"
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.expr(half_expr).alias("half"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .select(
+            "label",
+            "half",
+            "dim",
+            F.expr(
+                f"CAST(floor(abs(CAST(x AS DOUBLE) * {_DRIFT_Q}.0) + 0.5)"
+                f" * sign(CAST(x AS DOUBLE) * {_DRIFT_Q}.0) AS BIGINT)"
+            ).alias("xq"),
+        )
+    )
+    s = e.groupBy("label", "half", "dim").agg(
+        F.sum("xq").cast("long").alias("sx")
+    )
+    nv = (
+        t(spark, sf_dir, "embeddings")
+        .select("label", F.expr(half_expr).alias("half"))
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = s.where(F.col("half") == 0).select(
+        "label", "dim", F.col("sx").alias("sa")
+    )
+    b = s.where(F.col("half") == 1).select(
+        "label", "dim", F.col("sx").alias("sb")
+    )
+    j = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("long").alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).cast("long").alias("nb"),
+        )
+    )
+    n0 = nv.where(F.col("half") == 0).select("label", F.col("n").alias("n_half0"))
+    n1 = nv.where(F.col("half") == 1).select("label", F.col("n").alias("n_half1"))
+    return (
+        j.join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            "label",
+            "n_half0",
+            "n_half1",
+            F.col("dot").alias("dot_scaled"),
+            r4(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("centroid_cosine"),
+        )
+    )

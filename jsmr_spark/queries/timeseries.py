@@ -1670,3 +1670,176 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((tp + tn) * 1000000 DIV (tp + fp + fn + tn) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+_LIFT_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ),
+    pts AS (
+      SELECT vc,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS p
+      FROM e GROUP BY vc
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(p) AS BIGINT) AS pt
+            FROM pts),
+    cum AS (
+      SELECT vc, n, p,
+             coalesce(sum(n) OVER (ORDER BY vc DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_above
+      FROM pts
+    ),
+    dec AS (
+      SELECT CAST(n_above * 10 // (SELECT nt FROM tot) AS INTEGER) AS decile,
+             n, p
+      FROM cum
+    )
+    SELECT decile,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(p) * 1000000 // sum(n) AS BIGINT) AS rate_ppm,
+           CAST(sum(p) * (SELECT nt FROM tot) * 1000
+                // (sum(n) * (SELECT pt FROM tot)) AS BIGINT) AS lift_milli
+    FROM dec GROUP BY decile
+"""
+
+
+@query("q_ml_lift", _LIFT_ORACLE)
+def q_ml_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the purchase-vs-view score frame shared
+    with q_ml_auc / q_ml_confusion: rows ranked by score descending,
+    cut into ten equal-population bins, and each bin's positive rate
+    compared to the base rate (lift in exact milli-units). The
+    campaign-targeting readout — 'the top decile converts at 2.3x
+    base' — that AUC alone doesn't give.
+
+    Decile assignment avoids a corpus-wide sort: the corpus collapses
+    to the bounded cent domain (q_ml_auc's shape), the cumulative
+    count-above runs over the domain table, and a row's decile is
+    n_above*10 div n_total — score ties land in one decile by
+    construction, identically on both engines (bins are therefore
+    equal-population up to tie granularity, the honest definition).
+    All divisions are BIGINT floor divisions on non-negative values.
+
+    Scale shape: one hash agg to the cent domain, one window over the
+    ≤56k-row domain, one 10-group rollup."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = e.groupBy(cents(F.col("value")).alias("vc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("p"),
+    )
+    tot = pts.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("p").cast("long").alias("pt")
+    )
+    wa = Window.orderBy(F.desc("vc")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.select(
+        "n", "p", F.coalesce(F.sum("n").over(wa), F.lit(0)).alias("n_above")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(n_above * 10 DIV nt AS INT)").alias("decile"),
+            "n",
+            "p",
+            "nt",
+            "pt",
+        )
+        .groupBy("decile", "nt", "pt")
+        .agg(F.sum("n").cast("long").alias("n_rows"), F.sum("p").cast("long").alias("n_pos"))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 DIV n_rows AS BIGINT)").alias("rate_ppm"),
+            F.expr(
+                "CAST(n_pos * nt * 1000 DIV (n_rows * pt) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+
+
+SEAS_OFF = 1_000_000_000_000  # offset making detrended sums positive pre-division
+
+
+_DECOMPOSE_ORACLE = f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    tr AS (
+      SELECT event_type, day, vc,
+             CAST(sum(vc) OVER w AS BIGINT) AS sum7,
+             CAST(count(*) OVER w AS BIGINT) AS n7,
+             (day - DATE '1970-01-01') % 7 AS weekday
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, weekday,
+             vc * n7 - sum7 AS detr_n7
+      FROM tr WHERE n7 = 7
+    )
+    SELECT event_type, CAST(weekday AS INTEGER) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(detr_n7) AS BIGINT) AS sum_detrended_x7,
+           CAST((sum(detr_n7) + {SEAS_OFF} * count(*) * 7)
+                // (count(*) * 7) - {SEAS_OFF} AS BIGINT) AS seasonal_cents
+    FROM det GROUP BY event_type, weekday
+"""
+
+
+@query("q_ts_decompose", _DECOMPOSE_ORACLE)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/seasonal decomposition of the per-type daily series — the
+    moving-average classical decomposition (the deterministic core of
+    STL): trend = centered 7-day moving average, detrended = value −
+    trend, seasonal = mean detrended value per weekday. Weekday is
+    epoch-day mod 7 (engines disagree on dayofweek numbering; integer
+    arithmetic doesn't). To keep everything in exact integers the
+    detrended series is carried ×7 (value·n7 − sum7, no division), and
+    the per-weekday mean applies the offset trick — add a constant
+    large enough to make the numerator positive, floor-divide, subtract
+    it back — because Spark's DIV truncates toward zero while DuckDB's
+    // floors, and they only agree on non-negative operands. Window
+    edges (n7 < 7) are excluded from the seasonal fit, as in the
+    classical method.
+
+    Scale shape: corpus -> (type, day) spine agg; the moving window
+    and weekday rollup run over the bounded spine."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = d.select(
+        "event_type",
+        "vc",
+        F.sum("vc").over(w).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n7"),
+        F.expr("CAST(datediff(day, DATE '1970-01-01') % 7 AS INT)").alias(
+            "weekday"
+        ),
+    )
+    det = tr.where(F.col("n7") == 7).select(
+        "event_type",
+        "weekday",
+        (F.col("vc") * F.col("n7") - F.col("sum7")).alias("detr_n7"),
+    )
+    return det.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("detr_n7").cast("long").alias("sum_detrended_x7"),
+        F.expr(
+            f"CAST((sum(detr_n7) + {SEAS_OFF} * count(*) * 7)"
+            f" DIV (count(*) * 7) - {SEAS_OFF} AS BIGINT)"
+        ).alias("seasonal_cents"),
+    )

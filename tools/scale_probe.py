@@ -153,7 +153,21 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_ml_naive_bayes", "q_ts_lttb", "q_graph_kcore",
           "q_agg_corr_matrix", "q_text_vocab_coverage",
           "q_mix_dedup_priority", "q_split_kfold",
-          "q_dedup_bag_of_words"]
+          "q_dedup_bag_of_words",
+          # round-7 session-2 batch: empirical-CDF window, spatial
+          # degree histogram (edge build dominates, like kcore),
+          # 3-round LPA (per-round keyed join + argmax window over the
+          # 25-node label table), supplier-share HHI, daily-spine
+          # drawdown/extrema, 1-row ANOVA / confusion aggregates,
+          # 64-bucket feature hash, hash-seeded DP release
+          "q_win_cume_dist", "q_graph_degree_dist", "q_graph_label_prop",
+          "q_agg_hhi", "q_ts_drawdown", "q_ts_peaks", "q_stats_anova",
+          "q_ml_confusion", "q_text_feature_hash", "q_privacy_dp_count",
+          # round-7 session-2 batch 2: distinct-cent-domain Theil,
+          # 9-group Benford census, domain-binned lift, spine-window
+          # decomposition, bounded-centroid drift join
+          "q_agg_theil", "q_quality_benford", "q_ml_lift",
+          "q_ts_decompose", "q_embed_drift"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
