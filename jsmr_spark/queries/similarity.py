@@ -1067,3 +1067,137 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+# nDCG@10 discount weights: w_i = floor(1e6 / log2(i+1) + 0.5), i = 1..10,
+# precomputed so neither engine evaluates a log; IDCG prefix sums follow.
+_NDCG_W = [
+    int(math.floor(1_000_000 / math.log2(i + 1) + 0.5)) for i in range(1, MRR_K + 1)
+]
+_NDCG_P = [sum(_NDCG_W[: k + 1]) for k in range(MRR_K)]  # P[k-1] = sum w_1..w_k
+_NDCG_W_CASE = (
+    "CASE rnk " + " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)) + " ELSE 0 END"
+)
+
+
+def _ndcg_idcg_case(nrel: str) -> str:
+    arms = " ".join(f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_P))
+    return f"CASE least({nrel}, {MRR_K}) {arms} ELSE 0 END"
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, label, embedding, {_NORM_ONE_DD} AS nrm FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding, nrm
+      FROM normed WHERE vec_id % {MRR_QMOD} = 0
+    ),
+    lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings
+           GROUP BY label),
+    ranked AS (
+      SELECT q.q_id, q.q_label, c.label,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_aggregate(list_transform(q.embedding, (x, i) ->
+                          CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+                          / (q.nrm * c.nrm), 4) DESC, c.vec_id
+             ) AS rnk
+      FROM q JOIN normed c ON c.vec_id <> q.q_id
+    ),
+    dcg AS (
+      SELECT q_id, CAST(sum({_NDCG_W_CASE}) AS BIGINT) AS dcg_micro
+      FROM ranked WHERE label = q_label AND rnk <= {MRR_K}
+      GROUP BY q_id
+    ),
+    per_q AS (
+      SELECT q.q_label, q.q_id,
+             coalesce(d.dcg_micro, 0) AS dcg_micro,
+             {_ndcg_idcg_case("lc.n_label - 1")} AS idcg_micro
+      FROM q
+      JOIN lc ON lc.label = q.q_label
+      LEFT JOIN dcg d ON d.q_id = q.q_id
+    )
+    SELECT q_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (WHERE idcg_micro > 0) AS BIGINT) AS n_evaluable,
+           CAST(sum(CASE WHEN idcg_micro > 0
+                         THEN dcg_micro * 1000 // idcg_micro ELSE 0 END)
+                AS BIGINT) AS ndcg_milli_sum,
+           CAST(sum(CASE WHEN idcg_micro > 0
+                         THEN dcg_micro * 1000 // idcg_micro ELSE 0 END)
+                // nullif(count(*) FILTER (WHERE idcg_micro > 0), 0)
+                AS BIGINT) AS mean_ndcg_milli
+    FROM per_q GROUP BY q_label
+    """
+
+
+@query("q_ml_ndcg", _ndcg_oracle())
+def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{MRR_K} retrieval evaluation on the q_rank_mrr frame (same
+    ~2% query sample, same rounded-cosine + vec_id tie-break ranking):
+    binary relevance = same label, DCG discounts 1/log2(rank+1) as
+    PRECOMPUTED micro-unit integer literals (neither engine evaluates a
+    log at runtime), IDCG = the literal prefix sum at min(n_relevant,
+    {MRR_K}) where n_relevant comes from a label census rather than a
+    per-candidate count. Completes the ranking-eval family: recall@k
+    (q_sim_recall_report) counts hits, MRR rewards the first hit,
+    nDCG grades the whole top-{MRR_K} ordering. Per-query nDCG is an
+    exact BIGINT milli value (one floor division); the per-label mean
+    is a second floor division — hash-exact.
+
+    Scale shape: identical to q_rank_mrr — broadcast query sample,
+    narrow-map similarity, per-query rank window; plus one broadcast
+    label census. Same ANN-candidate substitution at 100 TB."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") % MRR_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    lc = (
+        t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_label"))
+    )
+    sim = r4(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    )
+    ranked = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_label", "label", "vec_id", sim.alias("sim"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+    )
+    dcg = (
+        ranked.where((F.col("label") == F.col("q_label")) & (F.col("rnk") <= MRR_K))
+        .groupBy("q_id")
+        .agg(F.expr(f"CAST(sum({_NDCG_W_CASE}) AS BIGINT)").alias("dcg_micro"))
+    )
+    per_q = (
+        q.select("q_id", "q_label")
+        .join(F.broadcast(lc.withColumnRenamed("label", "q_label")), "q_label")
+        .join(dcg, "q_id", "left")
+        .select(
+            "q_label",
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).alias("dcg_micro"),
+            F.expr(_ndcg_idcg_case("n_label - 1")).alias("idcg_micro"),
+        )
+    )
+    nd = "CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000 DIV idcg_micro ELSE 0 END"
+    return per_q.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count(F.when(F.col("idcg_micro") > 0, 1)).cast("long").alias("n_evaluable"),
+        F.expr(f"CAST(sum({nd}) AS BIGINT)").alias("ndcg_milli_sum"),
+        F.expr(
+            f"CAST(sum({nd}) DIV nullif(count_if(idcg_micro > 0), 0) AS BIGINT)"
+        ).alias("mean_ndcg_milli"),
+    )

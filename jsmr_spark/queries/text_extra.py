@@ -1213,3 +1213,111 @@ def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.max("c").cast("long").alias("max_type_count"),
     )
+
+
+PMI_MIN_COUNT = 5  # bigram min support before PMI ranking
+PMI_TOP = 10  # collocations reported per language
+_PMI_LN_SCALE = 1_000_000
+
+
+def _pmi_lnq(x: str) -> str:
+    return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {_PMI_LN_SCALE} + 0.5) AS BIGINT)"
+
+
+def _pmi_oracle() -> str:
+    pmi = (
+        f"{_pmi_lnq('bi.cab')} - {_pmi_lnq('nb_t.nb')} + 2 * {_pmi_lnq('nu_t.nu')}"
+        f" - {_pmi_lnq('ua.c')} - {_pmi_lnq('ub.c')}"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, u.i AS pos, string_split(text, ' ')[u.i] AS w
+      FROM documents,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+    ),
+    uni AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    nu_t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nu FROM uni GROUP BY lang),
+    bi AS (
+      SELECT a.lang, a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cab
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.lang = b.lang
+      GROUP BY 1, 2, 3
+    ),
+    nb_t AS (SELECT lang, CAST(sum(cab) AS BIGINT) AS nb FROM bi GROUP BY lang),
+    scored AS (
+      SELECT bi.lang, bi.w1, bi.w2, bi.cab,
+             CAST({pmi} AS BIGINT) AS pmi_micro
+      FROM bi
+      JOIN uni ua ON ua.lang = bi.lang AND ua.w = bi.w1
+      JOIN uni ub ON ub.lang = bi.lang AND ub.w = bi.w2
+      JOIN nu_t ON nu_t.lang = bi.lang
+      JOIN nb_t ON nb_t.lang = bi.lang
+      WHERE bi.cab >= {PMI_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT lang, w1, w2, cab, pmi_micro,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY pmi_micro DESC, w1, w2) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT lang, rnk, w1, w2, cab, pmi_micro
+    FROM ranked WHERE rnk <= {PMI_TOP}
+    """
+
+
+@query("q_text_pmi", _pmi_oracle())
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} PMI collocations per language (Church & Hanks
+    1990): adjacent-token bigrams with min support {PMI_MIN_COUNT},
+    scored ln(p(ab)/(p(a)p(b))) — decomposed into five quantized-ln
+    terms (1e-6 grid, q_text_entropy's recipe) over exact counts, so
+    the score is a BIGINT sum of per-distinct-value constants and the
+    ranking is deterministic with a (w1, w2) tie-break. The phrase-
+    mining primitive under tokenizer-vocabulary and stopword curation.
+
+    Scale shape: tokenize-with-position once; bigrams come from a
+    (doc_id, pos+1) equi-join of the token table with itself (keyed
+    shuffle, no window over the corpus); unigram/bigram censuses are
+    map-side-combinable hash aggs; ln is evaluated once per DISTINCT
+    count value; the rank window runs over the min-support-filtered
+    collocation table (vocabulary-sized, not corpus-sized)."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    uni = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu_t = uni.groupBy("lang").agg(F.sum("c").cast("long").alias("nu"))
+    a = tok.select("doc_id", "lang", "pos", F.col("w").alias("w1"))
+    b = tok.select(
+        "doc_id", "lang", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    bi = (
+        a.join(b, ["doc_id", "lang", "pos"])
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .where(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    nb_t = (
+        tok.groupBy("lang")
+        .agg((F.count(F.lit(1)) - F.countDistinct("doc_id")).cast("long").alias("nb"))
+    )
+    pmi = (
+        f"{_pmi_lnq('cab')} - {_pmi_lnq('nb')} + 2 * {_pmi_lnq('nu')}"
+        f" - {_pmi_lnq('ca')} - {_pmi_lnq('cb')}"
+    )
+    scored = (
+        bi.join(uni.select("lang", F.col("w").alias("w1"), F.col("c").alias("ca")), ["lang", "w1"])
+        .join(uni.select("lang", F.col("w").alias("w2"), F.col("c").alias("cb")), ["lang", "w2"])
+        .join(F.broadcast(nu_t), "lang")
+        .join(F.broadcast(nb_t), "lang")
+        .select("lang", "w1", "w2", "cab", F.expr(f"CAST({pmi} AS BIGINT)").alias("pmi_micro"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= PMI_TOP)
+        .select("lang", "rnk", "w1", "w2", "cab", "pmi_micro")
+    )
