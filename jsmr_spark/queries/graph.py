@@ -729,3 +729,114 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sz), "lbl")
         .select("n_name", F.col("lbl").cast("long").alias("community"), "community_size")
     )
+
+
+LINK_MIN_CN = 2  # min common neighbors before a pair is scored
+LINK_TOP = 3  # predictions reported per node
+
+_LINK_ORACLE = f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({geo_edges_sql(TRI_RADIUS)}),
+    sym AS (
+      SELECT user_a AS u, user_b AS v FROM e
+      UNION ALL
+      SELECT user_b, user_a FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    cand AS (
+      SELECT a.u AS u, b.v AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+      GROUP BY a.u, b.v
+    ),
+    new_pairs AS (
+      SELECT c.u, c.v, c.cn FROM cand c
+      WHERE c.cn >= {LINK_MIN_CN}
+        AND NOT EXISTS (SELECT 1 FROM sym s WHERE s.u = c.u AND s.v = c.v)
+    ),
+    scored AS (
+      SELECT np.u, np.v, np.cn,
+             CAST(np.cn * 1000 // (du.deg + dv.deg - np.cn) AS BIGINT)
+               AS jaccard_milli
+      FROM new_pairs np
+      JOIN deg du ON du.u = np.u
+      JOIN deg dv ON dv.u = np.v
+    ),
+    ranked AS (
+      SELECT u, v, cn, jaccard_milli,
+             CAST(row_number() OVER (PARTITION BY u
+                  ORDER BY cn DESC, jaccard_milli DESC, v) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT u AS user_id, rnk, v AS predicted_friend, cn AS common_neighbors,
+           jaccard_milli
+    FROM ranked WHERE rnk <= {LINK_TOP}
+"""
+
+
+@query("q_graph_link_predict", _LINK_ORACLE)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the spatial-proximity
+    graph (Liben-Nowell & Kleinberg 2003): candidate pairs are length-2
+    paths (u—w—v, u < v) that are NOT already edges, scored by common-
+    neighbor count and the Jaccard coefficient cn/(deg_u+deg_v−cn) in
+    exact milli-units; top-{LINK_TOP} predictions per node with a
+    total (cn DESC, jaccard DESC, v) order. The "people you may know"
+    primitive that completes the graph family: structure (degree/core/
+    triangles), ranking (PageRank), communities (label prop),
+    reachability/SSSP — and now edge prediction.
+
+    Scale shape: the length-2 path join is keyed on the shared
+    neighbor w — work is Σ deg(w)², the triangle-counting budget, kept
+    honest by the same grid-bounded edge build; the existing-edge
+    exclusion is a left-anti join on the edge key; degrees broadcast.
+    All counts and the Jaccard milli are exact BIGINTs."""
+    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b")
+    sym = (
+        e.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+        .unionAll(e.select(F.col("user_b").alias("u"), F.col("user_a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = sym.select(F.col("u"), F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("w"), F.col("v"))
+    cand = (
+        a.join(b, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .where(F.col("cn") >= LINK_MIN_CN)
+    )
+    new_pairs = cand.join(sym, ["u", "v"], "left_anti")
+    scored = (
+        new_pairs.join(
+            F.broadcast(deg.select(F.col("u"), F.col("deg").alias("du"))), "u"
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("v"), F.col("deg").alias("dv"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("CAST(cn * 1000 DIV (du + dv - cn) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )
+    wr = Window.partitionBy("u").orderBy(
+        F.desc("cn"), F.desc("jaccard_milli"), F.asc("v")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= LINK_TOP)
+        .select(
+            F.col("u").alias("user_id"),
+            "rnk",
+            F.col("v").alias("predicted_friend"),
+            F.col("cn").alias("common_neighbors"),
+            "jaccard_milli",
+        )
+    )

@@ -652,3 +652,87 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         (F.col("lang") == F.col("pred_lang")).alias("correct"),
     )
+
+
+MI_LN_SCALE = 1_000_000  # 1e-6 ln grid (q_text_entropy's recipe)
+MI_LEN_BUCKET = 200  # n_chars bucket width for the feature variable
+
+
+def _mi_lnq(x: str) -> str:
+    return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {MI_LN_SCALE} + 0.5) AS BIGINT)"
+
+
+def _mi_oracle() -> str:
+    # Σ c_xy · (ln c_xy + ln N − ln c_x − ln c_y), then // N -> micro-nats.
+    term = (
+        f"c.n * ({_mi_lnq('c.n')} + {_mi_lnq('tot.n')}"
+        f" - {_mi_lnq('rx.n')} - {_mi_lnq('ry.n')})"
+    )
+    return f"""
+    WITH b AS (
+      SELECT lang, CAST(n_chars // {MI_LEN_BUCKET} AS INTEGER) AS len_bucket
+      FROM documents
+    ),
+    c AS (SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    rx AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY lang),
+    ry AS (SELECT len_bucket, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY len_bucket),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM c)
+    SELECT CAST((SELECT count(*) FROM rx) AS BIGINT) AS n_langs,
+           CAST((SELECT count(*) FROM ry) AS BIGINT) AS n_buckets,
+           tot.n AS n_docs,
+           CAST(sum({term}) // tot.n AS BIGINT) AS mi_micro
+    FROM c
+    JOIN rx ON rx.lang = c.lang
+    JOIN ry ON ry.len_bucket = c.len_bucket
+    CROSS JOIN tot
+    GROUP BY tot.n
+    """
+
+
+@query("q_ml_mutual_info", _mi_oracle())
+def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and length bucket
+    ({MI_LEN_BUCKET}-char bins) in exact micro-nats — the feature-
+    selection primitive (how much does a cheap feature tell you about
+    the label?) that sits upstream of q_ml_naive_bayes: rank candidate
+    features by MI, keep the informative ones. Same algebra as
+    q_agg_theil: MI = Σ c_xy·(ln c_xy + ln N − ln c_x − ln c_y) / N,
+    every ln snapped once to the 1e-6 grid per DISTINCT count, so the
+    whole statistic is BIGINT arithmetic with one floor division.
+
+    Scale shape: one (label, bucket) hash agg over the corpus, two
+    marginal rollups of the contingency table, one bounded join —
+    contingency-table-sized work past the first aggregate. Overflow:
+    c_xy·(4 ln terms) ≤ N·~6e7 ~ 4e14 at the 10x probe."""
+    b = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"CAST(n_chars DIV {MI_LEN_BUCKET} AS INT)").alias("len_bucket"),
+    )
+    c = b.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rx = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nx"))
+    ry = c.groupBy("len_bucket").agg(F.sum("n").cast("long").alias("ny"))
+    tot = c.agg(F.sum("n").cast("long").alias("nt"))
+    nl = rx.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    nb = ry.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    term = (
+        f"n * ({_mi_lnq('n')} + {_mi_lnq('nt')}"
+        f" - {_mi_lnq('nx')} - {_mi_lnq('ny')})"
+    )
+    return (
+        c.join(F.broadcast(rx), "lang")
+        .join(F.broadcast(ry), "len_bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nt")
+        .agg(F.expr(f"CAST(sum({term}) DIV nt AS BIGINT)").alias("mi_micro"))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_langs",
+            "n_buckets",
+            F.col("nt").alias("n_docs"),
+            "mi_micro",
+        )
+    )

@@ -167,7 +167,12 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # 9-group Benford census, domain-binned lift, spine-window
           # decomposition, bounded-centroid drift join
           "q_agg_theil", "q_quality_benford", "q_ml_lift",
-          "q_ts_decompose", "q_embed_drift"]
+          "q_ts_decompose", "q_embed_drift",
+          # round-7 session-2 batch 3: broadcast-sample nDCG ranking,
+          # position-join PMI, contingency-table MI, length-2-path
+          # link prediction (deg^2 budget, like triangles)
+          "q_ml_ndcg", "q_text_pmi", "q_ml_mutual_info",
+          "q_graph_link_predict"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
