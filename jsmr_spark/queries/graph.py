@@ -790,7 +790,17 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest by the same grid-bounded edge build; the existing-edge
     exclusion is a left-anti join on the edge key; degrees broadcast.
     All counts and the Jaccard milli are exact BIGINTs."""
-    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b")
+    return link_predict_frame(spark, sf_dir)
+
+
+def link_predict_frame(
+    spark: SparkSession, sf_dir: str, radius: int = TRI_RADIUS
+) -> DataFrame:
+    """q_graph_link_predict body at an explicit radius — the scale
+    probe's density-held control re-runs it at radius/sqrt(10) (see
+    triangles_frame / kcore_frame: the 10x staging densifies the fixed
+    domain, so fixed-radius wedges grow ~1000x by construction)."""
+    e = geo_pairs(spark, sf_dir, radius).select("user_a", "user_b")
     sym = (
         e.select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
         .unionAll(e.select(F.col("user_b").alias("u"), F.col("user_a").alias("v")))

@@ -36,6 +36,22 @@ ALLOW_PY_UDF = {"q_udf_scalar", "q_pandas_udf", "q_grouped_map", "q_udtf", "mr_a
                 # (analyze()-derived schema), same as q_udtf.
                 "q_udtf_analyze"}
 ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn_label",
+                     # rows/groups x 1-row broadcast total aggregate —
+                     # the share-of-total denominator shape.
+                     "q_graph_degree_dist", "q_quality_benford",
+                     "q_ml_lift", "q_ml_mutual_info",
+                     # scalar-subquery corpus token total -> 1-row
+                     # broadcast denominator (same shape).
+                     "q_split_kfold",
+                     # docs x broadcast per-class prior/vocab singletons
+                     # (model table is classes x vocab, broadcast-sized).
+                     "q_ml_naive_bayes",
+                     # broadcast query-panel x corpus — q_rank_mrr's
+                     # exhaustive-eval baseline shape.
+                     "q_ml_ndcg",
+                     # vocabulary rollup x 1-row broadcast occurrence
+                     # total (coverage denominator).
+                     "q_text_vocab_coverage",
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
@@ -141,6 +157,14 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
 # aggregate of an exact-2dp metric, bounded by the VALUE DOMAIN
 # (<=56k rows however big the corpus), not by corpus size.
 ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
+                                 # cumulative count over the bounded
+                                 # cent-domain table (q_ml_auc's shape);
+                                 # the corpus never sorts
+                                 "q_ml_lift",
+                                 # occurrence-rank window over the
+                                 # VOCABULARY table, not the corpus —
+                                 # control-plane-sized per its docstring
+                                 "q_text_vocab_coverage",
                                  # corpus-wide quality ranking IS the
                                  # operator (CCNet tertiles); the 100 TB
                                  # path swaps ntile for sampled cutpoints
