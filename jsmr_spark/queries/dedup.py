@@ -504,3 +504,152 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+_RECALL_DEDUP_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
+    mh AS (
+      SELECT doc_id,
+           {_ORACLE_MINHASH_COLS}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {_ORACLE_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    ti AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM shd x JOIN shd y ON y.hv = x.hv AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.doc_a, t.doc_b FROM ti t
+      JOIN sizes sa ON sa.doc_id = t.doc_a
+      JOIN sizes sb ON sb.doc_id = t.doc_b
+      WHERE t.n_common / (sa.n + sb.n - t.n_common) >= {JACCARD_THRESHOLD}
+    ),
+    hits AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // nullif((SELECT count(*) FROM truth), 0) AS BIGINT)
+             AS recall_ppm,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // nullif((SELECT count(*) FROM cand), 0) AS BIGINT)
+             AS precision_ppm
+"""
+
+
+@query("q_dedup_recall_report", _RECALL_DEDUP_ORACLE)
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality report for MinHash-LSH dedup: ground truth is
+    EVERY pair with exact shingle-set Jaccard >= {JACCARD_THRESHOLD}
+    (computed via the shared-shingle posting join — a pair with no
+    common shingle cannot pass the threshold, so the join IS
+    exhaustive), candidates are the {N_BANDS}x{ROWS_PER_BAND} LSH band
+    collisions, and the report gives band recall (truth pairs the
+    bands surfaced) and precision (band pairs that verify) in exact
+    ppm. The dedup sibling of q_sim_recall_report: q_dedup_minhash
+    ships the operator, this key measures what its pruning costs —
+    the number you tune bands/rows against before a 100 TB run.
+
+    Scale shape: one shingle exchange feeds both sides; the truth join
+    is posting-list work (sum of df(hv)^2 — the exact-eval budget, run
+    on a CI-sized sample in production, exactly like the ANN recall
+    harness); bands/candidates are the operator's own near-linear
+    path. Output is one row of exact counts and floor-divided ppm."""
+    sets = _shingle_sets(spark, sf_dir).cache()
+    mh = sets.select("doc_id", *_minhash_set_cols())
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    shd = sets.select("doc_id", F.explode("hvs").alias("hv"))
+    sizes = sets.select("doc_id", F.size("hvs").cast("long").alias("n"))
+    ti = (
+        shd.join(
+            shd.select(F.col("doc_id").alias("doc_b"), "hv"),
+            ["hv"],
+        )
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    truth = (
+        ti.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .where(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.expr(
+                "CAST(n_hits * 1000000 DIV nullif(n_truth_pairs, 0) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_hits * 1000000 DIV nullif(n_candidate_pairs, 0) AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -1843,3 +1843,125 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (count(*) * 7) - {SEAS_OFF} AS BIGINT)"
         ).alias("seasonal_cents"),
     )
+
+
+BOOT_B = 32  # bootstrap replicates
+BOOT_U_DOM = 1_048_576  # 2^20 uniform grid for the Poisson draw
+# Poisson(1) CDF thresholds on the 2^20 grid: u < T[k] => weight <= k.
+_BOOT_T = [385749, 771499, 964373, 1028665, 1044738, 1047952, 1048488, 1048565]
+_BOOT_W_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_T))
+    + " ELSE 8 END"
+)
+
+
+def _bootstrap_oracle() -> str:
+    seed = "concat(CAST(event_id AS VARCHAR), '|', CAST(r AS VARCHAR))"
+    u = f"({hex12_sql(f'md5({seed})')} % {BOOT_U_DOM})"
+    return f"""
+    WITH f AS (
+      SELECT event_id, event_type, {sql_cents("value")} AS vc FROM events
+    ),
+    rep AS (
+      SELECT f.event_type, f.vc, CAST(x.r AS INTEGER) AS r,
+             {_BOOT_W_CASE.replace("u <", f"{u} <")} AS w
+      FROM f, UNNEST(range(0, {BOOT_B})) AS x(r)
+    ),
+    means AS (
+      SELECT event_type, r,
+             CAST(sum(w * vc) * 1000 // nullif(sum(w), 0) AS BIGINT) AS m_milli
+      FROM rep GROUP BY event_type, r
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(vc) * 1000 // count(*) AS BIGINT) AS point_mean_milli
+      FROM f GROUP BY event_type
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_replicates,
+             CAST(sum(m_milli) AS BIGINT) AS s1,
+             CAST(sum(m_milli * m_milli) AS BIGINT) AS s2
+      FROM means GROUP BY event_type
+    )
+    SELECT pt.event_type, pt.n_events, pt.point_mean_milli,
+           agg.n_replicates,
+           CAST(agg.s1 // agg.n_replicates AS BIGINT) AS boot_mean_milli,
+           round(sqrt(CAST(agg.n_replicates * agg.s2 - agg.s1 * agg.s1 AS DOUBLE)
+                 / CAST(agg.n_replicates * (agg.n_replicates - 1) AS DOUBLE)), 4)
+             AS boot_se_milli
+    FROM pt JOIN agg ON agg.event_type = pt.event_type
+    """
+
+
+@query("q_stats_bootstrap", _bootstrap_oracle())
+def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of the per-type mean value
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams" — the bootstrap that works on data too big to resample):
+    each row enters replicate r with a Poisson(1) weight drawn by
+    inverse CDF from the portable hash of (event_id, r), so the
+    {BOOT_B} resampled means need one map + one keyed aggregate — no
+    materialized resamples, no driver randomness, and the whole thing
+    is deterministic and hash-checked. Replicate means are exact milli
+    integers; the SE's variance numerator B·Σm² − (Σm)² is exact
+    BIGINT with one final sqrt rounded identically.
+
+    The uncertainty companion to the point estimates everywhere else:
+    q_stats_ttest compares two groups, this key puts an error bar on
+    any single statistic.
+
+    Scale shape: the replicate fan-out is a broadcast {BOOT_B}-row
+    range join (rows x B narrow map — the documented cost of the
+    method), then one (type, replicate) hash aggregate, map-side
+    combinable; everything downstream is B-row-per-type control
+    plane. Weight thresholds are precomputed CDF literals — no
+    runtime exp/ln."""
+    f = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents(F.col("value")).alias("vc")
+    )
+    reps = spark.range(BOOT_B).select(F.col("id").cast("int").alias("r"))
+    seed = "concat(CAST(event_id AS STRING), '|', CAST(r AS STRING))"
+    u = f"({hex12_sql(f'md5({seed})')} % {BOOT_U_DOM})"
+    rep = f.crossJoin(F.broadcast(reps)).select(
+        "event_type",
+        "vc",
+        "r",
+        F.expr(_BOOT_W_CASE.replace("u <", f"{u} <")).alias("w"),
+    )
+    means = rep.groupBy("event_type", "r").agg(
+        F.expr(
+            "CAST(sum(w * vc) * 1000 DIV nullif(sum(w), 0) AS BIGINT)"
+        ).alias("m_milli")
+    )
+    pt = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("CAST(sum(vc) * 1000 DIV count(*) AS BIGINT)").alias(
+            "point_mean_milli"
+        ),
+    )
+    agg = means.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.sum("m_milli").cast("long").alias("s1"),
+        F.sum(F.col("m_milli") * F.col("m_milli")).cast("long").alias("s2"),
+    )
+    return pt.join(agg, "event_type").select(
+        "event_type",
+        "n_events",
+        "point_mean_milli",
+        "n_replicates",
+        F.expr("CAST(s1 DIV n_replicates AS BIGINT)").alias("boot_mean_milli"),
+        r4(
+            F.sqrt(
+                (
+                    F.col("n_replicates") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
+                / (F.col("n_replicates") * (F.col("n_replicates") - 1)).cast(
+                    "double"
+                )
+            )
+        ).alias("boot_se_milli"),
+    )

@@ -52,6 +52,13 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # vocabulary rollup x 1-row broadcast occurrence
                      # total (coverage denominator).
                      "q_text_vocab_coverage",
+                     # rows x broadcast 32-row replicate table — the
+                     # documented Poisson-bootstrap fan-out — plus the
+                     # B-row control-plane joins.
+                     "q_stats_bootstrap",
+                     # three 1-row count aggregates crossJoined for the
+                     # recall/precision report.
+                     "q_dedup_recall_report",
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",

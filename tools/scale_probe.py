@@ -172,7 +172,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # position-join PMI, contingency-table MI, length-2-path
           # link prediction (deg^2 budget, like triangles)
           "q_ml_ndcg", "q_text_pmi", "q_ml_mutual_info",
-          "q_graph_link_predict"]
+          "q_graph_link_predict",
+          # round-7 session-2 batch 4: rows x 32-replicate fan-out
+          # (the documented Poisson-bootstrap budget), posting-list
+          # exact-truth eval (df^2 budget, the ANN-recall shape)
+          "q_stats_bootstrap", "q_dedup_recall_report"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
