@@ -1201,3 +1201,92 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum({nd}) DIV nullif(count_if(idcg_micro > 0), 0) AS BIGINT)"
         ).alias("mean_ndcg_milli"),
     )
+
+
+def _dim_prune_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {_DRIFT_Q}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {_DRIFT_Q}.0) AS BIGINT) AS xq
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    m AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS s1,
+             CAST(sum(xq * xq) AS BIGINT) AS s2
+      FROM e GROUP BY dim
+    ),
+    v AS (
+      SELECT dim, n * s2 - s1 * s1 AS var_num FROM m
+    ),
+    tot AS (
+      SELECT CAST(sum(var_num) AS BIGINT) AS tv,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM v
+    )
+    SELECT CAST(v.dim AS INTEGER) AS dim,
+           CAST(v.var_num AS BIGINT) AS var_num,
+           CAST(CASE WHEN v.var_num * 2 * (SELECT nd FROM tot)
+                          >= (SELECT tv FROM tot)
+                     THEN 1 ELSE 0 END AS INTEGER) AS kept,
+           CAST(v.var_num * 1000000 // (SELECT tv FROM tot) AS BIGINT)
+             AS var_share_ppm
+    FROM v
+    """
+
+
+@query("q_embed_dim_prune", _dim_prune_oracle())
+def q_embed_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-based embedding dimension pruning: per-dimension
+    variance numerator n·Σx² − (Σx)² over exact 1e3-quantized BIGINTs
+    (the q_embed_drift quantization — at 1e6 the n·Σx² product would
+    leave BIGINT at the 10x probe), a dimension is KEPT when its
+    variance is at least half the mean dimension variance (the
+    rule stated integer-exactly as var·2·n_dims >= total), plus each
+    dimension's exact-ppm share of total variance. The storage/compute
+    diet that precedes ANN indexing — near-constant dimensions buy
+    nothing and cost a multiply in every cosine; q_ann_mrl prunes by
+    PREFIX (Matryoshka), this key prunes by measured variance.
+
+    Scale shape: one posexplode -> 64-group hash aggregate (map-side
+    combined), then control-plane arithmetic against a 1-row
+    broadcast total. The vector corpus is scanned once."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "dim",
+            F.expr(
+                f"CAST(floor(abs(CAST(x AS DOUBLE) * {_DRIFT_Q}.0) + 0.5)"
+                f" * sign(CAST(x AS DOUBLE) * {_DRIFT_Q}.0) AS BIGINT)"
+            ).alias("xq"),
+        )
+    )
+    m = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("s2"),
+    )
+    v = m.select(
+        "dim", (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("var_num")
+    )
+    tot = v.agg(
+        F.sum("var_num").cast("long").alias("tv"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("var_num").cast("long").alias("var_num"),
+            F.expr(
+                "CAST(CASE WHEN var_num * 2 * nd >= tv THEN 1 ELSE 0 END AS INT)"
+            ).alias("kept"),
+            F.expr("CAST(var_num * 1000000 DIV tv AS BIGINT)").alias(
+                "var_share_ppm"
+            ),
+        )
+    )

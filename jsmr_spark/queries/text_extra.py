@@ -1321,3 +1321,67 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= PMI_TOP)
         .select("lang", "rnk", "w1", "w2", "cab", "pmi_micro")
     )
+
+
+OOV_VOCAB_K = 2_000  # reference tokenizer vocabulary: top-K corpus tokens
+
+_OOV_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rnk FROM cnt
+      ) WHERE rnk <= {OOV_VOCAB_K}
+    ),
+    flags AS (
+      SELECT t.lang,
+             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+    FROM flags GROUP BY lang
+"""
+
+
+@query("q_text_oov", _OOV_ORACLE)
+def q_text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a fixed top-
+    {OOV_VOCAB_K} reference vocabulary — the tokenizer-fit diagnostic
+    that complements q_text_vocab_coverage: coverage asks how much a
+    budget buys globally, OOV asks which language pays for what the
+    budget missed (a high-OOV language is under-served by the
+    tokenizer and will fragment into bytes/unknowns at training time).
+    Vocabulary membership is deterministic (count DESC, token tie-
+    break) and the rate is exact ppm.
+
+    Scale shape: token census (map-side combined) -> vocabulary rank
+    window over the VOCABULARY table -> broadcast top-K set -> narrow
+    left-join flag -> per-lang aggregate. In production the vocab side
+    is the tokenizer's actual vocab file, read once and broadcast."""
+    tok = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = (
+        cnt.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token")))
+        )
+        .where(F.col("rnk") <= OOV_VOCAB_K)
+        .select("token")
+    )
+    flags = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    ).select(
+        "lang", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.expr("CAST(sum(oov) * 1000000 DIV count(*) AS BIGINT)").alias("oov_ppm"),
+    )

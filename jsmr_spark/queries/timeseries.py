@@ -1965,3 +1965,116 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("boot_se_milli"),
     )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rowtot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rt FROM c
+               GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n * 1000000 // rowtot.rt AS BIGINT) AS p_ppm
+    FROM c JOIN rowtot ON rowtot.prev_type = c.prev_type
+"""
+
+
+@query("q_ts_transitions", _TRANSITIONS_ORACLE)
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (prev, next) pair observed consecutively within a user's timeline,
+    the count and the row-conditional probability P(next | prev) in
+    exact ppm. The behavioral-model primitive under next-action
+    prediction and anomaly scoring; q_path_mining surfaces the top
+    FULL paths, this key estimates the chain those paths are drawn
+    from (k^2 cells instead of exponentially many paths).
+
+    Exact: deterministic per-user ordering (ts, event_id tiebreak),
+    BIGINT counts, one floor division per cell.
+
+    Scale shape: one per-user lag window (the q_win_lag_lead shape —
+    state per partition is one user's events), then a k^2-cell hash
+    aggregate with a broadcast row-total join. The matrix is bounded
+    by the event-type alphabet, not the corpus."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    c = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowtot = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("rt"))
+    return c.join(F.broadcast(rowtot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("CAST(n * 1000000 DIV rt AS BIGINT)").alias("p_ppm"),
+    )
+
+
+_HEATMAP_ORACLE = f"""
+    WITH e AS (
+      SELECT (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS weekday,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             {sql_cents("value")} AS vc
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(weekday AS INTEGER) AS weekday, hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(vc) AS BIGINT) AS sum_cents
+      FROM e GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS nt FROM c)
+    SELECT weekday, hour, n_events, sum_cents,
+           CAST(n_events * 1000000 // (SELECT nt FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM c
+"""
+
+
+@query("q_ts_heatmap", _HEATMAP_ORACLE)
+def q_ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap: event counts, exact cents
+    revenue, and traffic share in exact ppm per cell — the seasonality
+    readout behind capacity planning and anomaly baselines (q_ts_acf
+    measures periodicity in one number; this key shows WHERE in the
+    week it lives). Weekday is epoch-day mod 7 (engine-numbering-
+    agnostic, as in q_ts_decompose); hour extraction agrees because
+    both engines store the same µs timestamps.
+
+    Scale shape: one narrow map -> a 168-cell hash aggregate
+    (map-side combined) + a 1-row broadcast total. Nothing else."""
+    e = t(spark, sf_dir, "events").select(
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') % 7 AS INT)").alias(
+            "weekday"
+        ),
+        F.hour("ts").cast("int").alias("hour"),
+        cents(F.col("value")).alias("vc"),
+    )
+    c = e.groupBy("weekday", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("sum_cents"),
+    )
+    tot = c.agg(F.sum("n_events").cast("long").alias("nt"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "hour",
+            "n_events",
+            "sum_cents",
+            F.expr("CAST(n_events * 1000000 DIV nt AS BIGINT)").alias("share_ppm"),
+        )
+    )

@@ -59,6 +59,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # three 1-row count aggregates crossJoined for the
                      # recall/precision report.
                      "q_dedup_recall_report",
+                     # cells/dims x 1-row broadcast total (share-of-total
+                     # denominators, as q_graph_degree_dist).
+                     "q_ts_heatmap", "q_embed_dim_prune",
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
@@ -172,6 +175,9 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # VOCABULARY table, not the corpus —
                                  # control-plane-sized per its docstring
                                  "q_text_vocab_coverage",
+                                 # same vocabulary-table rank window (the
+                                 # reference-vocab build step)
+                                 "q_text_oov",
                                  # corpus-wide quality ranking IS the
                                  # operator (CCNet tertiles); the 100 TB
                                  # path swaps ntile for sampled cutpoints

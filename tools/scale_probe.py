@@ -176,7 +176,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-7 session-2 batch 4: rows x 32-replicate fan-out
           # (the documented Poisson-bootstrap budget), posting-list
           # exact-truth eval (df^2 budget, the ANN-recall shape)
-          "q_stats_bootstrap", "q_dedup_recall_report"]
+          "q_stats_bootstrap", "q_dedup_recall_report",
+          # round-7 session-2 batch 5: vocab-window OOV, k^2 Markov
+          # cells, 168-cell heatmap, 64-dim variance pruner
+          "q_text_oov", "q_ts_transitions", "q_ts_heatmap",
+          "q_embed_dim_prune"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
