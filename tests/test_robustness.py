@@ -129,6 +129,19 @@ KEYS = [
     "q_mix_dedup_priority",
     "q_split_kfold",
     "q_dedup_bag_of_words",
+    # round-7 session-2 operators: bounded-round label votes (argmax
+    # windows must not depend on partitioning), the cent-domain decile
+    # cut, the 32-replicate bootstrap fan-out, the LSH recall join
+    # pair, the broadcast-vocab OOV flag, the per-user transition lag,
+    # and the two share-of-total broadcast denominators
+    "q_graph_label_prop",
+    "q_ml_lift",
+    "q_stats_bootstrap",
+    "q_dedup_recall_report",
+    "q_text_oov",
+    "q_ts_transitions",
+    "q_ts_heatmap",
+    "q_embed_dim_prune",
 ]
 
 
