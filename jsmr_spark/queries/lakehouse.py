@@ -706,3 +706,91 @@ def q_privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(noise).alias("noise"),
         F.expr(f"CAST(true_count + {noise} AS BIGINT)").alias("released_count"),
     )
+
+
+GEN_K = 5  # k-anonymity target for the generalization ladder
+GEN_LEVELS = (100, 1_000, 10_000)  # cents -> dollar -> 10-dollar -> 100-dollar
+
+
+def _generalize_oracle() -> str:
+    per_level = []
+    for lvl, g in enumerate(GEN_LEVELS):
+        per_level.append(f"""
+    l{lvl} AS (
+      SELECT {lvl} AS level,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(sum(CASE WHEN n < {GEN_K} THEN n ELSE 0 END) AS BIGINT)
+               AS n_exposed_rows
+      FROM (
+        SELECT event_type, {sql_cents("value")} // {g} AS qb,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      )
+    )""")
+        # noqa: E501
+    union = " UNION ALL ".join(f"SELECT * FROM l{i}" for i in range(len(GEN_LEVELS)))
+    return f"""
+    WITH {", ".join(p.strip() for p in per_level)},
+    lv AS ({union}),
+    chosen AS (
+      SELECT coalesce(min(level), {len(GEN_LEVELS)}) AS c FROM lv
+      WHERE min_cell >= {GEN_K}
+    )
+    SELECT level, n_cells, min_cell, n_exposed_rows,
+           CAST(CASE WHEN level = (SELECT c FROM chosen) THEN 1 ELSE 0 END
+                AS INTEGER) AS chosen
+    FROM lv
+"""
+
+
+@query("q_privacy_generalize", _generalize_oracle())
+def q_privacy_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (Sweeney 2002's
+    generalization step, made declarative): the quasi-identifier
+    (event_type, value bucket) is evaluated at three coarsening levels
+    — dollar, 10-dollar, 100-dollar buckets — and the report gives
+    each level's cell count, smallest cell, and rows exposed in
+    sub-k cells, with the MINIMAL level achieving k >= {GEN_K}
+    flagged. This is the decision table the k-anonymity audit
+    (q_privacy_kanon) feeds: not just "are we safe" but "how much
+    resolution must we give up to become safe". All counts exact;
+    the chosen-level rule is a 1-row broadcast aggregate.
+
+    Scale shape: one keyed hash aggregate per level (three corpus
+    scans of a narrow projection — or one scan with grouping sets in
+    a variant; the explicit form keeps each level's plan trivially
+    auditable), then control-plane rollups. Map-side combinable."""
+    per_level = []
+    for lvl, g in enumerate(GEN_LEVELS):
+        cells = (
+            t(spark, sf_dir, "events")
+            .select(cents(F.col("value")).alias("vc"), "event_type")
+            .groupBy("event_type", F.expr(f"vc DIV {g}").alias("qb"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        per_level.append(
+            cells.agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.min("n").cast("long").alias("min_cell"),
+                F.sum(F.when(F.col("n") < GEN_K, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("n_exposed_rows"),
+            )
+        )
+    lv = per_level[0]
+    for x in per_level[1:]:
+        lv = lv.unionByName(x)
+    chosen = lv.where(F.col("min_cell") >= GEN_K).agg(
+        F.coalesce(F.min("level"), F.lit(len(GEN_LEVELS))).alias("c")
+    )
+    return lv.crossJoin(F.broadcast(chosen)).select(
+        "level",
+        "n_cells",
+        "min_cell",
+        "n_exposed_rows",
+        F.expr("CAST(CASE WHEN level = c THEN 1 ELSE 0 END AS INT)").alias(
+            "chosen"
+        ),
+    )

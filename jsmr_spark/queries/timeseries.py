@@ -2078,3 +2078,95 @@ def q_ts_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_events * 1000000 DIV nt AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+PSI_BINS = 10
+PSI_LN_SCALE = 1_000_000
+
+
+def _psi_lnq(x: str) -> str:
+    return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {PSI_LN_SCALE} + 0.5) AS BIGINT)"
+
+
+def _psi_oracle() -> str:
+    half = f"({hex12_sql('md5(CAST(event_id AS VARCHAR))')} % 2)"
+    return f"""
+    WITH e AS (
+      SELECT {half} AS half, {sql_cents("value")} AS vc FROM events
+    ),
+    mx AS (SELECT CAST(max(vc) AS BIGINT) AS m FROM e),
+    b AS (
+      SELECT half,
+             CAST(least(vc * {PSI_BINS} // ((SELECT m FROM mx) + 1),
+                        {PSI_BINS - 1}) AS INTEGER) AS bin
+      FROM e
+    ),
+    c AS (
+      SELECT bin,
+             CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS na,
+             CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS nb
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+            FROM c),
+    p AS (
+      SELECT bin,
+             greatest(na * 1000000 // (SELECT ta FROM tot), 1) AS pa,
+             greatest(nb * 1000000 // (SELECT tb FROM tot), 1) AS pb
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum((pa - pb) * ({_psi_lnq("pa")} - {_psi_lnq("pb")}))
+                // 1000000 AS BIGINT) AS psi_micro
+    FROM p
+"""
+
+
+@query("q_ml_psi", _psi_oracle())
+def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two deterministic portable-
+    hash halves of the event value distribution — the model-monitoring
+    industry standard (PSI < 0.1 stable, > 0.25 shifted; here in exact
+    micro units, so 100_000 = 0.1): Σ (p_a−p_b)·ln(p_a/p_b) over
+    {PSI_BINS} equal-width bins. Both factors of each term carry the
+    same sign, so every term is non-negative and the single floor
+    division at the end is engine-agreeing; shares are floored at
+    1 ppm (the standard zero-cell guard) and each distinct share's ln
+    is snapped once to the 1e-6 grid. In production the halves become
+    training-time vs serving-time windows; the split-half form is the
+    self-calibrating null baseline (its PSI should sit near 0 — the
+    same methodology as q_embed_drift and q_profile_drift, completing
+    scalar / embedding / categorical drift coverage).
+
+    Scale shape: one narrow map + a {PSI_BINS}-cell conditional
+    aggregate against a 1-row broadcast max; control-plane arithmetic
+    after."""
+    half = f"CAST({hex12_sql('md5(CAST(event_id AS STRING))')} % 2 AS INT)"
+    e = t(spark, sf_dir, "events").select(
+        F.expr(half).alias("half"), cents(F.col("value")).alias("vc")
+    )
+    mx = e.agg(F.max("vc").cast("long").alias("m"))
+    b = e.crossJoin(F.broadcast(mx)).select(
+        "half",
+        F.expr(
+            f"CAST(least(vc * {PSI_BINS} DIV (m + 1), {PSI_BINS - 1}) AS INT)"
+        ).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("long").alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("long").alias("nb"),
+    )
+    tot = c.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    p = c.crossJoin(F.broadcast(tot)).select(
+        F.expr("greatest(na * 1000000 DIV ta, 1)").alias("pa"),
+        F.expr("greatest(nb * 1000000 DIV tb, 1)").alias("pb"),
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr(
+            f"CAST(sum((pa - pb) * ({_psi_lnq('pa')} - {_psi_lnq('pb')}))"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("psi_micro"),
+    )

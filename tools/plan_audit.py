@@ -62,6 +62,12 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # cells/dims x 1-row broadcast total (share-of-total
                      # denominators, as q_graph_degree_dist).
                      "q_ts_heatmap", "q_embed_dim_prune",
+                     # rows x 1-row broadcast max (equal-width bin
+                     # denominator, q_ml_calibration's shape) and the
+                     # bin/level tables x 1-row broadcast totals.
+                     "q_ml_psi",
+                     # level rollups x 1-row broadcast chosen-level rule.
+                     "q_privacy_generalize",
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
                      "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",

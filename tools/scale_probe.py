@@ -180,7 +180,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # round-7 session-2 batch 5: vocab-window OOV, k^2 Markov
           # cells, 168-cell heatmap, 64-dim variance pruner
           "q_text_oov", "q_ts_transitions", "q_ts_heatmap",
-          "q_embed_dim_prune"]
+          "q_embed_dim_prune",
+          # round-7 session-2 batch 6: 10-bin PSI halves, 3-level
+          # generalization ladder (three narrow scans)
+          "q_ml_psi", "q_privacy_generalize"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
