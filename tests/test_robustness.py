@@ -142,6 +142,10 @@ KEYS = [
     "q_ts_transitions",
     "q_ts_heatmap",
     "q_embed_dim_prune",
+    # equal-width PSI halves (broadcast-max binning) and the
+    # three-scan generalization ladder's chosen-level rule
+    "q_ml_psi",
+    "q_privacy_generalize",
 ]
 
 
