@@ -850,3 +850,148 @@ def link_predict_frame(
             "jaccard_milli",
         )
     )
+
+
+CLOSE_HOPS = 3  # bounded BFS horizon (trade graph diameter is ~2)
+
+_CLOSENESS_ORACLE = f"""
+    WITH edges0 AS MATERIALIZED ({_TRADE_EDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges0
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges0
+      ) WHERE u <> v
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    d0 AS (SELECT node AS srcn, node AS dst FROM nodes),
+    d1 AS MATERIALIZED (
+      SELECT DISTINCT d0.srcn, e.v AS dst
+      FROM d0 JOIN sym e ON e.u = d0.dst
+      WHERE e.v <> d0.srcn
+    ),
+    d2 AS MATERIALIZED (
+      SELECT DISTINCT d1.srcn, e.v AS dst
+      FROM d1 JOIN sym e ON e.u = d1.dst
+      WHERE NOT EXISTS (SELECT 1 FROM d1 p WHERE p.srcn = d1.srcn
+                        AND p.dst = e.v)
+        AND e.v <> d1.srcn
+    ),
+    d3 AS MATERIALIZED (
+      SELECT DISTINCT d2.srcn, e.v AS dst
+      FROM d2 JOIN sym e ON e.u = d2.dst
+      WHERE NOT EXISTS (SELECT 1 FROM d1 p WHERE p.srcn = d2.srcn
+                        AND p.dst = e.v)
+        AND NOT EXISTS (SELECT 1 FROM d2 p WHERE p.srcn = d2.srcn
+                        AND p.dst = e.v)
+        AND e.v <> d2.srcn
+    ),
+    sums AS (
+      SELECT n.node AS srcn,
+             CAST(coalesce(c1.n, 0) + coalesce(c2.n, 0) + coalesce(c3.n, 0)
+                  AS BIGINT) AS n_reached,
+             CAST(coalesce(c1.n, 0) + 2 * coalesce(c2.n, 0)
+                  + 3 * coalesce(c3.n, 0) AS BIGINT) AS dist_sum
+      FROM nodes n
+      LEFT JOIN (SELECT srcn, count(*) AS n FROM d1 GROUP BY srcn) c1
+        ON c1.srcn = n.node
+      LEFT JOIN (SELECT srcn, count(*) AS n FROM d2 GROUP BY srcn) c2
+        ON c2.srcn = n.node
+      LEFT JOIN (SELECT srcn, count(*) AS n FROM d3 GROUP BY srcn) c3
+        ON c3.srcn = n.node
+    )
+    SELECT nt.n_name, s.n_reached, s.dist_sum,
+           CAST(CASE WHEN s.dist_sum > 0
+                THEN s.n_reached * 1000000 // s.dist_sum ELSE 0 END AS BIGINT)
+             AS closeness_ppm
+    FROM sums s JOIN nation nt ON nt.n_nationkey = s.srcn
+"""
+
+
+@query("q_graph_closeness", _CLOSENESS_ORACLE)
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the nation trade graph within a
+    {CLOSE_HOPS}-hop BFS horizon (Bavelas 1950, harmonically bounded):
+    closeness = n_reached / Σ distances in exact ppm — which nation
+    sits nearest to everyone through trade. The distance-based member
+    of the centrality family next to PageRank (flow-based) and degree
+    (local); the bounded horizon is the q_graph_reachability contract
+    (and the trade graph's diameter is ~2, so 3 hops IS exact here).
+
+    Frontier sets are DISTINCT (src, dst) pairs per level — level k =
+    neighbors of level k-1 minus everything already reached — so every
+    count is an exact integer with no tie-breaking needed anywhere.
+
+    Scale shape: one keyed edge join + one distinct + one anti-join
+    per level over the (src, dst) pair table — the bounded-shuffles-
+    per-round contract; pair state is nodes², a control-plane quantity
+    for any dimension-sized graph (for billion-node graphs you shard
+    the source set, same plan per shard)."""
+    l = t(spark, sf_dir, "lineitem").alias("l")
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    s = t(spark, sf_dir, "supplier").alias("s")
+    nation = t(spark, sf_dir, "nation")
+
+    edges0 = (
+        l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(s, F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .select(
+            F.col("c.c_nationkey").alias("src"),
+            F.col("s.s_nationkey").alias("dst"),
+        )
+    )
+    sym = (
+        edges0.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(edges0.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    frontier = nodes.select(F.col("node").alias("srcn"), F.col("node").alias("dst"))
+    visited = frontier
+    levels = []
+    for _ in range(CLOSE_HOPS):
+        nxt = (
+            frontier.join(sym, frontier.dst == sym.u)
+            .select("srcn", F.col("v").alias("dst"))
+            .where(F.col("srcn") != F.col("dst"))
+            .distinct()
+            .join(visited, ["srcn", "dst"], "left_anti")
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt).distinct().localCheckpoint()
+        frontier = nxt
+    counts = None
+    for k, lv in enumerate(levels, start=1):
+        ck = lv.groupBy("srcn").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{k}")
+        )
+        counts = ck if counts is None else counts.join(ck, "srcn", "full")
+    sums = (
+        nodes.join(counts, nodes.node == counts.srcn, "left")
+        .select(
+            "node",
+            sum(
+                F.coalesce(F.col(f"n{k}"), F.lit(0)) for k in range(1, CLOSE_HOPS + 1)
+            ).cast("long").alias("n_reached"),
+            sum(
+                F.coalesce(F.col(f"n{k}"), F.lit(0)) * k
+                for k in range(1, CLOSE_HOPS + 1)
+            ).cast("long").alias("dist_sum"),
+        )
+    )
+    return (
+        sums.join(nation.select(F.col("n_nationkey").alias("node"), "n_name"), "node")
+        .select(
+            "n_name",
+            "n_reached",
+            "dist_sum",
+            F.expr(
+                "CAST(CASE WHEN dist_sum > 0"
+                " THEN n_reached * 1000000 DIV dist_sum ELSE 0 END AS BIGINT)"
+            ).alias("closeness_ppm"),
+        )
+    )

@@ -1501,3 +1501,116 @@ def q_mix_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         (F.col("n_copies") > 1).alias("is_dup_group"),
     )
+
+
+BUDGET_PCT = 60  # global token budget: 60% of corpus tokens
+WF_ROUNDS = 3  # unrolled waterfill rounds (cap is monotone nondecreasing)
+
+
+def _waterfill_oracle() -> str:
+    return f"""
+    WITH src AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tt
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(tt) * {BUDGET_PCT} // 100 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM src
+    ),
+    c0 AS (SELECT CAST(b // n AS BIGINT) AS cap FROM tot),
+    a1 AS (
+      SELECT CAST(coalesce(sum(tt) FILTER (WHERE tt <= (SELECT cap FROM c0)), 0)
+                  AS BIGINT) AS taken,
+             CAST(count(*) FILTER (WHERE tt <= (SELECT cap FROM c0)) AS BIGINT)
+               AS nsat
+      FROM src
+    ),
+    c1 AS (
+      SELECT CAST(CASE WHEN (SELECT n FROM tot) - a1.nsat > 0
+                  THEN ((SELECT b FROM tot) - a1.taken)
+                       // ((SELECT n FROM tot) - a1.nsat)
+                  ELSE (SELECT cap FROM c0) END AS BIGINT) AS cap
+      FROM a1
+    ),
+    a2 AS (
+      SELECT CAST(coalesce(sum(tt) FILTER (WHERE tt <= (SELECT cap FROM c1)), 0)
+                  AS BIGINT) AS taken,
+             CAST(count(*) FILTER (WHERE tt <= (SELECT cap FROM c1)) AS BIGINT)
+               AS nsat
+      FROM src
+    ),
+    c2 AS (
+      SELECT CAST(CASE WHEN (SELECT n FROM tot) - a2.nsat > 0
+                  THEN ((SELECT b FROM tot) - a2.taken)
+                       // ((SELECT n FROM tot) - a2.nsat)
+                  ELSE (SELECT cap FROM c1) END AS BIGINT) AS cap
+      FROM a2
+    )
+    SELECT src.source, src.tt AS total_tokens,
+           CAST(least(src.tt, (SELECT cap FROM c2)) AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN src.tt > (SELECT cap FROM c2) THEN 1 ELSE 0 END
+                AS INTEGER) AS capped,
+           CAST(least(src.tt, (SELECT cap FROM c2)) * 1000000
+                // (SELECT b FROM tot) AS BIGINT) AS budget_share_ppm
+    FROM src
+"""
+
+
+@query("q_mix_token_budget", _waterfill_oracle())
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    global budget ({BUDGET_PCT}% of corpus tokens), every source gets
+    min(its tokens, cap) where the cap is the max-min fair share —
+    small sources are taken whole and their leftover raises everyone
+    else's cap. {WF_ROUNDS} unrolled rounds (cap is monotone
+    nondecreasing, and each round either saturates a new source or is
+    a fixed point, so rounds beyond the source count change nothing —
+    5 sources here). The budgeting step between q_mix_sources (WHAT
+    ratio) and q_mix_temperature (HOW computed): this key decides how
+    many tokens each source may contribute at all. Pure BIGINT floor
+    arithmetic — hash-exact.
+
+    Scale shape: one token census per source (map-side combined);
+    every round is a 1-row aggregate over the SOURCE table (a handful
+    of rows) — control-plane work; the corpus is scanned once."""
+    src = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT)").alias("tt"))
+    )
+    tot = src.agg(
+        F.expr(f"CAST(sum(tt) * {BUDGET_PCT} DIV 100 AS BIGINT)").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    s = src.crossJoin(F.broadcast(tot))
+    cap = F.expr("b DIV n")
+    for _ in range(WF_ROUNDS - 1):
+        rnd = s.withColumn("cap", cap).agg(
+            F.expr("CAST(coalesce(sum(tt) FILTER (WHERE tt <= cap), 0) AS BIGINT)").alias(
+                "taken"
+            ),
+            F.expr("CAST(count(*) FILTER (WHERE tt <= cap) AS BIGINT)").alias(
+                "nsat"
+            ),
+            F.first("cap").alias("prev_cap"),
+            F.first("b").alias("b"),
+            F.first("n").alias("n"),
+        )
+        nxt = rnd.select(
+            F.expr(
+                "CAST(CASE WHEN n - nsat > 0 THEN (b - taken) DIV (n - nsat)"
+                " ELSE prev_cap END AS BIGINT)"
+            ).alias("cap_next")
+        )
+        s = src.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nxt))
+        cap = F.col("cap_next")
+    return s.withColumn("cap", cap).select(
+        "source",
+        F.col("tt").alias("total_tokens"),
+        F.expr("CAST(least(tt, cap) AS BIGINT)").alias("alloc_tokens"),
+        F.expr("CAST(CASE WHEN tt > cap THEN 1 ELSE 0 END AS INT)").alias("capped"),
+        F.expr("CAST(least(tt, cap) * 1000000 DIV b AS BIGINT)").alias(
+            "budget_share_ppm"
+        ),
+    )

@@ -2170,3 +2170,170 @@ def q_ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 1000000 AS BIGINT)"
         ).alias("psi_micro"),
     )
+
+
+_MK_ORACLE = f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.vc > a.vc THEN 1
+                  WHEN b.vc < a.vc THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+    )
+    SELECT event_type,
+           CAST((SELECT count(*) FROM d x
+                 WHERE x.event_type = pairs.event_type) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS mk_s,
+           CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+    FROM pairs GROUP BY event_type
+"""
+
+
+@query("q_ts_mk_trend", _MK_ORACLE)
+def q_ts_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic per event-type daily series
+    (Mann 1945): S = Σ_{{i<j}} sign(x_j − x_i) over all ordered day
+    pairs, with the pair and tie counts needed for the variance term —
+    the NONPARAMETRIC trend detector (monotonic drift without assuming
+    linearity or normality) that complements q_agg_regr's least-squares
+    slope and q_ts_cusum's changepoint. Pure integer comparisons; the
+    hash check is exact.
+
+    Scale shape: the all-pairs join runs on the (event_type, day)
+    SPINE — entity × calendar bounded (tens of rows per series), never
+    raw events; the corpus collapses in one keyed hash aggregate
+    first. At any corpus size the pair count is days², a control-plane
+    quantity (a year is ~66k pairs per series)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    a = d.select("event_type", F.col("day").alias("day_a"), F.col("vc").alias("va"))
+    b = d.select("event_type", F.col("day").alias("day_b"), F.col("vc").alias("vb"))
+    pairs = a.join(b, "event_type").where(F.col("day_b") > F.col("day_a")).select(
+        "event_type",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    days = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("sgn").cast("long").alias("mk_s"),
+            F.count(F.when(F.col("sgn") == 0, 1)).cast("long").alias("n_ties"),
+        )
+        .join(F.broadcast(days), "event_type")
+        .select("event_type", "n_days", "n_pairs", "mk_s", "n_ties")
+    )
+
+
+BRIER_BINS = 10
+
+
+def _brier_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             {sql_cents("value")} AS vc
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    mx AS (SELECT CAST(max(vc) AS BIGINT) AS m FROM e),
+    f AS (
+      SELECT y, CAST(vc * 1000 // ((SELECT m FROM mx) + 1) AS BIGINT) AS fm
+      FROM e
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(1000 * sum(y) // count(*) AS BIGINT) AS obar,
+             CAST(sum((fm - 1000 * y) * (fm - 1000 * y)) // count(*) AS BIGINT)
+               AS brier_micro
+      FROM f
+    ),
+    b AS (
+      SELECT least(fm // {1000 // BRIER_BINS}, {BRIER_BINS - 1}) AS bin,
+             CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(fm) // count(*) AS BIGINT) AS fbar,
+             CAST(1000 * sum(y) // count(*) AS BIGINT) AS obark
+      FROM f GROUP BY 1
+    )
+    SELECT g.n, g.obar AS base_rate_milli, g.brier_micro,
+           CAST(sum(b.nk * (b.fbar - b.obark) * (b.fbar - b.obark)) // g.n
+                AS BIGINT) AS reliability_micro,
+           CAST(sum(b.nk * (b.obark - g.obar) * (b.obark - g.obar)) // g.n
+                AS BIGINT) AS resolution_micro,
+           CAST(g.obar * (1000 - g.obar) // 1000 AS BIGINT) AS uncertainty_micro
+    FROM b CROSS JOIN g
+    GROUP BY g.n, g.obar, g.brier_micro
+"""
+
+
+@query("q_ml_brier", _brier_oracle())
+def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) reliability / resolution /
+    uncertainty decomposition for the purchase-vs-view frame, treating
+    the max-normalized score as the forecast probability: Brier =
+    mean (f−y)², reliability = how far bin forecasts sit from bin
+    outcomes (calibration error — the one number q_ml_calibration's
+    table summarizes), resolution = how much the bins separate
+    outcomes, uncertainty = base-rate variance. Everything is
+    milli-scaled integer arithmetic with floor divisions applied
+    identically on both engines (terms are squares, so non-negative
+    throughout), making the whole decomposition hash-exact.
+
+    Scale shape: one narrow map against a 1-row broadcast max, one
+    global + one {BRIER_BINS}-bin conditional aggregate, control-plane
+    arithmetic after."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        cents(F.col("value")).alias("vc"),
+    )
+    mx = e.agg(F.max("vc").cast("long").alias("m"))
+    f = e.crossJoin(F.broadcast(mx)).select(
+        "y", F.expr("CAST(vc * 1000 DIV (m + 1) AS BIGINT)").alias("fm")
+    )
+    g = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(1000 * sum(y) DIV count(*) AS BIGINT)").alias("obar"),
+        F.expr(
+            "CAST(sum((fm - 1000 * y) * (fm - 1000 * y)) DIV count(*) AS BIGINT)"
+        ).alias("brier_micro"),
+    )
+    b = f.groupBy(
+        F.expr(f"least(fm DIV {1000 // BRIER_BINS}, {BRIER_BINS - 1})").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.expr("CAST(sum(fm) DIV count(*) AS BIGINT)").alias("fbar"),
+        F.expr("CAST(1000 * sum(y) DIV count(*) AS BIGINT)").alias("obark"),
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("n", "obar", "brier_micro")
+        .agg(
+            F.expr(
+                "CAST(sum(nk * (fbar - obark) * (fbar - obark)) DIV n"
+                " AS BIGINT)"
+            ).alias("reliability_micro"),
+            F.expr(
+                "CAST(sum(nk * (obark - obar) * (obark - obar))"
+                " DIV n AS BIGINT)"
+            ).alias("resolution_micro"),
+        )
+        .select(
+            "n",
+            F.col("obar").alias("base_rate_milli"),
+            "brier_micro",
+            "reliability_micro",
+            "resolution_micro",
+            F.expr("CAST(obar * (1000 - obar) DIV 1000 AS BIGINT)").alias(
+                "uncertainty_micro"
+            ),
+        )
+    )

@@ -65,7 +65,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # rows x 1-row broadcast max (equal-width bin
                      # denominator, q_ml_calibration's shape) and the
                      # bin/level tables x 1-row broadcast totals.
-                     "q_ml_psi",
+                     "q_ml_psi", "q_ml_brier",
+                     # source table x 1-row broadcast budget/cap rows
+                     # (waterfill rounds are 1-row aggregates).
+                     "q_mix_token_budget",
                      # level rollups x 1-row broadcast chosen-level rule.
                      "q_privacy_generalize",
                      # broadcast query-panel x corpus: the exhaustive eval baseline

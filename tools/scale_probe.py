@@ -183,7 +183,12 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_embed_dim_prune",
           # round-7 session-2 batch 6: 10-bin PSI halves, 3-level
           # generalization ladder (three narrow scans)
-          "q_ml_psi", "q_privacy_generalize"]
+          "q_ml_psi", "q_privacy_generalize",
+          # round-7 session-2 batch 7: spine-pair MK trend, binned
+          # Brier decomposition, 1-row waterfill rounds, bounded BFS
+          # closeness (control-plane pair tables)
+          "q_ts_mk_trend", "q_ml_brier", "q_mix_token_budget",
+          "q_graph_closeness"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
