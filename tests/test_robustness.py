@@ -146,6 +146,13 @@ KEYS = [
     # three-scan generalization ladder's chosen-level rule
     "q_ml_psi",
     "q_privacy_generalize",
+    # spine-pair sign sums, binned Brier moments, the 1-row waterfill
+    # cap recursion, and per-level BFS frontier set differences — all
+    # must be partition-count independent
+    "q_ts_mk_trend",
+    "q_ml_brier",
+    "q_mix_token_budget",
+    "q_graph_closeness",
 ]
 
 
