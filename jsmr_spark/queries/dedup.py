@@ -653,3 +653,93 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+_MIX_OVERLAP_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT source, {hex12_sql("md5(sg)")} AS hv FROM (
+        SELECT source,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh
+              GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON b.hv = a.hv AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(i.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT)
+             AS containment_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@query("q_mix_overlap", _MIX_OVERLAP_ORACLE)
+def q_mix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix: for every source pair, the
+    exact 3-gram shingle-set intersection with Jaccard and (Broder)
+    containment in exact ppm — the corpus-level contamination map you
+    consult before fixing mixture weights (two heavily-overlapping
+    sources double-count their shared text; q_text_decontam removes
+    KNOWN benchmark overlap, this key DISCOVERS pairwise overlap).
+    Per-doc near-dup work stays in the dedup keys; this is the
+    source-granularity rollup.
+
+    Scale shape: one (source, shingle) distinct aggregate (the shingle
+    exchange all dedup keys share), then a posting-list self-join
+    keyed on the shingle hash — per-shingle work is (sources holding
+    it choose 2), bounded by the SOURCE alphabet squared, never by
+    corpus size — and a broadcast size join. All exact integers."""
+    sh = (
+        _shingle_sets(spark, sf_dir)
+        .join(
+            t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+        )
+        .select("source", F.explode("hvs").alias("hv"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        sh.join(
+            sh.select(F.col("source").alias("src_b"), "hv"), "hv"
+        )
+        .where(F.col("source") < F.col("src_b"))
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(n_common * 1000000 DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

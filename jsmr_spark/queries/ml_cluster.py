@@ -736,3 +736,192 @@ def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_micro",
         )
     )
+
+
+LC_Q = 1_000  # 1e3 embedding quantization (q_embed_drift's bound argument)
+LC_FRACS = (9, 36, 90)  # train buckets < f of 0..89; test = buckets 90..99
+
+
+def _lc_oracle() -> str:
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    bucket = f"({hex12_sql('md5(CAST(vec_id AS VARCHAR))')} % 100)"
+    fr = ", ".join(str(f) for f in LC_FRACS)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, {bucket} AS bucket, embedding FROM embeddings
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id, label, bucket, u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {LC_Q}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {LC_Q}.0) AS BIGINT) AS xq
+      FROM v, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    fr AS (SELECT unnest([{fr}]) AS f),
+    s AS MATERIALIZED (
+      SELECT fr.f, q.label, q.dim, CAST(sum(q.xq) AS BIGINT) AS sx
+      FROM q JOIN fr ON q.bucket < fr.f
+      GROUP BY 1, 2, 3
+    ),
+    nl AS MATERIALIZED (
+      SELECT fr.f, v.label, CAST(count(*) AS BIGINT) AS n
+      FROM v JOIN fr ON v.bucket < fr.f
+      GROUP BY 1, 2
+    ),
+    ss AS (SELECT f, label, CAST(sum(sx * sx) AS BIGINT) AS ss2
+           FROM s GROUP BY f, label),
+    test AS MATERIALIZED (
+      SELECT vec_id, label AS true_label FROM v WHERE bucket >= 90
+    ),
+    xx AS MATERIALIZED (
+      SELECT q.vec_id, CAST(sum(q.xq * q.xq) AS BIGINT) AS x2
+      FROM q JOIN test ON test.vec_id = q.vec_id
+      GROUP BY q.vec_id
+    ),
+    dots AS MATERIALIZED (
+      SELECT q.vec_id, s.f, s.label, CAST(sum(q.xq * s.sx) AS BIGINT) AS dt
+      FROM q
+      JOIN test ON test.vec_id = q.vec_id
+      JOIN s ON s.dim = q.dim
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.vec_id, d.f, d.label,
+             (nl.n * nl.n * xx.x2 - 2 * nl.n * d.dt + ss.ss2)
+               // (nl.n * nl.n) AS d2q
+      FROM dots d
+      JOIN nl ON nl.f = d.f AND nl.label = d.label
+      JOIN ss ON ss.f = d.f AND ss.label = d.label
+      JOIN xx ON xx.vec_id = d.vec_id
+    ),
+    pred AS (
+      SELECT vec_id, f, label FROM (
+        SELECT vec_id, f, label,
+               row_number() OVER (PARTITION BY vec_id, f
+                                  ORDER BY d2q, label) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT p.f AS train_buckets,
+           (SELECT CAST(sum(n) AS BIGINT) FROM nl WHERE nl.f = p.f) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(*) FILTER (WHERE p.label = t.true_label) AS BIGINT)
+             AS n_correct,
+           CAST(count(*) FILTER (WHERE p.label = t.true_label) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm
+    FROM pred p JOIN test t ON t.vec_id = p.vec_id
+    GROUP BY p.f
+    """
+
+
+@query("q_ml_learning_curve", _lc_oracle())
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for a nearest-centroid classifier on the
+    embeddings: train on nested portable-hash subsets (10% / 40% /
+    100% of the train pool — buckets < {LC_FRACS} of 0..89), score the
+    SAME held-out 10% (buckets 90+), and report accuracy per training
+    size — the data-scaling readout ("is more data still buying
+    accuracy?") that motivates every corpus-growth decision upstream.
+
+    Exactness: distances compare as ||n·x − S||²/n² in one floor
+    division (centroids are rationals S/n with per-label n, so the
+    un-normalized forms are NOT comparable across labels — the n²
+    denominator restores comparability on an integer grid), argmin
+    tie-broken by label; all sums are exact 1e3-quantized BIGINTs
+    (q_embed_drift's overflow argument: nl²·Σx² ~ 4e15 at the 10x
+    probe).
+
+    Scale shape: ONE pass builds all three fraction centroids
+    (fraction table is a broadcast fan-out over nested bucket
+    predicates); scoring joins test dims against the labels × dims ×
+    fractions centroid table — bounded, centroid-table-sized. No
+    per-fraction rescan of the corpus."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    bucket = f"CAST({hex12_sql('md5(CAST(vec_id AS STRING))')} % 100 AS INT)"
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(bucket).alias("bucket"), "embedding"
+    )
+    q = v.select(
+        "vec_id",
+        "label",
+        "bucket",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "bucket",
+        "dim",
+        F.expr(
+            f"CAST(floor(abs(CAST(x AS DOUBLE) * {LC_Q}.0) + 0.5)"
+            f" * sign(CAST(x AS DOUBLE) * {LC_Q}.0) AS BIGINT)"
+        ).alias("xq"),
+    )
+    fr = spark.createDataFrame([(f,) for f in LC_FRACS], "f int")
+    s = (
+        q.crossJoin(F.broadcast(fr))
+        .where(F.col("bucket") < F.col("f"))
+        .groupBy("f", "label", "dim")
+        .agg(F.sum("xq").cast("long").alias("sx"))
+    )
+    nl = (
+        v.crossJoin(F.broadcast(fr))
+        .where(F.col("bucket") < F.col("f"))
+        .groupBy("f", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ss = s.groupBy("f", "label").agg(
+        F.sum(F.col("sx") * F.col("sx")).cast("long").alias("ss2")
+    )
+    test = v.where(F.col("bucket") >= 90).select(
+        "vec_id", F.col("label").alias("true_label")
+    )
+    qt = q.join(test.select("vec_id"), "vec_id")
+    xx = qt.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("x2")
+    )
+    dots = (
+        qt.join(s.withColumnRenamed("label", "clabel"), "dim")
+        .groupBy("vec_id", "f", "clabel")
+        .agg(F.sum(F.col("xq") * F.col("sx")).cast("long").alias("dt"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(nl.withColumnRenamed("label", "clabel")), ["f", "clabel"]
+        )
+        .join(F.broadcast(ss.withColumnRenamed("label", "clabel")), ["f", "clabel"])
+        .join(xx, "vec_id")
+        .select(
+            "vec_id",
+            "f",
+            "clabel",
+            F.expr("(n * n * x2 - 2 * n * dt + ss2) DIV (n * n)").alias("d2q"),
+        )
+    )
+    wr = Window.partitionBy("vec_id", "f").orderBy("d2q", "clabel")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "f", F.col("clabel").alias("pred_label"))
+    )
+    ntr = nl.groupBy("f").agg(F.sum("n").cast("long").alias("n_train"))
+    return (
+        pred.join(test, "vec_id")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .join(F.broadcast(ntr), "f")
+        .select(
+            F.col("f").alias("train_buckets"),
+            "n_train",
+            "n_test",
+            "n_correct",
+            F.expr("CAST(n_correct * 1000000 DIV n_test AS BIGINT)").alias(
+                "accuracy_ppm"
+            ),
+        )
+    )

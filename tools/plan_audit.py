@@ -69,6 +69,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # source table x 1-row broadcast budget/cap rows
                      # (waterfill rounds are 1-row aggregates).
                      "q_mix_token_budget",
+                     # rows x broadcast 3-row fraction table (the nested
+                     # training-subset fan-out).
+                     "q_ml_learning_curve",
                      # level rollups x 1-row broadcast chosen-level rule.
                      "q_privacy_generalize",
                      # broadcast query-panel x corpus: the exhaustive eval baseline

@@ -188,7 +188,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # Brier decomposition, 1-row waterfill rounds, bounded BFS
           # closeness (control-plane pair tables)
           "q_ts_mk_trend", "q_ml_brier", "q_mix_token_budget",
-          "q_graph_closeness"]
+          "q_graph_closeness",
+          # round-7 session-2 batch 8: source-pair posting join,
+          # 3-fraction centroid build + bounded scoring join
+          "q_mix_overlap", "q_ml_learning_curve"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
