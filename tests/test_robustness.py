@@ -153,6 +153,9 @@ KEYS = [
     "q_ml_brier",
     "q_mix_token_budget",
     "q_graph_closeness",
+    # posting-list source pairs and the 3-fraction centroid argmin
+    "q_mix_overlap",
+    "q_ml_learning_curve",
 ]
 
 
