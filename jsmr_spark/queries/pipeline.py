@@ -1614,3 +1614,124 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_share_ppm"
         ),
     )
+
+
+CARD_SHORT_TOKENS = 50  # short-doc threshold for the card's share column
+
+
+def _dataset_card_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(text) AS digest
+      FROM documents
+    ),
+    dup AS (
+      SELECT source, CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs
+      FROM (
+        SELECT source, digest, CAST(count(*) AS BIGINT) AS cnt
+        FROM d GROUP BY source, digest
+      ) GROUP BY source
+    ),
+    langs AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY source, lang
+    ),
+    toplang AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rn
+        FROM langs
+      ) WHERE rn = 1
+    ),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_tokens) * 1000 // count(*) AS BIGINT)
+               AS mean_tokens_milli,
+             CAST(count(*) FILTER (WHERE n_tokens < {CARD_SHORT_TOKENS})
+                  * 1000000 // count(*) AS BIGINT) AS short_ppm
+      FROM d GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.total_chars, b.n_langs,
+           t.top_lang, b.mean_tokens_milli, b.short_ppm,
+           CAST(dup.n_dup_docs * 1000000 // b.n_docs AS BIGINT) AS dup_ppm
+    FROM base b
+    JOIN toplang t ON t.source = b.source
+    JOIN dup ON dup.source = b.source
+    """
+
+
+@query("q_profile_dataset_card", _dataset_card_oracle())
+def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (Gebru et al. 2021, "Datasheets for
+    Datasets", reduced to the queryable core): document/token/char
+    volumes, language spread with the modal language (deterministic
+    tie-break), mean document length in exact milli-tokens, the
+    short-document share, and the exact-duplicate rate — the one-table
+    summary a data consumer reads before touching a source, composed
+    from the same primitives the dedicated keys audit in depth
+    (q_profile_columns, q_dedup_rate_by_source, q_text_token_stats).
+
+    Scale shape: ONE narrow pass over documents builds every census
+    input (digest, token count, lang); three keyed aggregates over
+    source-sized tables and one argmax window over source × lang
+    rows. All integers exact; ratios are floor-divided identically."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.md5("text").alias("digest"),
+    )
+    dup = (
+        d.groupBy("source", "digest")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_docs"))
+    )
+    langs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    toplang = (
+        langs.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr("CAST(sum(n_tokens) * 1000 DIV count(*) AS BIGINT)").alias(
+            "mean_tokens_milli"
+        ),
+        F.expr(
+            f"CAST(count_if(n_tokens < {CARD_SHORT_TOKENS}) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("short_ppm"),
+    )
+    return (
+        base.join(F.broadcast(toplang), "source")
+        .join(F.broadcast(dup), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            "mean_tokens_milli",
+            "short_ppm",
+            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+    )

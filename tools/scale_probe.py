@@ -191,7 +191,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_graph_closeness",
           # round-7 session-2 batch 8: source-pair posting join,
           # 3-fraction centroid build + bounded scoring join
-          "q_mix_overlap", "q_ml_learning_curve"]
+          "q_mix_overlap", "q_ml_learning_curve",
+          # the one-pass dataset card (three source-keyed rollups)
+          "q_profile_dataset_card"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
