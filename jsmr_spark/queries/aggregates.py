@@ -1435,3 +1435,69 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select("l_returnflag", "n", F.explode(pair_structs).alias("p"))
         .select("l_returnflag", "p.feat_x", "p.feat_y", "n", "p.corr")
     )
+
+
+GM_LN_SCALE = 1_000_000  # 1e-6 ln grid (q_text_entropy's recipe)
+
+
+def _gm_lnq(x: str) -> str:
+    return f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {GM_LN_SCALE} + 0.5) AS BIGINT)"
+
+
+_GEOMEAN_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+      WHERE {sql_cents("value")} > 0
+    ),
+    c AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * {_gm_lnq("vc")}) AS BIGINT) AS slq
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           CAST(slq // n AS BIGINT) AS mean_ln_micro,
+           round(exp(CAST(slq // n AS DOUBLE) / {GM_LN_SCALE}.0) / 100.0, 4)
+             AS geo_mean
+    FROM m
+"""
+
+
+@query("q_agg_geomean", _GEOMEAN_ORACLE)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event value per type — the right average for
+    multiplicative/skewed quantities (rates, durations, prices),
+    completing the central-tendency set next to the arithmetic mean
+    (q_agg_stats), median (q_agg_percentile), mode (q_agg_mode), and
+    winsorized/weighted variants. ln of each DISTINCT cent value is
+    snapped once to the 1e-6 grid, the log-mean is one BIGINT floor
+    division (hashed exactly), and the single exp + presentation
+    division is rounded identically on both engines. Zeros are
+    excluded (ln undefined), identically on both sides.
+
+    Scale shape: corpus -> (type, cent-value) hash agg (ln evaluated
+    once per distinct value on the bounded cent domain) -> one keyed
+    rollup; map-side combinable throughout — q_agg_theil's plan with
+    a different final functional."""
+    v = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("vc")
+    ).where(F.col("vc") > 0)
+    c = v.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    m = c.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr(f"CAST(sum(cnt * {_gm_lnq('vc')}) AS BIGINT)").alias("slq"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr("CAST(slq DIV n AS BIGINT)").alias("mean_ln_micro"),
+        r4(
+            F.exp(F.expr("CAST(slq DIV n AS DOUBLE)") / GM_LN_SCALE) / 100.0
+        ).alias("geo_mean"),
+    )

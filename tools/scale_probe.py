@@ -193,7 +193,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # 3-fraction centroid build + bounded scoring join
           "q_mix_overlap", "q_ml_learning_curve",
           # the one-pass dataset card (three source-keyed rollups)
-          "q_profile_dataset_card"]
+          "q_profile_dataset_card",
+          # distinct-cent-domain log-mean
+          "q_agg_geomean"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
