@@ -156,6 +156,9 @@ KEYS = [
     # posting-list source pairs and the 3-fraction centroid argmin
     "q_mix_overlap",
     "q_ml_learning_curve",
+    # the one-pass card's modal-language argmax and the log-mean sums
+    "q_profile_dataset_card",
+    "q_agg_geomean",
 ]
 
 
