@@ -25,6 +25,19 @@ Round-7 rotation:
     cogroup lane); then the §2.D mid-round, late-round and post-window
     batches in plan order. Every slot spends the driver's budget on a
     key it has never checked in its current form.
+
+Round-8 rotation (PREPARED, do not apply until CORRECTNESS_r07 lands):
+retire every alias that r7 reports green, then alias in the exact
+50-key window named in SURVEY §2.D and pre-verified in CHECKS_r8.md
+(0 predicted mismatches): the 29 earlier round-7 additions
+(q_ml_naive_bayes ... q_dedup_recall_report), the 20-key TPC-H tier
+(q_tpch_q2–q22 minus q12), and source_time_travel. The 14 keys added
+after the window list froze (q_text_oov, q_ts_transitions,
+q_ts_heatmap, q_embed_dim_prune, q_ml_psi, q_privacy_generalize,
+q_ts_mk_trend, q_ml_brier, q_mix_token_budget, q_graph_closeness,
+q_mix_overlap, q_ml_learning_curve, q_profile_dataset_card,
+q_agg_geomean) queue for round 9 — all are already green under the
+driver protocol at sf0.01 AND sf0.1 (CHECKS_r8.md).
 """
 
 from __future__ import annotations
