@@ -984,3 +984,73 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version_read int, n_versions int, n_docs long, sum_chars long"
     )
+
+
+SINK_CODECS = ("snappy", "zstd", "gzip")
+
+_SINK_CODECS_ORACLE = f"""
+    WITH agg AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({sql_cents("o_totalprice")}) AS BIGINT) AS spc
+      FROM orders GROUP BY 1, 2
+    ),
+    codecs AS (SELECT unnest(['snappy', 'zstd', 'gzip']) AS codec)
+    SELECT codecs.codec,
+           CAST((SELECT count(*) FROM agg) AS BIGINT) AS n_groups,
+           CAST((SELECT sum(n) FROM agg) AS BIGINT) AS n_total,
+           CAST((SELECT sum(spc) FROM agg) AS BIGINT) AS sum_price_cents_total
+    FROM codecs
+"""
+
+
+@query("sink_codecs", _SINK_CODECS_ORACLE)
+def sink_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec round-trip ({", ".join(SINK_CODECS)}):
+    the same derived aggregate is written once per codec and re-read,
+    and the re-read totals are value-checked against the source
+    recompute — the contract a 100 TB lakehouse depends on when it
+    flips the storage-cost lever (zstd for cold data, snappy for hot)
+    is exactly that the codec NEVER changes the data, and this key
+    pins it per codec rather than asserting it. Completes the sink
+    tier's container matrix (parquet/orc/csv/json × partitioned/
+    bucketed/z-ordered/compacted) with the codec axis.
+
+    Scale shape: identical to sink_parquet per codec — one keyed
+    aggregate, one write, one scan back; codec choice only changes the
+    encoder pipeline inside the parquet writer, never the plan."""
+    src = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("long").alias("spc"),
+        )
+    )
+    out_rows = []
+    for codec in SINK_CODECS:
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"jsmr_sink_codec_{codec}_{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            src.write.mode("overwrite").option("compression", codec).parquet(
+                out_dir
+            )
+            back = (
+                spark.read.parquet(out_dir)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_groups"),
+                    F.sum("n").cast("long").alias("n_total"),
+                    F.sum("spc").cast("long").alias("sum_price_cents_total"),
+                )
+                .collect()[0]
+            )
+            out_rows.append(
+                (codec, back.n_groups, back.n_total, back.sum_price_cents_total)
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows,
+        "codec string, n_groups bigint, n_total bigint, sum_price_cents_total bigint",
+    )

@@ -195,7 +195,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # the one-pass dataset card (three source-keyed rollups)
           "q_profile_dataset_card",
           # distinct-cent-domain log-mean
-          "q_agg_geomean"]
+          "q_agg_geomean",
+          # 3x codec write+scan side-effect wall (like sink_compact)
+          "sink_codecs"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
