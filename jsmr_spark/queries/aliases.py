@@ -31,12 +31,12 @@ retire every alias that r7 reports green, then alias in the exact
 50-key window named in SURVEY §2.D and pre-verified in CHECKS_r8.md
 (0 predicted mismatches): the 29 earlier round-7 additions
 (q_ml_naive_bayes ... q_dedup_recall_report), the 20-key TPC-H tier
-(q_tpch_q2–q22 minus q12), and source_time_travel. The 15 keys added
+(q_tpch_q2–q22 minus q12), and source_time_travel. The 16 keys added
 after the window list froze (q_text_oov, q_ts_transitions,
 q_ts_heatmap, q_embed_dim_prune, q_ml_psi, q_privacy_generalize,
 q_ts_mk_trend, q_ml_brier, q_mix_token_budget, q_graph_closeness,
 q_mix_overlap, q_ml_learning_curve, q_profile_dataset_card,
-q_agg_geomean, sink_codecs) queue for round 9 — all are already green under the
+q_agg_geomean, sink_codecs, q_ts_wow_growth) queue for round 9 — all are already green under the
 driver protocol at sf0.01 AND sf0.1 (CHECKS_r8.md).
 """
 

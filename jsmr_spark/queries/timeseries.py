@@ -2337,3 +2337,68 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WOW_ORACLE = f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    l AS (
+      SELECT a.event_type, a.day, a.vc, b.vc AS prev_vc
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type, day, CAST(vc AS BIGINT) AS vc,
+           CAST(prev_vc AS BIGINT) AS prev_vc,
+           CAST(vc - prev_vc AS BIGINT) AS delta_cents,
+           CAST(((vc - prev_vc) * 1000000 + 1000000000000 * prev_vc)
+                // prev_vc - 1000000000000 AS BIGINT) AS wow_growth_ppm
+    FROM l WHERE prev_vc > 0
+"""
+
+
+@query("q_ts_wow_growth", _WOW_ORACLE)
+def q_ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event-type daily series: each day is
+    joined to the SAME WEEKDAY one week earlier (a calendar-key
+    equi-join, not a 7-row lag — gaps in the spine can make row-offset
+    lags compare different weekdays, the classic WoW bug) and the
+    growth is exact ppm against the prior week. The plain BI growth
+    metric next to q_ts_decompose (which removes the weekly cycle this
+    key deliberately aligns with); growth can be negative — the ppm
+    numerator (vc − prev_vc) keeps its sign against a strictly
+    positive denominator — and integer division of a NEGATIVE
+    numerator is exactly where engines disagree (both Spark's DIV and
+    DuckDB's // truncate toward zero, but not all engines do, and the
+    two were measured to differ by one ulp on this very key), so BOTH
+    sides apply the offset identity floor((x + K·d)/d) − K, which
+    makes the divided quantity non-negative and the result a true
+    floor on any engine. Growth is therefore floor-ppm by definition,
+    identically computed.
+
+    Scale shape: one spine aggregate, one self-equi-join on
+    (event_type, day−7) — keyed, spine-sized."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    prev = d.select(
+        "event_type",
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("vc").alias("prev_vc"),
+    )
+    j = d.join(prev, ["event_type", "day"]).where(F.col("prev_vc") > 0)
+    # Negative-numerator floor division: Spark DIV truncates toward
+    # zero, DuckDB // floors. Apply the offset identity so both
+    # engines floor-divide a non-negative quantity.
+    off = 1_000_000_000_000
+    return j.select(
+        "event_type",
+        "day",
+        "vc",
+        "prev_vc",
+        (F.col("vc") - F.col("prev_vc")).alias("delta_cents"),
+        F.expr(
+            f"CAST(((vc - prev_vc) * 1000000 + {off} * prev_vc) DIV prev_vc"
+            f" - {off} AS BIGINT)"
+        ).alias("wow_growth_ppm"),
+    )

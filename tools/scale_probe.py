@@ -197,7 +197,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # distinct-cent-domain log-mean
           "q_agg_geomean",
           # 3x codec write+scan side-effect wall (like sink_compact)
-          "sink_codecs"]
+          "sink_codecs",
+          # spine self-equi-join on (type, day-7)
+          "q_ts_wow_growth"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
