@@ -2349,8 +2349,8 @@ _WOW_ORACLE = f"""
     SELECT event_type, day, CAST(vc AS BIGINT) AS vc,
            CAST(prev_vc AS BIGINT) AS prev_vc,
            CAST(vc - prev_vc AS BIGINT) AS delta_cents,
-           CAST(((vc - prev_vc) * 1000000 + 1000000000000 * prev_vc)
-                // prev_vc - 1000000000000 AS BIGINT) AS wow_growth_ppm
+           CAST(((vc - prev_vc) * 1000000 + 2000000 * prev_vc)
+                // prev_vc - 2000000 AS BIGINT) AS wow_growth_ppm
     FROM l WHERE prev_vc > 0
 """
 
@@ -2387,10 +2387,11 @@ def q_ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vc").alias("prev_vc"),
     )
     j = d.join(prev, ["event_type", "day"]).where(F.col("prev_vc") > 0)
-    # Negative-numerator floor division: Spark DIV truncates toward
-    # zero, DuckDB // floors. Apply the offset identity so both
-    # engines floor-divide a non-negative quantity.
-    off = 1_000_000_000_000
+    # Offset identity: growth >= -100% = -1e6 ppm, so K = 2e6 already
+    # makes the numerator non-negative (and K*prev_vc stays ~1e13 at
+    # the 10x probe — the first K = 1e12 choice overflowed BIGINT
+    # there, caught by the probe).
+    off = 2_000_000
     return j.select(
         "event_type",
         "day",
