@@ -681,7 +681,7 @@ def _mi_oracle() -> str:
     SELECT CAST((SELECT count(*) FROM rx) AS BIGINT) AS n_langs,
            CAST((SELECT count(*) FROM ry) AS BIGINT) AS n_buckets,
            tot.n AS n_docs,
-           CAST(sum({term}) // tot.n AS BIGINT) AS mi_micro
+           CAST((sum({term}) + 4 * tot.n) // tot.n - 4 AS BIGINT) AS mi_micro
     FROM c
     JOIN rx ON rx.lang = c.lang
     JOIN ry ON ry.len_bucket = c.len_bucket
@@ -699,7 +699,12 @@ def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     features by MI, keep the informative ones. Same algebra as
     q_agg_theil: MI = Σ c_xy·(ln c_xy + ln N − ln c_x − ln c_y) / N,
     every ln snapped once to the 1e-6 grid per DISTINCT count, so the
-    whole statistic is BIGINT arithmetic with one floor division.
+    whole statistic is BIGINT arithmetic with one floor division. The
+    quantized numerator can dip slightly negative when true MI ≈ 0
+    (each term carries ±0.5e-6 snapping error per ln, ≤ 2·N micro in
+    total), so the division uses the q_ts_wow_growth floor identity —
+    (x + 4·N) div N − 4 — keeping the divided operand provably
+    non-negative on any engine's negative-division convention.
 
     Scale shape: one (label, bucket) hash agg over the corpus, two
     marginal rollups of the contingency table, one bounded join —
@@ -726,7 +731,11 @@ def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ry), "len_bucket")
         .crossJoin(F.broadcast(tot))
         .groupBy("nt")
-        .agg(F.expr(f"CAST(sum({term}) DIV nt AS BIGINT)").alias("mi_micro"))
+        .agg(
+            F.expr(
+                f"CAST((sum({term}) + 4 * nt) DIV nt - 4 AS BIGINT)"
+            ).alias("mi_micro")
+        )
         .crossJoin(F.broadcast(nl))
         .crossJoin(F.broadcast(nb))
         .select(

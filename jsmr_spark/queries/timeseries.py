@@ -1404,7 +1404,7 @@ _DRAWDOWN_ORACLE = f"""
            day AS trough_day, CAST(run_max AS BIGINT) AS peak_cents,
            CAST(vc AS BIGINT) AS trough_cents,
            CAST(dd_c AS BIGINT) AS drawdown_cents,
-           CAST(dd_c * 1000000 // run_max AS BIGINT) AS drawdown_ppm
+           CAST(dd_c * 1000000 // nullif(run_max, 0) AS BIGINT) AS drawdown_ppm
     FROM dd WHERE rn = 1
 """
 
@@ -1448,7 +1448,7 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_max").alias("peak_cents"),
             F.col("vc").alias("trough_cents"),
             F.col("dd_c").alias("drawdown_cents"),
-            F.expr("CAST(dd_c * 1000000 AS BIGINT) DIV run_max").alias(
+            F.expr("CAST(dd_c * 1000000 AS BIGINT) DIV nullif(run_max, 0)").alias(
                 "drawdown_ppm"
             ),
         )
@@ -1547,8 +1547,8 @@ _ANOVA_ORACLE = f"""
     SELECT k AS k_groups, n AS n_events,
            CAST(sum_t - {_floor_sq_div("s", "n")} AS BIGINT) AS ssb_cents2,
            CAST(s2 - sum_t AS BIGINT) AS ssw_cents2,
-           CAST(((sum_t - {_floor_sq_div("s", "n")}) // (k - 1)) * 1000
-                // ((s2 - sum_t) // (n - k)) AS BIGINT) AS f_milli
+           CAST((greatest(sum_t - {_floor_sq_div("s", "n")}, 0) // (k - 1)) * 1000
+                // nullif((s2 - sum_t) // (n - k), 0) AS BIGINT) AS f_milli
     FROM tot
 """
 
@@ -1564,7 +1564,12 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the statistic is DEFINED as this integer recipe and the hash
     check is exact — the same quantized-statistic contract as
     q_graph_pagerank. Truncation error is < 1 cent^2 per term against
-    sums of ~1e12, far below any decision-relevant difference.
+    sums of ~1e12, far below any decision-relevant difference. SSB's
+    truncation artifact can reach −(k−1) when the true statistic is 0,
+    so the F-numerator clamps it at 0 (greatest) before dividing —
+    keeping the division operand provably non-negative on any engine —
+    and the within-group mean square is nullif-guarded against an
+    all-constant-groups corpus.
 
     Scale shape: one map-side-combinable hash aggregate over events
     (3 BIGINTs per group), a k-row total, arithmetic on one row."""
@@ -1591,8 +1596,8 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(sum_t - {grand} AS BIGINT)").alias("ssb_cents2"),
         F.expr("CAST(s2 - sum_t AS BIGINT)").alias("ssw_cents2"),
         F.expr(
-            f"CAST(((sum_t - {grand}) DIV (k - 1)) * 1000"
-            " DIV ((s2 - sum_t) DIV (n - k)) AS BIGINT)"
+            f"CAST((greatest(sum_t - {grand}, 0) DIV (k - 1)) * 1000"
+            " DIV nullif((s2 - sum_t) DIV (n - k), 0) AS BIGINT)"
         ).alias("f_milli"),
     )
 
@@ -1617,12 +1622,14 @@ _CONFUSION_ORACLE = f"""
       FROM e
     )
     SELECT tp, fp, fn, tn,
-           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_ppm,
-           CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_ppm,
-           CAST(2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
-                // ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn)))
+           CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+           CAST(tp * 1000000 // nullif(tp + fn, 0) AS BIGINT) AS recall_ppm,
+           CAST(2 * (tp * 1000000 // nullif(tp + fp, 0))
+                  * (tp * 1000000 // nullif(tp + fn, 0))
+                // nullif((tp * 1000000 // nullif(tp + fp, 0))
+                          + (tp * 1000000 // nullif(tp + fn, 0)), 0)
                 AS BIGINT) AS f1_ppm,
-           CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT)
+           CAST((tp + tn) * 1000000 // nullif(tp + fp + fn + tn, 0) AS BIGINT)
              AS accuracy_ppm
     FROM c
 """
@@ -1638,7 +1645,10 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins its scores; this key is the deployment-time readout at the
     threshold you actually ship. F1 is the harmonic mean computed from
     the ppm-truncated precision/recall — one shared integer recipe on
-    both engines, so the hash is exact.
+    both engines, so the hash is exact. Every denominator is
+    nullif-guarded: a corpus where no row crosses the threshold (tp=0,
+    prec=rec=0) yields NULL metrics on both engines instead of a
+    DuckDB division-by-zero error vs a Spark NULL.
 
     Scale shape: one filtered scan -> four conditional counts in a
     single map-side-combinable aggregate; arithmetic on one row."""
@@ -1654,8 +1664,8 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(pos & ~pred, 1)).cast("long").alias("fn"),
         F.count(F.when(~pos & ~pred, 1)).cast("long").alias("tn"),
     )
-    prec = "(tp * 1000000 DIV (tp + fp))"
-    rec = "(tp * 1000000 DIV (tp + fn))"
+    prec = "(tp * 1000000 DIV nullif(tp + fp, 0))"
+    rec = "(tp * 1000000 DIV nullif(tp + fn, 0))"
     return c.select(
         "tp",
         "fp",
@@ -1664,10 +1674,11 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({prec} AS BIGINT)").alias("precision_ppm"),
         F.expr(f"CAST({rec} AS BIGINT)").alias("recall_ppm"),
         F.expr(
-            f"CAST(2 * {prec} * {rec} DIV ({prec} + {rec}) AS BIGINT)"
+            f"CAST(2 * {prec} * {rec} DIV nullif({prec} + {rec}, 0) AS BIGINT)"
         ).alias("f1_ppm"),
         F.expr(
-            "CAST((tp + tn) * 1000000 DIV (tp + fp + fn + tn) AS BIGINT)"
+            "CAST((tp + tn) * 1000000 DIV nullif(tp + fp + fn + tn, 0)"
+            " AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
 
@@ -2267,7 +2278,7 @@ def _brier_oracle() -> str:
                 AS BIGINT) AS reliability_micro,
            CAST(sum(b.nk * (b.obark - g.obar) * (b.obark - g.obar)) // g.n
                 AS BIGINT) AS resolution_micro,
-           CAST(g.obar * (1000 - g.obar) // 1000 AS BIGINT) AS uncertainty_micro
+           CAST(g.obar * (1000 - g.obar) AS BIGINT) AS uncertainty_micro
     FROM b CROSS JOIN g
     GROUP BY g.n, g.obar, g.brier_micro
 """
@@ -2332,7 +2343,7 @@ def q_ml_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brier_micro",
             "reliability_micro",
             "resolution_micro",
-            F.expr("CAST(obar * (1000 - obar) DIV 1000 AS BIGINT)").alias(
+            F.expr("CAST(obar * (1000 - obar) AS BIGINT)").alias(
                 "uncertainty_micro"
             ),
         )
