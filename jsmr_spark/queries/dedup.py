@@ -506,10 +506,26 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic fixed-SIZE doc panel for the recall harness: order the
+# eligible docs by the portable hash of doc_id (tie-break doc_id) and
+# keep the first RECALL_SAMPLE_N. A fixed FRACTION would still grow the
+# exact truth join quadratically with the corpus; a fixed-size panel
+# pins the quadratic part regardless of corpus scale (the
+# q_sim_recall_report fixed-eval-set recipe).
+RECALL_SAMPLE_N = 1024
+
 _RECALL_DEDUP_ORACLE = f"""
-    WITH docs AS (
+    WITH docs0 AS (
       SELECT doc_id, string_split(text, ' ') AS s FROM documents
       WHERE len(string_split(text, ' ')) >= 3
+    ),
+    panel AS (
+      SELECT doc_id FROM docs0
+      ORDER BY {hex12_sql("md5(CAST(doc_id AS VARCHAR))")}, doc_id
+      LIMIT {RECALL_SAMPLE_N}
+    ),
+    docs AS (
+      SELECT d.doc_id, d.s FROM docs0 d JOIN panel p ON p.doc_id = d.doc_id
     ),
     sh AS (
       SELECT DISTINCT doc_id, sg FROM (
@@ -561,25 +577,43 @@ _RECALL_DEDUP_ORACLE = f"""
 """
 
 
-@query("q_dedup_recall_report", _RECALL_DEDUP_ORACLE)
+@query("q_dedup_recall_report", _RECALL_DEDUP_ORACLE, eval_tier=True)
 def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-quality report for MinHash-LSH dedup: ground truth is
-    EVERY pair with exact shingle-set Jaccard >= {JACCARD_THRESHOLD}
-    (computed via the shared-shingle posting join — a pair with no
-    common shingle cannot pass the threshold, so the join IS
-    exhaustive), candidates are the {N_BANDS}x{ROWS_PER_BAND} LSH band
-    collisions, and the report gives band recall (truth pairs the
-    bands surfaced) and precision (band pairs that verify) in exact
-    ppm. The dedup sibling of q_sim_recall_report: q_dedup_minhash
-    ships the operator, this key measures what its pruning costs —
-    the number you tune bands/rows against before a 100 TB run.
+    """EVAL TIER — candidate-quality report for MinHash-LSH dedup,
+    computed on a deterministic fixed-size doc panel ({RECALL_SAMPLE_N}
+    docs, hash-ordered): ground truth is EVERY panel pair with exact
+    shingle-set Jaccard >= {JACCARD_THRESHOLD} (computed via the
+    shared-shingle posting join — a pair with no common shingle cannot
+    pass the threshold, so the join IS exhaustive within the panel),
+    candidates are the {N_BANDS}x{ROWS_PER_BAND} LSH band collisions
+    among panel docs, and the report gives band recall (truth pairs
+    the bands surfaced) and precision (band pairs that verify) in
+    exact ppm. The dedup sibling of q_sim_recall_report:
+    q_dedup_minhash ships the operator, this key measures what its
+    pruning costs — the number you tune bands/rows against before a
+    100 TB run.
 
-    Scale shape: one shingle exchange feeds both sides; the truth join
-    is posting-list work (sum of df(hv)^2 — the exact-eval budget, run
-    on a CI-sized sample in production, exactly like the ANN recall
-    harness); bands/candidates are the operator's own near-linear
-    path. Output is one row of exact counts and floor-divided ppm."""
-    sets = _shingle_sets(spark, sf_dir).cache()
+    Scale shape: the panel cap is IN the code, not just a docstring
+    promise — a naive invocation on a 100 TB corpus still only runs
+    the exact truth join on {RECALL_SAMPLE_N} docs (the posting-list
+    quadratic is pinned; only the panel-selection TakeOrdered scans
+    the corpus). One shingle exchange feeds both sides past the cap.
+    Output is one row of exact counts and floor-divided ppm."""
+    sets_all = _shingle_sets(spark, sf_dir)
+    hk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hk")
+    )
+    # orderBy.limit executes as TakeOrderedAndProject — per-partition
+    # heaps, no global sort of the corpus.
+    panel = (
+        sets_all.select("doc_id", hk)
+        .orderBy("hk", "doc_id")
+        .limit(RECALL_SAMPLE_N)
+        .select("doc_id")
+    )
+    sets = sets_all.join(F.broadcast(panel), "doc_id").cache()
     mh = sets.select("doc_id", *_minhash_set_cols())
     bands = mh.select(
         "doc_id",

@@ -291,9 +291,16 @@ _CLUSTER_PAIRS_CTE = f"""
            l.doc_id = l.cluster_id AS keep
     FROM lbl l JOIN sz s ON s.cluster_id = l.cluster_id
     """,
+    eval_tier=True,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER formation: connected components over the
+    """EVAL TIER — exact all-pairs baseline, O(N²) by design (10x probe
+    ×9.3): run it on CI-sized samples to calibrate the production key.
+    The scalable PRIMARY is q_dedup_clusters_lsh (pipeline.py, below),
+    which builds the same components from hyperplane-LSH candidate
+    edges with corpus-adaptive planes (probe ×1.6) — use that at 100 TB.
+
+    Near-dup CLUSTER formation: connected components over the
     embedding-cosine pair graph (edges = q_dedup_embedding's pairs),
     canonical doc per component = min doc_id, keep-decision emitted per
     doc. This is the step that turns pairwise detectors into an actual

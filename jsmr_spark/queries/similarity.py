@@ -158,12 +158,19 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sims
     WHERE vec_a < vec_b AND sim >= {PAIR_THRESHOLD}
     """,
+    eval_tier=True,
 )
 def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs similarity join at sim >= 0.40 — the V-SMART-Join
+    """EVAL TIER — exact all-pairs baseline, O(N²) by design: the
+    exactness reference you calibrate the bucketed variants against on
+    CI-sized samples. The scalable PRIMARY for pair generation at
+    100 TB is q_sim_ann_lsh (ann.py) — hyperplane-bucketed candidates
+    with exact re-rank inside buckets.
+
+    All-pairs similarity join at sim >= 0.40 — the V-SMART-Join
     shape, executed as block GEMM (one BLAS matmul per Arrow batch
     against a broadcast side) instead of 2M codegen HOF evaluations;
-    ~10x faster and the tileable 100 TB form. Semantics identical to
+    ~10x faster than the HOF form and tileable. Semantics identical to
     the sequential kernel (see jsmr_spark/vectorized.py)."""
     from jsmr_spark.vectorized import block_cosine_pairs
 

@@ -30,18 +30,32 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None => rows-only check
     doc: str = ""
     alias_of: str | None = None  # set for driver-window coverage aliases
+    # True => exact/quadratic EVAL baseline, not the production-scale
+    # operator: run on CI-sized samples to calibrate a scalable sibling
+    # (named in the docstring), never on a full 100 TB corpus. The plan
+    # audit surfaces this tier so a quadratic probe factor on these keys
+    # reads as by-design rather than as a scale bug.
+    eval_tier: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, *, eval_tier: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation plus its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query key {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            eval_tier=eval_tier,
+        )
         return fn
 
     return deco

@@ -262,13 +262,18 @@ def main() -> int:
             flags.append("UNEXPECTED global-window")
         if flags:
             bad.append((name, flags))
+        verdict = "; ".join(flags) if flags else "ok"
+        if spec.eval_tier:
+            # exact/quadratic baseline by declared design — run on
+            # CI-sized samples; the scalable sibling is the primary.
+            verdict += " (eval-tier)"
         rows.append(
             (
                 name,
                 str(n_exchange),
                 "y" if has_pushdown else "-",
                 ("py" if py_udf else "") + ("+nl" if nested else ""),
-                "; ".join(flags) if flags else "ok",
+                verdict,
             )
         )
 
