@@ -1,4 +1,4 @@
-"""Driver-window coverage aliases — round-7 rotation (VERDICT r6 #1).
+"""Driver-window coverage aliases — round-8 rotation (VERDICT r7 #1).
 
 The driver's per-round correctness sweep verifies the FIRST 50 registry
 keys alphabetically. Key naming is the only lever the builder controls
@@ -9,35 +9,31 @@ canonical key (asserted by tests/test_differential.py::test_alias_identity);
 nothing is reimplemented, so a driver PASS on `a0_x` is a driver PASS on
 the canonical implementation of `x`.
 
-Round-7 rotation:
-  * RETIRED: all 50 round-6 aliases — CORRECTNESS_r06 was 50/50 green
-    (the first fully green driver sweep of the build), so every one of
-    their canonical keys is now in the ever-verified union. Canonical
-    keys stay registered and locally verified; the union only grows.
-  * ADDED: 50 keys the driver has never hashed, ordered by the SURVEY
-    §2.D priority: first the 2 keys whose code changed THIS round
-    (q_dedup_semantic's corpus-adaptive k + GEMM assignment,
-    q_ts_hampel's composite series partitioning) — their prior local
-    signal no longer covers the current code; then the 5 keys whose
-    oracles exercise machinery the driver has never hashed (binaryFile
-    executor staging, the persisted-HLL sketch round-trip, recursive
-    weighted SSSP, crosstab pivot naming, the bucketed merge_asof
-    cogroup lane); then the §2.D mid-round, late-round and post-window
-    batches in plan order. Every slot spends the driver's budget on a
-    key it has never checked in its current form.
+Round-8 rotation:
+  * RETIRED: all 50 round-7 aliases — CORRECTNESS_r07 was 50/50 green,
+    so every one of their canonical keys joined the ever-verified
+    union (168/343 after r7). Canonical keys stay registered and
+    locally verified; the union only grows.
+  * ADDED, per the VERDICT r7 ordering (contract tier outranks the
+    addendum): FIRST the 37 never-driver-verified SURVEY §2.B contract
+    keys — the full q_win_*/q_stream_*/q_str_*/text/scan/project/
+    union/UDF tail, including the two §2.B rows-only-by-design keys
+    (q_agg_approx_distinct, stream_watermark_late), which get the
+    driver's rows-only row, the strongest signal they can ever carry.
+    THEN the 8 never-verified keys whose code or oracle changed THIS
+    round (the ADVICE r7 guard/scale fixes: q_ml_brier, q_ml_confusion,
+    q_ts_drawdown, q_ml_mutual_info, q_stats_anova; the lineage-
+    truncated q_graph_label_prop and q_graph_link_predict's profile
+    pass; q_dedup_recall_report's new fixed-panel oracle) — their prior
+    local signal no longer covers the current code. THEN 5 from the
+    prepared round-8 plan (4 heavy TPC-H tier keys + the time-travel
+    source machinery).
 
-Round-8 rotation (PREPARED, do not apply until CORRECTNESS_r07 lands):
-retire every alias that r7 reports green, then alias in the exact
-50-key window named in SURVEY §2.D and pre-verified in CHECKS_r8.md
-(0 predicted mismatches): the 29 earlier round-7 additions
-(q_ml_naive_bayes ... q_dedup_recall_report), the 20-key TPC-H tier
-(q_tpch_q2–q22 minus q12), and source_time_travel. The 16 keys added
-after the window list froze (q_text_oov, q_ts_transitions,
-q_ts_heatmap, q_embed_dim_prune, q_ml_psi, q_privacy_generalize,
-q_ts_mk_trend, q_ml_brier, q_mix_token_budget, q_graph_closeness,
-q_mix_overlap, q_ml_learning_curve, q_profile_dataset_card,
-q_agg_geomean, sink_codecs, q_ts_wow_growth) queue for round 9 — all are already green under the
-driver protocol at sf0.01 AND sf0.1 (CHECKS_r8.md).
+Round-9 queue (SURVEY §2.D): the remaining never-verified keys in
+priority order — text_extra's 17-key block, timeseries' remaining
+block, the rest of the TPC-H tier, then the round-7 addendum tail.
+All are green under the local driver-protocol sweep (CHECKS_r8.md and
+this round's re-checks).
 """
 
 from __future__ import annotations
@@ -45,68 +41,66 @@ from __future__ import annotations
 from jsmr_spark.registry import register_alias
 
 _ALIASED = (
-    # changed THIS round — adaptive SemDeDup k / GEMM assignment, and
-    # the (event_type x user-hash-bucket) Hampel window repartition
-    "q_dedup_semantic",
-    "q_ts_hampel",
-    # oracles with machinery the driver has never hashed (VERDICT r6 #1)
-    "source_binaryfile",
-    "q_sketch_hll_merge",
-    "q_graph_sssp",
-    "q_stat_crosstab",
-    "q_cogrouped_map",
-    # §2.D mid-round batch
-    "q_sketch_cms_topk",
-    "q_sample_weighted",
-    "q_stream_topk",
-    "q_agg_weighted_median",
-    "q_privacy_ldiv",
-    "q_join_interval",
-    "q_multimodal_scenecut",
-    "q_stats_chi2",
-    "q_mr_join",
-    "stream_stream_join",
-    "q_sketch_bitmap_intersect",
-    "sink_nested",
-    "sink_dynamic_overwrite",
-    # §2.D late-round batches
-    "q_udf_arrow",
-    "q_udtf_analyze",
-    "q_join_lateral",
-    "q_assoc_rules",
-    "q_ts_seasonal",
-    "q_corpus_divergence",
-    "stream_dedup_within_wm",
-    "q_join_existence",
-    "q_agg_filter_clause",
-    "source_generate",
-    "q_attribution_last_touch",
-    "q_text_bm25",
-    "q_rank_fusion",
-    "q_text_containment",
-    "q_stats_ks",
-    "q_ml_auc",
-    "q_text_zipf",
-    "q_ann_mrl",
-    "q_privacy_tclose",
-    "q_ts_cusum",
-    "q_multimodal_silence",
-    "q_mix_epochs",
-    # §2.D post-window batch 12 (first tranche)
-    "q_agg_mad",
-    "q_sample_balanced",
-    "q_ml_linreg",
-    "q_rank_mrr",
-    "q_ts_acf",
-    "q_sketch_kmv",
-    "q_skew_report",
-    "q_join_asof_nearest",
+    # ---- the 37 never-driver-verified SURVEY §2.B contract keys ----
+    "q_scan_project",
+    "q_scan_count",
+    "q_scan_events_ts",
+    "q_source_json",
+    "q_project_arith",
+    "q_project_case",
+    "q_join_smj",
+    "q_join_theta",
+    "q_scalar_subq",
+    "q_agg_approx_distinct",  # rows-only by declared design
+    "q_win_percent",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving",
+    "q_win_first_last",
+    "q_win_topk_group",
+    "q_sort_multi",
+    "q_topk",
+    "q_union_all",
+    "q_union_distinct",
+    "q_str_funcs",
+    "q_str_regexp",
+    "q_str_split",
+    "q_math_funcs",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_funnel",
+    "stream_watermark_late",  # rows-only by declared design
+    "q_text_wordcount",
+    "q_text_token_stats",
+    "q_text_tfidf",
+    "q_knn_label",
+    "q_udf_scalar",
+    "q_pandas_udf",
+    "q_udtf",
+    # ---- changed THIS round (ADVICE fixes / lineage truncation /
+    # ---- new fixed-panel oracle) and never driver-verified ----
+    "q_ml_brier",
+    "q_ml_confusion",
+    "q_ts_drawdown",
+    "q_ml_mutual_info",
+    "q_stats_anova",
+    "q_graph_label_prop",
+    "q_graph_link_predict",
+    "q_dedup_recall_report",
+    # ---- prepared round-8 plan: TPC-H tier + time-travel source ----
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "source_time_travel",
 )
 
 assert len(_ALIASED) == 50, len(_ALIASED)
 
 for _canonical in _ALIASED:
     # strip the q_ prefix so e.g. q_pack_tokens -> a0_pack_tokens;
-    # non-q keys keep their full name (a0_sink_nested).
+    # non-q keys keep their full name (a0_source_time_travel).
     _short = _canonical[2:] if _canonical.startswith("q_") else _canonical
     register_alias(f"a0_{_short}", _canonical)
