@@ -614,7 +614,10 @@ _TRADE_EDGES_SQL = """
 """
 
 
-def _label_prop_oracle() -> str:
+def _lp_chain_sql() -> str:
+    """The shared label-propagation CTE chain (edges -> sym -> nodes ->
+    lp0..lp{LP_ROUNDS}) used by both q_graph_label_prop's oracle and
+    q_graph_modularity's."""
     rounds = []
     prev = "lp0"
     for r in range(1, LP_ROUNDS + 1):
@@ -631,9 +634,8 @@ def _label_prop_oracle() -> str:
         )
         prev = f"lp{r}"
     body = ",\n    ".join(rounds)
-    return f"""
-    WITH edges0 AS ({_TRADE_EDGES_SQL}),
-    sym AS (
+    return f"""edges0 AS ({_TRADE_EDGES_SQL}),
+    sym AS MATERIALIZED (
       SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
         SELECT src AS u, dst AS v, w FROM edges0
         UNION ALL
@@ -642,7 +644,12 @@ def _label_prop_oracle() -> str:
     ),
     nodes AS (SELECT n_nationkey AS node FROM nation),
     lp0 AS (SELECT node, node AS lbl FROM nodes),
-    {body},
+    {body}"""
+
+
+def _label_prop_oracle() -> str:
+    return f"""
+    WITH {_lp_chain_sql()},
     sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
            FROM lp{LP_ROUNDS} GROUP BY lbl)
     SELECT nt.n_name, CAST(f.lbl AS BIGINT) AS community,
@@ -684,6 +691,32 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     before; ~1.9 s warm after). A graph whose node set scaled with the
     corpus would instead keep the labels-⨝-edges rounds distributed
     with localCheckpoint between rounds."""
+    edge_rows, node_ids = _trade_sym_collect(spark, sf_dir)
+    lbl = _label_prop_assign(edge_rows, node_ids)
+    sizes: dict[int, int] = {}
+    for label in lbl.values():
+        sizes[label] = sizes.get(label, 0) + 1
+    labels = spark.createDataFrame(
+        [(n, lbl[n], sizes[lbl[n]]) for n in node_ids],
+        "node int, community long, community_size long",
+    )
+    nation = t(spark, sf_dir, "nation")
+    return labels.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select("n_name", "community", "community_size")
+
+
+def _trade_sym_collect(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int, int]], list[int]]:
+    """Distributed fact-chain aggregation of the symmetric weighted
+    nation trade graph, collected ONCE to the driver (bounded by
+    nations² — control-plane-sized, the q_graph_sssp pattern at
+    graph.py:456). Shared by q_graph_label_prop / q_graph_modularity:
+    the heavy work (corpus → ≤625 aggregated edges) stays in keyed
+    map-side-combined shuffles; only the tiny graph crosses to the
+    driver."""
     l = t(spark, sf_dir, "lineitem").alias("l")
     o = t(spark, sf_dir, "orders").alias("o")
     c = t(spark, sf_dir, "customer").alias("c")
@@ -708,20 +741,21 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.sum("w").cast("long").alias("w"))
     )
-    # Materialize the aggregated edge set ONCE to the driver (bounded
-    # by nations^2 — control-plane-sized, the q_graph_sssp pattern at
-    # graph.py:456) and run the bounded rounds there: the distributed
-    # work is the fact-chain edge aggregation above; the iteration
-    # itself is exact-integer arithmetic over <= 625 rows, so driver
-    # rounds replace ~4 shuffle stages per round (and a per-round
-    # restack of the fact-chain lineage that made Catalyst plan build
-    # 85-99 % of wall at sf0.1) with one in-memory loop. Tie-break is
-    # the same total (tw DESC, lbl ASC) order as the oracle.
     edge_rows = [(r["u"], r["v"], r["w"]) for r in sym.collect()]
     node_ids = sorted(
         r["node"]
         for r in nation.select(F.col("n_nationkey").alias("node")).collect()
     )
+    return edge_rows, node_ids
+
+
+def _label_prop_assign(
+    edge_rows: list[tuple[int, int, int]], node_ids: list[int]
+) -> dict[int, int]:
+    """The LP_ROUNDS synchronous label-propagation rounds as exact-
+    integer driver arithmetic over the collected control-plane graph —
+    tie-break is the same total (tw DESC, lbl ASC) order as the
+    oracle's row_number."""
     lbl = {n: n for n in node_ids}
     for _ in range(LP_ROUNDS):
         votes: dict[tuple[int, int], int] = {}
@@ -734,17 +768,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             if cur is None or (-tw, label) < cur:
                 best[u] = (-tw, label)
         lbl = {n: (best[n][1] if n in best else n) for n in node_ids}
-    sizes: dict[int, int] = {}
-    for label in lbl.values():
-        sizes[label] = sizes.get(label, 0) + 1
-    labels = spark.createDataFrame(
-        [(n, lbl[n], sizes[lbl[n]]) for n in node_ids],
-        "node int, community long, community_size long",
-    )
-    return labels.join(
-        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
-        "node",
-    ).select("n_name", "community", "community_size")
+    return lbl
 
 
 LINK_MIN_CN = 2  # min common neighbors before a pair is scored
@@ -1010,4 +1034,106 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " THEN n_reached * 1000000 DIV dist_sum ELSE 0 END AS BIGINT)"
             ).alias("closeness_ppm"),
         )
+    )
+
+
+def _modularity_oracle() -> str:
+    # Q_ppm via the overflow-safe three-step floor decomposition of
+    # floor((num + D) * 1e6 / D) - 1e6 with D = m2^2: num is offset by
+    # +D (modularity >= -1 bounds num >= -D) so every divided operand
+    # is non-negative, and the *1e6 is split 1000 x 1000 so no
+    # intermediate exceeds ~1e17 at the 10x probe (m2 ~ 1.2e7,
+    # D ~ 1.5e14) — BIGINT-safe on both engines, floor-exact by the
+    # identity a*1000 = (a div D)*1000*D + (a%d)*1000.
+    return f"""
+    WITH {_lp_chain_sql()},
+    deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY u),
+    mm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM sym),
+    nm AS (
+      SELECT CAST(sum(
+               CAST(coalesce(e.w, 0) AS BIGINT) * mm.m2
+               - CAST(coalesce(du.k, 0) AS BIGINT)
+                 * CAST(coalesce(dv.k, 0) AS BIGINT)
+             ) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lp{LP_ROUNDS} a
+      JOIN lp{LP_ROUNDS} b ON a.lbl = b.lbl
+      LEFT JOIN sym e ON e.u = a.node AND e.v = b.node
+      LEFT JOIN deg du ON du.u = a.node
+      LEFT JOIN deg dv ON dv.u = b.node
+      CROSS JOIN mm
+    ),
+    parts AS (
+      SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+             CAST((SELECT count(DISTINCT lbl) FROM lp{LP_ROUNDS}) AS BIGINT)
+               AS n_communities,
+             mm.m2 AS m2,
+             nm.num + mm.m2 * mm.m2 AS a,
+             mm.m2 * mm.m2 AS d
+      FROM mm CROSS JOIN nm
+    )
+    SELECT n_nodes, n_communities, m2,
+           CAST((a // d) * 1000000
+                + ((a % d) * 1000 // d) * 1000
+                + (((a % d) * 1000 % d) * 1000) // d
+                - 1000000 AS BIGINT) AS q_ppm
+    FROM parts
+    """
+
+
+@query("q_graph_modularity", _modularity_oracle())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of q_graph_label_prop's communities over the
+    weighted nation trade graph (Newman & Girvan 2004): Q = (1/2m) ·
+    Σ_{{uv: c_u=c_v}} (A_uv − k_u·k_v/2m), reported in exact ppm — the
+    community-QUALITY readout that closes the loop on the graph
+    family: label prop proposes the partition, this key scores it (the
+    number you compare against a null/random partition before trusting
+    the communities downstream).
+
+    Exactness: the statistic is DEFINED as an integer recipe — num =
+    Σ_same (w_uv·m2 − k_u·k_v) over all same-community node pairs
+    (missing edges contribute only the −k_u·k_v expectation term),
+    then Q_ppm = floor((num + D)·1e6 / D) − 1e6 with D = m2², the +D
+    offset keeping every divided operand non-negative (Q ≥ −1) and the
+    1e6 split 1000×1000 so nothing overflows BIGINT at the 10x probe.
+    Both engines run the identical decomposition, so the hash is exact.
+
+    Scale shape: identical to q_graph_label_prop — the distributed
+    work is the fact-chain edge aggregation; the pair sum runs over
+    same-community pairs of the ≤25-node control-plane graph in driver
+    arithmetic. A corpus-scaled graph would compute the same num as a
+    (community ⨝ community) keyed aggregate of edges plus a per-
+    community Σk rollup — one extra shuffle, no pair blowup."""
+    edge_rows, node_ids = _trade_sym_collect(spark, sf_dir)
+    lbl = _label_prop_assign(edge_rows, node_ids)
+    w_of = {(u, v): w for u, v, w in edge_rows}
+    k = {n: 0 for n in node_ids}
+    for u, v, w in edge_rows:
+        k[u] += w
+    m2 = sum(w for _, _, w in edge_rows)
+    num = 0
+    for a in node_ids:
+        for b in node_ids:
+            if lbl[a] != lbl[b]:
+                continue
+            num += w_of.get((a, b), 0) * m2 - k[a] * k[b]
+    d = m2 * m2
+    av = num + d
+    q_ppm = (
+        (av // d) * 1_000_000
+        + ((av % d) * 1000 // d) * 1000
+        + (((av % d) * 1000 % d) * 1000) // d
+        - 1_000_000
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(node_ids),
+                len(set(lbl.values())),
+                m2,
+                q_ppm,
+            )
+        ],
+        "n_nodes bigint, n_communities bigint, m2 bigint, q_ppm bigint",
     )

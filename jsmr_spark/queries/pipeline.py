@@ -1742,3 +1742,85 @@ def q_profile_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Two-phase anneal schedule: progress buckets below the split train on
+# the breadth mix, the final stretch anneals toward the quality mix.
+ANNEAL_SPLIT = 70  # percent of the 0..99 progress-hash space
+ANNEAL_MOD = 16
+
+
+_ANNEAL_ORACLE = f"""
+    WITH d AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) % {ANNEAL_MOD} AS sidx,
+             CASE WHEN {_BUCKET_DUCK} < {ANNEAL_SPLIT}
+                  THEN 'early' ELSE 'late' END AS phase,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT phase, source, sidx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM d GROUP BY phase, source, sidx
+    )
+    SELECT phase, source, n_docs, tokens,
+           CAST(CASE WHEN phase = 'early' THEN 1000 - 30 * sidx
+                     ELSE 400 + 40 * sidx END AS BIGINT) AS weight_milli,
+           CAST(tokens * (CASE WHEN phase = 'early' THEN 1000 - 30 * sidx
+                               ELSE 400 + 40 * sidx END) // 1000
+                AS BIGINT) AS alloc_tokens
+    FROM g
+"""
+
+
+@query("q_mix_anneal", _ANNEAL_ORACLE)
+def q_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase annealed data mixing — the pretraining schedule where
+    the LAST stretch of training shifts the source mixture toward the
+    high-quality slice (the 'anneal' every modern data card describes)
+    rather than holding one static mix: docs land in the early/late
+    phase by the deterministic progress hash ({ANNEAL_SPLIT} % early),
+    and each (phase, source) cell gets its scheduled weight and the
+    token allocation that weight buys. Completes the mixing family:
+    q_mix_sources fixes static weights, q_mix_temperature rebalances by
+    size, q_mix_token_budget waterfills a cap, q_mix_epochs repeats
+    sources — this key adds the TIME axis.
+
+    Weights are a pure integer function of the source index (early:
+    1000 − 30·(idx mod {ANNEAL_MOD}) milli — breadth-heavy; late:
+    400 + 40·(idx mod {ANNEAL_MOD}) milli — inverted toward the
+    annealed slice), so both engines derive identical schedules with
+    no weight table to ship; allocations are one non-negative floor
+    division.
+
+    Scale shape: one narrow map (hash bucket + token count), one
+    (phase, source)-keyed map-side-combinable aggregate — output is
+    2 × sources rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        (F.substring("source", 4, 10).cast("int") % ANNEAL_MOD).alias("sidx"),
+        F.when(F.expr(_BUCKET_SPARK) < ANNEAL_SPLIT, "early")
+        .otherwise("late")
+        .alias("phase"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    g = d.groupBy("phase", "source", "sidx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    wexpr = (
+        "CASE WHEN phase = 'early' THEN 1000 - 30 * sidx"
+        " ELSE 400 + 40 * sidx END"
+    )
+    return g.select(
+        "phase",
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr(f"CAST({wexpr} AS BIGINT)").alias("weight_milli"),
+        F.expr(f"CAST(tokens * ({wexpr}) DIV 1000 AS BIGINT)").alias(
+            "alloc_tokens"
+        ),
+    )

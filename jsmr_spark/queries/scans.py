@@ -1054,3 +1054,128 @@ def sink_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "codec string, n_groups bigint, n_total bigint, sum_price_cents_total bigint",
     )
+
+
+@query(
+    "q_scan_metadata",
+    """
+    SELECT 'documents.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    """,
+)
+def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` file column: per-input-file row accounting
+    (file name, row count, doc_id span) straight off the scan — the
+    lineage/debugging primitive for a 100 TB lake ("which file did this
+    row come from", "is one file carrying the skew", "did the backfill
+    touch every partition file") with ZERO extra I/O: `_metadata` rides
+    the existing FileScan, no join against a listing.
+
+    The oracle states the fixture-layout invariant (each fixture table
+    is exactly the single file `<table>.parquet`) and recomputes the
+    stats from the view, so a scan that drops rows, double-reads the
+    file, or reports a wrong file name fails the hash. On a
+    directory-backed table the same query yields one row per part file
+    (the aggregate is keyed on file_name — partition-count-sized
+    output)."""
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("_metadata.file_name").alias("file_name"), "doc_id")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+# Deterministic corruption rule for the malformed-CSV source: rows with
+# doc_id % CSV_BAD_MOD == CSV_BAD_RESIDUE get a non-numeric n_chars
+# field, which fails the INT schema cast and lands in the PERMISSIVE
+# corrupt-record column.
+CSV_BAD_MOD = 7
+CSV_BAD_RESIDUE = 3
+
+
+@query(
+    "q_source_csv_malformed",
+    f"""
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) FILTER (WHERE doc_id % {CSV_BAD_MOD} != {CSV_BAD_RESIDUE})
+           AS BIGINT) AS n_good,
+      CAST(count(*) FILTER (WHERE doc_id % {CSV_BAD_MOD} = {CSV_BAD_RESIDUE})
+           AS BIGINT) AS n_corrupt,
+      CAST(sum(CASE WHEN doc_id % {CSV_BAD_MOD} != {CSV_BAD_RESIDUE}
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_good
+    FROM documents
+    """,
+)
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record accounting — the
+    real-crawl contract: a 100 TB CSV drop ALWAYS contains broken rows,
+    and the pipeline must (a) not abort, (b) parse every good row,
+    (c) quarantine-count the bad ones. Staging writes documents as CSV
+    lines executor-side with a deterministic corruption (doc_id %
+    {CSV_BAD_MOD} == {CSV_BAD_RESIDUE} rows carry a non-numeric n_chars
+    field); the read declares an explicit schema plus
+    columnNameOfCorruptRecord, so malformed rows surface as a non-null
+    corrupt column instead of killing the job (mode=PERMISSIVE — the
+    FAILFAST/DROPMALFORMED alternatives are the same reader contract).
+
+    The oracle recomputes good/corrupt counts and the good-row n_chars
+    sum from the same rule, so a reader that silently drops corrupt
+    rows, mis-parses a good row, or double-counts fails the hash.
+    Scale shape: stage and read are both one narrow executor pass; the
+    final count aggregate is map-side combined."""
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"jsmr_csv_malformed_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    bad = (F.col("doc_id") % CSV_BAD_MOD) == CSV_BAD_RESIDUE
+    lines = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(","),
+            F.when(bad, F.concat(F.lit("bad"), F.col("n_chars").cast("string")))
+            .otherwise(F.col("n_chars").cast("string")),
+            F.lit(","),
+            F.col("lang"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    try:
+        back = (
+            spark.read.schema(
+                "doc_id LONG, n_chars INT, lang STRING, _corrupt STRING"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(out_dir)
+        )
+        agg = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("_corrupt").isNull(), 1))
+            .cast("long")
+            .alias("n_good"),
+            F.count(F.when(F.col("_corrupt").isNotNull(), 1))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_chars_good"),
+        )
+        rows = agg.collect()  # materialize before the staging dir is removed
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, n_good bigint, n_corrupt bigint, sum_chars_good bigint"
+    )

@@ -1385,3 +1385,75 @@ def q_text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("long").alias("n_oov"),
         F.expr("CAST(sum(oov) * 1000000 DIV count(*) AS BIGINT)").alias("oov_ppm"),
     )
+
+
+_READ_ORACLE = """
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS w,
+             greatest(length(text) - length(replace(text, '.', ''))
+                      + length(text) - length(replace(text, '!', ''))
+                      + length(text) - length(replace(text, '?', '')),
+                      1) AS s,
+             length(lower(text))
+               - length(translate(lower(text), 'aeiou', '')) AS v
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(s) AS BIGINT) AS n_sentences,
+           CAST(sum(v) AS BIGINT) AS n_vowels,
+           CAST(sum(w) * 1000 // sum(s) AS BIGINT) AS wps_milli,
+           CAST(sum(v) * 1000 // sum(w) AS BIGINT) AS vpw_milli,
+           CAST(206835 - 1015 * sum(w) // sum(s)
+                       - 84600 * sum(v) // sum(w) AS BIGINT) AS fre_milli
+    FROM d GROUP BY lang
+"""
+
+
+@query("q_text_readability", _READ_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch-style readability scoring (Flesch 1948
+    reading ease, the pre-training quality filter next to the length/
+    punctuation/stopword family): FRE = 206.835 − 1.015·(words/
+    sentence) − 84.6·(syllables/word), with sentences counted from
+    terminator characters (., !, ? — floored at 1 per doc) and the
+    syllable count proxied by vowel occurrences (the standard cheap
+    proxy; no dictionary exists in this environment). Everything is
+    milli-scaled BIGINT arithmetic: the two ratios are computed from
+    LANGUAGE-LEVEL sums with floor division (numerators provably
+    non-negative), and the final score is subtraction only — no
+    negative-operand division on either engine.
+
+    Scale shape: one narrow map over the corpus (char counting via
+    translate/replace stays in whole-stage codegen; no regex, no UDF)
+    into a language-keyed, map-side-combinable aggregate; output is
+    language-cardinality-sized."""
+    txt = F.col("text")
+    low = F.lower(txt)
+    term = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("."), F.lit(""))))
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("!"), F.lit(""))))
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("?"), F.lit(""))))
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(txt, " ")).alias("w"),
+        F.greatest(term, F.lit(1)).alias("s"),
+        (
+            F.length(low) - F.length(F.translate(low, "aeiou", ""))
+        ).alias("v"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("v").cast("long").alias("n_vowels"),
+        F.expr("CAST(sum(w) * 1000 DIV sum(s) AS BIGINT)").alias("wps_milli"),
+        F.expr("CAST(sum(v) * 1000 DIV sum(w) AS BIGINT)").alias("vpw_milli"),
+        F.expr(
+            "CAST(206835 - 1015 * sum(w) DIV sum(s)"
+            " - 84600 * sum(v) DIV sum(w) AS BIGINT)"
+        ).alias("fre_milli"),
+    )

@@ -373,3 +373,86 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w2).cast("long").alias("n_at_or_below"),
         F.count(F.lit(1)).over(wp).cast("long").alias("n_part"),
     )
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap closes a session
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    l AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {SESSION_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM l
+    ),
+    g AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events,
+           CAST(sum(dur_s) AS BIGINT) AS total_duration_s
+    FROM g GROUP BY user_id
+"""
+
+
+@query("q_win_sessionize", _SESSIONIZE_ORACLE)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization — the classic lag → break-flag →
+    running-sum window pattern: a new session starts where a user's
+    inter-event gap exceeds {SESSION_GAP_S} s, the session id is the
+    running count of breaks, and the key reports per-user session
+    stats (count, largest session, total active seconds). The batch
+    twin of q_stream_session's session window: the streaming form
+    closes sessions by watermark, this form derives identical
+    boundaries declaratively over history — the backfill/replay path
+    of the same product metric.
+
+    Determinism: event ordering is the exact (epoch-µs, event_id)
+    total order on both engines; gaps and durations are integer
+    microseconds with one floor division to seconds.
+
+    Scale shape: ONE exchange on user_id serves both window passes and
+    the two aggregates that follow (same-key partitioning reused);
+    per-partition state is one user's ordered events. No global sort,
+    no driver state."""
+    us = F.expr("unix_micros(ts)")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = t(spark, sf_dir, "events").select("user_id", us.alias("us"), "event_id")
+    brk = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    s = e.select("user_id", "us", "event_id", brk).select(
+        "user_id", "us", F.sum("brk").over(wrun).alias("sid")
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.expr("CAST((max(us) - min(us)) DIV 1000000 AS BIGINT)").alias("dur_s"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+        F.sum("dur_s").cast("long").alias("total_duration_s"),
+    )
