@@ -1504,3 +1504,44 @@ def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.expr("CAST(slq DIV n AS DOUBLE)") / GM_LN_SCALE) / 100.0
         ).alias("geo_mean"),
     )
+
+
+@query(
+    "q_agg_string_agg",
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — the report-
+    layer primitive that is nondeterministic by default: an unordered
+    collect would hash differently run to run (and engine to engine),
+    so the key DEFINES the deterministic form — distinct values,
+    sorted, joined — and implements it as array_sort(collect_set(...))
+    → array_join, the only ordering-stable spelling on a distributed
+    engine. The per-group value domain (order priorities) is bounded,
+    so collect_set state stays tiny no matter the corpus size.
+
+    Scale shape: broadcast-joined dimension, one segment-keyed
+    aggregate with map-side partial collect_sets; output is
+    segment-cardinality-sized."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+        )
+    )

@@ -1670,3 +1670,64 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("exact")
         .alias("direction"),
     )
+
+
+NULLSAFE_SENTINEL = "3-MEDIUM"  # priority mapped to NULL on both sides
+
+
+@query(
+    "q_join_null_safe",
+    f"""
+    WITH o AS (
+      SELECT nullif(o_orderpriority, '{NULLSAFE_SENTINEL}') AS pr,
+             {sql_cents("o_totalprice")} AS price_c
+      FROM orders
+    ),
+    d AS (
+      SELECT DISTINCT nullif(o_orderpriority, '{NULLSAFE_SENTINEL}') AS pr
+      FROM orders
+    )
+    SELECT d.pr AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.price_c) AS BIGINT) AS price_cents
+    FROM d JOIN o ON o.pr IS NOT DISTINCT FROM d.pr
+    GROUP BY d.pr
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): ordinary
+    equality drops every NULL-keyed row on the floor silently — the
+    classic lost-rows bug when dimension keys are nullable. The
+    fixture has no NULL keys, so one priority is deterministically
+    mapped to NULL on BOTH sides (nullif) and the join must still
+    carry that bucket through: a plain `=` join would lose ~1/5 of
+    the orders and fail the count/sum hash.
+
+    Planner note: eqNullSafe compiles to a hash-joinable key (Spark
+    wraps it as a knownfloatingpointnormalized coalesce pair), so this
+    stays a broadcast hash join, NOT a nested loop — nullable keys
+    don't cost the join strategy.
+
+    Scale shape: distinct-priority build side is bounded (broadcast);
+    one fact scan, one keyed aggregate."""
+    o = t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit(NULLSAFE_SENTINEL)).alias("pr"),
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    d = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.nullif(F.col("o_orderpriority"), F.lit(NULLSAFE_SENTINEL)).alias(
+                "pr"
+            )
+        )
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(d).alias("d"), o["pr"].eqNullSafe(F.col("d.pr")))
+        .groupBy(F.col("d.pr").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("price_cents"),
+        )
+    )

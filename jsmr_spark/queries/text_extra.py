@@ -1457,3 +1457,59 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 84600 * sum(v) DIV sum(w) AS BIGINT)"
         ).alias("fre_milli"),
     )
+
+
+@query(
+    "q_quality_ascii",
+    """
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_chars_txt,
+             length(regexp_replace(text, '[ -~]', '', 'g')) AS n_nonprint
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars_txt) AS BIGINT) AS n_chars,
+           CAST(sum(n_nonprint) AS BIGINT) AS n_nonprintable,
+           CAST(sum(n_nonprint) * 1000000 // nullif(sum(n_chars_txt), 0)
+                AS BIGINT) AS nonprintable_ppm,
+           CAST(count(*) FILTER (WHERE n_nonprint * 100 > n_chars_txt)
+                AS BIGINT) AS n_docs_flagged
+    FROM d GROUP BY source
+    """,
+)
+def q_quality_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source printable-ASCII hygiene audit — the cheapest crawl
+    filter there is: share of characters outside the printable-ASCII
+    band `[ -~]` (mojibake, control bytes, binary spill) in exact ppm,
+    plus the count of documents whose non-printable share exceeds 1 %
+    (the flag threshold as an integer cross-multiplication, no float).
+    Completes the quality family sideways: q_text_quality scores
+    linguistic shape, this key audits encoding health — the filter you
+    run FIRST, before paying for tokenization.
+
+    Cross-engine note: the character class `[ -~]` is a literal
+    codepoint range with identical semantics in Java regex (Spark) and
+    RE2 (DuckDB); counting is length-difference after removal, so no
+    extraction semantics are involved.
+
+    Scale shape: one narrow map (two length exprs + one regex removal)
+    into a source-keyed map-side-combinable aggregate."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").alias("n_chars_txt"),
+        F.length(F.regexp_replace("text", "[ -~]", "")).alias("n_nonprint"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars_txt").cast("long").alias("n_chars"),
+        F.sum("n_nonprint").cast("long").alias("n_nonprintable"),
+        F.expr(
+            "CAST(sum(n_nonprint) * 1000000 DIV nullif(sum(n_chars_txt), 0)"
+            " AS BIGINT)"
+        ).alias("nonprintable_ppm"),
+        F.count(F.when(F.col("n_nonprint") * 100 > F.col("n_chars_txt"), 1))
+        .cast("long")
+        .alias("n_docs_flagged"),
+    )
