@@ -29,11 +29,25 @@ Round-8 rotation:
     prepared round-8 plan (4 heavy TPC-H tier keys + the time-travel
     source machinery).
 
-Round-9 queue (SURVEY §2.D): the remaining never-verified keys in
-priority order — text_extra's 17-key block, timeseries' remaining
-block, the rest of the TPC-H tier, then the round-7 addendum tail.
-All are green under the local driver-protocol sweep (CHECKS_r8.md and
-this round's re-checks).
+Round-9 rotation (PREPARED, do not apply until CORRECTNESS_r08 lands):
+retire every alias r8 reports green, then install this EXACT 50-key
+window (priority order from SURVEY §2.D): the 18-key text block
+(q_text_langid, q_text_ccnet_bucket, q_text_chunk, q_text_dup_spans,
+q_text_entropy, q_text_feature_hash, q_text_fingerprint,
+q_text_lang_confusion, q_text_line_dedup, q_text_ngram_lm,
+q_text_novelty, q_text_oov, q_text_perplexity, q_text_pmi,
+q_text_rarity, q_text_repetition, q_text_token_bpe,
+q_text_vocab_coverage), the 16 remaining TPC-H keys (q3-q8, q10, q11,
+q13-q16, q18, q19, q21, q22), the 11-key timeseries tail
+(q_ts_concurrency, q_ts_decompose, q_ts_heatmap, q_ts_interpolate,
+q_ts_lttb, q_ts_mk_trend, q_ts_peaks, q_ts_resample,
+q_ts_transitions, q_ts_wow_growth, q_ts_zscore), the round-8 plan
+change q_agg_weighted_median (broadcast-total re-hash), and 4 of the
+round-8 additions (q_graph_modularity, q_win_sessionize,
+q_text_readability, q_quality_ascii). The remaining ~84 keys queue
+for rounds 10-11. Keep any r8 hash-fail aliases in place until they
+pass. All candidates are green under the local driver protocol
+(CHECKS_r9.md).
 """
 
 from __future__ import annotations
