@@ -10,10 +10,15 @@ import os
 
 import pytest
 
-from jsmr_spark.registry import all_specs
+from jsmr_spark.registry import all_specs, canonical_specs
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-ROWS_ONLY = sorted(k for k, s in all_specs().items() if s.oracle is None)
+# Canonical keys only: a driver-window alias is the same fn object as
+# its canonical key (asserted by test_differential.py::
+# test_alias_identity), so pinning it twice would re-check the same
+# computation — and rows-only keys rotated into the window would
+# otherwise demand duplicate golden files under their alias names.
+ROWS_ONLY = sorted(k for k, s in canonical_specs().items() if s.oracle is None)
 # Emitted windows / outer-join null extension depend on micro-batch
 # boundaries; the dedicated streaming tests assert their semantics
 # (late-drop contract, matched==batch + null-boundary coverage)
