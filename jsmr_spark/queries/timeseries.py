@@ -2414,3 +2414,125 @@ def q_ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - {off} AS BIGINT)"
         ).alias("wow_growth_ppm"),
     )
+
+
+# Holt state packing: one BIGINT carries (level, trend), both offset
+# non-negative so floor (//) and truncation (DIV) agree on every
+# intermediate. B = 2^32 field width, H = 2^31 offset, K = 2^40 the
+# floor-identity offset for the halving steps.
+HOLT_B = 1 << 32
+HOLT_H = 1 << 31   # trend-field offset (low 32 bits)
+HOLT_HL = 1 << 29  # level-field offset (high bits): (l + 2^29) * 2^32
+#   stays under 2^62 for any |level| < 2^29 dollars (~5e8 — three
+#   orders above the 10x-probe daily spine), where a 2^31 offset would
+#   overflow BIGINT at pack time.
+HOLT_K = 1 << 40
+
+
+def _holt_lambda(div: str) -> str:
+    """The (acc, x) -> packed-state fold body, identical text on both
+    engines apart from the integer-division spelling. A SCALAR
+    accumulator is load-bearing: DuckDB's list_reduce evaluates struct
+    fields against a sequentially-mutated accumulator (measured: a
+    later field referencing acc.l sees the NEW level), so a struct
+    state cannot be spelled engine-identically — one packed BIGINT
+    side-steps the semantics entirely."""
+    b, h, hl, k, k2 = HOLT_B, HOLT_H, HOLT_HL, HOLT_K, 2 * HOLT_K
+    lp = f"(acc {div} {b} - {hl})"   # previous level
+    bp = f"(acc % {b} - {h})"        # previous trend
+    y = f"(x {div} {b} - {hl})"      # this day's value
+    lv = f"(({y} + {lp} + {bp} + {k2}) {div} 2 - {k})"
+    bv = f"(({lv} - {lp} + {bp} + {k2}) {div} 2 - {k})"
+    return f"(acc, x) -> ({lv} + {hl}) * {b} + ({bv} + {h})"
+
+
+def _holt_oracle() -> str:
+    pack = f"(vc // 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}"
+    return f"""
+    WITH d AS ({_DAY_SERIES_SQL}),
+    arr AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list({pack} ORDER BY day) AS a
+      FROM d GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n_days,
+             list_reduce(a, {_holt_lambda("//")}) AS s
+      FROM arr
+    )
+    SELECT event_type, n_days,
+           CAST(s // {HOLT_B} - {HOLT_HL} AS BIGINT) AS level_dollars,
+           CAST(s % {HOLT_B} - {HOLT_H} AS BIGINT) AS trend_dollars,
+           CAST((s // {HOLT_B} - {HOLT_HL}) + (s % {HOLT_B} - {HOLT_H})
+                AS BIGINT) AS forecast_1d_dollars,
+           CAST((s // {HOLT_B} - {HOLT_HL}) + 3 * (s % {HOLT_B} - {HOLT_H})
+                AS BIGINT) AS forecast_3d_dollars
+    FROM st
+    """
+
+
+@query("q_ts_holt", _holt_oracle())
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, α=β=1/2) over
+    each event type's daily revenue series, with 1-day and 3-day-ahead
+    linear forecasts — the trend-aware upgrade of q_ts_ewma (which
+    smooths level only) and the forecasting complement of
+    q_ts_seasonal's seasonal-naive backtest.
+
+    Exactness: the recursion l' = ⌊(y+l+b)/2⌋, b' = ⌊(l'−l+b)/2⌋ is
+    DEFINED with a floor at every step and run as a fold over the
+    day-ordered series, state packed into ONE BIGINT — (level+2²⁹)·2³²
+    + (trend+2³¹) — because (a) DuckDB's list_reduce mutates a struct
+    accumulator between field evaluations (measured; a two-field state
+    diverges) and (b) the offsets keep every divided operand
+    non-negative, making Spark's truncating DIV and DuckDB's flooring
+    // agree. Values are whole dollars (vc // 100), bounding the
+    packed level well under the 2³¹ field at the 100x probe.
+
+    Scale shape: the corpus collapses to the (event_type, day) spine
+    first (keyed map-side-combined hash agg); the fold runs per event
+    type over the bounded calendar array — series-length work, corpus-
+    independent. The fold is the honest form for an order-dependent
+    recurrence: no window spelling exists (each output depends on the
+    previous OUTPUT, not previous input), so this is aggregate-HOF
+    territory by construction, still JVM-side codegen."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    pack = f"(vc DIV 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}"
+    arr = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            f"transform(array_sort(collect_list(struct(day, {pack} AS p))),"
+            " e -> e.p)"
+        ).alias("a"),
+    )
+    st = arr.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"aggregate(slice(a, 2, size(a)), a[0],"
+            f" {_holt_lambda('DIV')})"
+        ).alias("s"),
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.expr(f"CAST(s DIV {HOLT_B} - {HOLT_HL} AS BIGINT)").alias(
+            "level_dollars"
+        ),
+        F.expr(f"CAST(s % {HOLT_B} - {HOLT_H} AS BIGINT)").alias(
+            "trend_dollars"
+        ),
+        F.expr(
+            f"CAST((s DIV {HOLT_B} - {HOLT_HL}) + (s % {HOLT_B} - {HOLT_H})"
+            " AS BIGINT)"
+        ).alias("forecast_1d_dollars"),
+        F.expr(
+            f"CAST((s DIV {HOLT_B} - {HOLT_HL}) + 3 * (s % {HOLT_B} - {HOLT_H})"
+            " AS BIGINT)"
+        ).alias("forecast_3d_dollars"),
+    )
