@@ -1513,3 +1513,148 @@ def q_quality_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_flagged"),
     )
+
+
+# Gopher-style document-shape gates (Rae et al. 2021, adapted to the
+# signals derivable from the fixture text): word-count band, mean
+# word length band (milli), digit-character share cap, symbol
+# (non-alphanumeric-non-space) share cap, duplicate-word share cap.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN_MILLI = 2_000
+GOPHER_MAX_WLEN_MILLI = 12_000
+GOPHER_DIGIT_PPM = 200_000
+GOPHER_SYMBOL_PPM = 100_000
+GOPHER_DUPWORD_PPM = 500_000
+
+
+_GOPHER_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS w,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digit,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_sym
+      FROM documents
+    ),
+    dw AS (
+      SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) u
+      GROUP BY doc_id
+    ),
+    r AS (
+      SELECT c.source,
+             CASE WHEN c.w < {GOPHER_MIN_WORDS}
+                    OR c.w > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN (c.nc - c.w + 1) * 1000 < {GOPHER_MIN_WLEN_MILLI} * c.w
+                    OR (c.nc - c.w + 1) * 1000 > {GOPHER_MAX_WLEN_MILLI} * c.w
+                  THEN 1 ELSE 0 END AS f_wlen,
+             CASE WHEN c.n_digit * 1000000 > {GOPHER_DIGIT_PPM} * c.nc
+                  THEN 1 ELSE 0 END AS f_digit,
+             CASE WHEN c.n_sym * 1000000 > {GOPHER_SYMBOL_PPM} * c.nc
+                  THEN 1 ELSE 0 END AS f_sym,
+             CASE WHEN (c.w - dw.n_distinct) * 1000000
+                       > {GOPHER_DUPWORD_PPM} * c.w
+                  THEN 1 ELSE 0 END AS f_dup
+      FROM c JOIN dw ON dw.doc_id = c.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_len) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(f_wlen) AS BIGINT) AS n_fail_wordlen,
+           CAST(sum(f_digit) AS BIGINT) AS n_fail_digit,
+           CAST(sum(f_sym) AS BIGINT) AS n_fail_symbol,
+           CAST(sum(f_dup) AS BIGINT) AS n_fail_dupword,
+           CAST(count(*) FILTER (WHERE f_len + f_wlen + f_digit
+                                       + f_sym + f_dup = 0)
+                AS BIGINT) AS n_pass_all,
+           CAST(count(*) FILTER (WHERE f_len + f_wlen + f_digit
+                                       + f_sym + f_dup = 0) * 1000000
+                // count(*) AS BIGINT) AS pass_ppm
+    FROM r GROUP BY source
+"""
+
+
+@query("q_quality_gopher_rules", _GOPHER_ORACLE)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-shape gate census (Rae et al. 2021 §A1.1,
+    adapted to fixture-derivable signals): per source, how many docs
+    fail EACH named rule — word-count band, mean-word-length band,
+    digit share, symbol share, duplicate-word share — plus the
+    all-rules pass count and exact-ppm pass rate. q_text_quality
+    SCORES documents; this key reports the rule-by-rule attrition a
+    curation run publishes ("source X loses 40 % to the digit gate"),
+    the per-rule breakdown every data card wants.
+
+    Every comparison is an integer cross-multiplication (share > cap
+    becomes count·1e6 > cap_ppm·total), so rule outcomes are
+    hash-exact — no float thresholds. The duplicate-word rule is the
+    one corpus-heavy signal (distinct tokens per doc via one
+    explode + doc-keyed aggregate); everything else is narrow
+    translate/regexp char counting inside whole-stage codegen.
+
+    Scale shape: one narrow char-count map + one doc-keyed distinct
+    aggregate (map-side combinable) + one source-keyed rollup."""
+    docs = t(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("w"),
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digit"),
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).alias("n_sym"),
+    )
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").cast("long").alias("n_distinct"))
+    )
+    f_len = (
+        (F.col("w") < GOPHER_MIN_WORDS) | (F.col("w") > GOPHER_MAX_WORDS)
+    ).cast("int")
+    wchars = (F.col("nc") - F.col("w") + 1) * 1000
+    f_wlen = (
+        (wchars < GOPHER_MIN_WLEN_MILLI * F.col("w"))
+        | (wchars > GOPHER_MAX_WLEN_MILLI * F.col("w"))
+    ).cast("int")
+    f_digit = (
+        F.col("n_digit") * 1_000_000 > GOPHER_DIGIT_PPM * F.col("nc")
+    ).cast("int")
+    f_sym = (
+        F.col("n_sym") * 1_000_000 > GOPHER_SYMBOL_PPM * F.col("nc")
+    ).cast("int")
+    f_dup = (
+        (F.col("w") - F.col("n_distinct")) * 1_000_000
+        > GOPHER_DUPWORD_PPM * F.col("w")
+    ).cast("int")
+    r = c.join(dw, "doc_id").select(
+        "source",
+        f_len.alias("f_len"),
+        f_wlen.alias("f_wlen"),
+        f_digit.alias("f_digit"),
+        f_sym.alias("f_sym"),
+        f_dup.alias("f_dup"),
+    )
+    all_pass = (
+        F.col("f_len") + F.col("f_wlen") + F.col("f_digit")
+        + F.col("f_sym") + F.col("f_dup")
+        == 0
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_len").cast("long").alias("n_fail_wordcount"),
+        F.sum("f_wlen").cast("long").alias("n_fail_wordlen"),
+        F.sum("f_digit").cast("long").alias("n_fail_digit"),
+        F.sum("f_sym").cast("long").alias("n_fail_symbol"),
+        F.sum("f_dup").cast("long").alias("n_fail_dupword"),
+        F.count(F.when(all_pass, 1)).cast("long").alias("n_pass_all"),
+        F.expr(
+            "CAST(count(CASE WHEN f_len + f_wlen + f_digit + f_sym + f_dup = 0"
+            " THEN 1 END) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("pass_ppm"),
+    )
