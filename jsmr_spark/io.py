@@ -21,9 +21,16 @@ source-level normalization lives in exactly one place:
     fail loudly rather than flow through the wrong normalization.
 
 Scale note: loaders return plain ``spark.read.parquet`` scans — no
-caching, no repartition — so Catalyst keeps full pushdown/pruning
+``.cache()``, no repartition — so Catalyst keeps full pushdown/pruning
 freedom and the same code works when a path points at a 100 TB
-partitioned dataset instead of one file.
+partitioned dataset instead of one file. The analyzed scan itself IS
+memoized per (session, sf_dir, table): re-resolving the same path
+re-lists files and re-reads parquet footers on every query (~80 ms/
+table locally, a metastore round trip per query on a cluster), which
+is exactly the metadata a production catalog caches. The memo holds
+only the relation (schema + file index snapshot) — each query still
+plans its own filters/projections on top, so pushdown is per-query.
+Sources that mutate between reads must pass ``fresh=True``.
 """
 
 from __future__ import annotations
@@ -56,10 +63,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, applying source normalization."""
+# session -> {(abspath(sf_dir), table): analyzed DataFrame}. Weak keys
+# for the same reason as _REGISTERED below. The cached object pins the
+# file-listing snapshot taken at first load — correct for the read-only
+# fixture dirs (and for any immutable lake partition); callers reading
+# a path they mutate must pass fresh=True.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    """Load one fixture table, applying source normalization.
+
+    Memoized per (session, sf_dir, table) — see the module docstring.
+    ``fresh=True`` bypasses and refreshes the memo (mutable sources).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache = _DF_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if not fresh:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -95,6 +124,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"unexpected events.ts dtype {ts_type!r}; loader knows "
                 f"bigint(ns), timestamp_ntz, timestamp"
             )
+    cache[key] = df
     return df
 
 

@@ -25,14 +25,30 @@ import os
 
 from pyspark.sql import SparkSession
 
+import weakref
+
+
+def _aqe_default() -> str:
+    """AQE default: ON — runtime coalescing + skew-join handling is the
+    100 TB story and costs nothing at cluster scale. At LOCAL bench
+    scale (sub-second plans over ~MB inputs) AQE's per-stage replanning
+    is pure fixed overhead — measured 1.5-2x wall on sub-second keys —
+    so the perf harnesses (bench.py, tools/ab_sweep.py) export
+    SPARK_GRAFT_AQE=false; correctness paths leave it on."""
+    return os.environ.get("SPARK_GRAFT_AQE", "true")
+
+
 # Confs that are safe (and required) to set on a live session.
-RUNTIME_CONFS: dict[str, str] = {
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
-    "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-}
+# A function, not a module constant: the AQE entries read the env at
+# call time so a harness can flip SPARK_GRAFT_AQE after import.
+def RUNTIME_CONFS() -> dict[str, str]:
+    return {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": _aqe_default(),
+        "spark.sql.adaptive.coalescePartitions.enabled": _aqe_default(),
+        "spark.sql.adaptive.skewJoin.enabled": _aqe_default(),
+    }
 
 # Applied alongside RUNTIME_CONFS when the session is driver-owned: a
 # vanilla session defaults to 200 shuffle partitions, which at bench
@@ -85,16 +101,30 @@ def get_spark(app_name: str = "jsmr_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in RUNTIME_CONFS().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_engine_confs(spark)
     return spark
 
 
+# Sessions ensure_engine_confs has already configured. Memoized so (a)
+# the per-query loader path doesn't pay ~10 py4j conf round trips per
+# table, and (b) a caller that deliberately overrides a conf AFTER the
+# first application (e.g. tests running with AQE off / odd shuffle
+# partition counts) isn't silently clobbered by the next load_table.
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
-    """Apply engine-required runtime confs to an externally-owned session."""
-    for k, v in RUNTIME_CONFS.items():
+    """Apply engine-required runtime confs to an externally-owned session.
+
+    Idempotent and applied once per session; later explicit conf
+    overrides by the caller stick."""
+    if spark in _CONFIGURED:
+        return spark
+    _CONFIGURED.add(spark)
+    for k, v in RUNTIME_CONFS().items():
         try:
             spark.conf.set(k, v)
         except Exception:

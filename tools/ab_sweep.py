@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+# Perf harness: AQE off at local bench scale (see bench.py for the
+# measured rationale); override with SPARK_GRAFT_AQE=true to compare.
+os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
