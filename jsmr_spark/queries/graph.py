@@ -31,6 +31,34 @@ PR_SCALE = 1_000_000_000  # rank unit: 1e9 (sum of all ranks ~= PR_SCALE)
 PR_ITERS = 3
 PR_DAMP_PCT = 85  # damping factor in percent
 
+# The recursion keys (reach/SSSP/label-prop) collect their edge list to
+# the driver and iterate there — measured 4-7x faster than re-executing
+# the edge build per recursion level, but ONLY valid while the edge
+# source is a dimension-keyed aggregate. The fixtures' graph nodes are
+# nation keys (25 nations -> <= 625 directed edges), so the bound is
+# structural, not statistical. _collect_control_plane makes it
+# load-bearing: the plan materializes at most bound+1 rows on the
+# driver, and exceeding the bound fails loudly instead of OOMing.
+CONTROL_PLANE_EDGE_BOUND = 25 * 25
+
+
+def _collect_control_plane(df: DataFrame, what: str, bound: int = CONTROL_PLANE_EDGE_BOUND):
+    """Collect a control-plane-sized relation with a hard row bound.
+
+    ``limit(bound+1)`` keeps the driver transfer bounded even if the
+    source grows; one extra row is enough to detect the overflow."""
+    rows = df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise RuntimeError(
+            f"{what}: edge list exceeds the control-plane bound "
+            f"({bound} rows) — the driver-side recursion is only valid "
+            f"for dimension-keyed graphs. For a data-scale graph, use "
+            f"the distributed alternatives: the LSH-bucketed CC loop "
+            f"(q_dedup_clusters_lsh, pipeline.py) or a bounded-frontier "
+            f"keyed-join iteration (pagerank pattern in this module)."
+        )
+    return rows
+
 
 _PAGERANK_ORACLE = f"""
     WITH edges AS (
@@ -272,7 +300,7 @@ def q_graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure-SQL form re-executes the whole fact-chain edge build on
     # EVERY recursion level (measured 4.1x at the 10x probe). The
     # recursion then joins a LocalRelation per level.
-    edge_rows = edges.collect()
+    edge_rows = _collect_control_plane(edges, "q_graph_reach")
     spark.createDataFrame(edge_rows, "src int, dst int").createOrReplaceTempView(
         "reach_edges"
     )
@@ -453,7 +481,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src", "dst", F.expr(f"CAST({SSSP_COST_NUM} div w AS BIGINT)").alias("cost")
         )
     )
-    edge_rows = edges.collect()  # bounded by nations^2 (control-plane-sized)
+    edge_rows = _collect_control_plane(edges, "q_graph_sssp")
     spark.createDataFrame(edge_rows, "src int, dst int, cost bigint").createOrReplaceTempView(
         "sssp_edges"
     )
@@ -741,7 +769,10 @@ def _trade_sym_collect(
         .groupBy("u", "v")
         .agg(F.sum("w").cast("long").alias("w"))
     )
-    edge_rows = [(r["u"], r["v"], r["w"]) for r in sym.collect()]
+    edge_rows = [
+        (r["u"], r["v"], r["w"])
+        for r in _collect_control_plane(sym, "label-prop edge build")
+    ]
     node_ids = sorted(
         r["node"]
         for r in nation.select(F.col("n_nationkey").alias("node")).collect()

@@ -2000,3 +2000,24 @@ def test_bag_of_words_flags_reorderings(spark):
     assert len(out) == 2
     assert out[1].has_reordered and out[1].n_exact_variants == 2
     assert not out[3].has_reordered and out[3].n_docs == 2
+
+
+def test_control_plane_collect_bound_is_load_bearing(spark):
+    """The graph recursions collect their edge list driver-side, valid
+    only while the edge source is dimension-keyed (<= nations^2 rows).
+    The bound must FAIL LOUDLY on an oversized source, and the plan must
+    never materialize more than bound+1 rows on the driver."""
+    import pytest
+
+    from jsmr_spark.queries.graph import _collect_control_plane
+
+    small = spark.range(10).selectExpr("id AS src", "id AS dst")
+    assert len(_collect_control_plane(small, "test-small")) == 10
+
+    big = spark.range(10_000).selectExpr("id AS src", "id AS dst")
+    with pytest.raises(RuntimeError, match="control-plane bound"):
+        _collect_control_plane(big, "test-big")
+
+    # exactly at the bound: allowed
+    at = spark.range(625).selectExpr("id AS src", "id AS dst")
+    assert len(_collect_control_plane(at, "test-at")) == 625
