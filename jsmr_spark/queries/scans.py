@@ -280,7 +280,7 @@ N_COMPACT_FILES = 4
 )
 def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the lake-maintenance op every long-lived
-    100 TB table needs: a fragmented write (repartition({N_SMALL}) ->
+    100 TB table needs: a fragmented write (repartition({N_SMALL_FILES}) ->
     one parquet file per partition) is re-read and rewritten at the
     target file count (coalesce — a NARROW move, no shuffle, the point
     of compaction). Both directory listings are real; the oracle pins

@@ -2429,6 +2429,37 @@ HOLT_HL = 1 << 29  # level-field offset (high bits): (l + 2^29) * 2^32
 HOLT_K = 1 << 40
 
 
+def _holt_pack_guard(pack: str, div: str, err_fn: str) -> str:
+    """Wrap a pack expression so out-of-band values FAIL LOUDLY
+    (ADVICE r8): without the guard a |level| >= 2^29-dollar day or a
+    |trend| >= 2^31 would silently wrap into the neighboring bit
+    field — and identically on both engines, so the differential hash
+    would stay green around a wrong statistic. Applied at input pack
+    time (sufficient: the recursion is a contraction — level stays
+    inside the input range and |trend| <= the level range, so in-band
+    inputs keep the whole fold in-band) and re-checked on the folded
+    state before unpacking."""
+    return (
+        f"CASE WHEN (vc {div} 100) > -{HOLT_HL} AND (vc {div} 100) < {HOLT_HL}"
+        f" THEN {pack} ELSE CAST({err_fn}("
+        f"'q_ts_holt: daily level out of packing band (|dollars| >= 2^29)'"
+        f") AS BIGINT) END"
+    )
+
+
+def _holt_state_guard(var: str, div: str, err_fn: str) -> str:
+    """Post-fold band check on the packed state (see _holt_pack_guard)."""
+    lvl = f"({var} {div} {HOLT_B} - {HOLT_HL})"
+    trd = f"({var} % {HOLT_B} - {HOLT_H})"
+    return (
+        f"CASE WHEN {lvl} > -{HOLT_HL} AND {lvl} < {HOLT_HL}"
+        f" AND {trd} > -{HOLT_H} AND {trd} < {HOLT_H}"
+        f" THEN {var} ELSE CAST({err_fn}("
+        f"'q_ts_holt: folded state out of packing band'"
+        f") AS BIGINT) END"
+    )
+
+
 def _holt_lambda(div: str) -> str:
     """The (acc, x) -> packed-state fold body, identical text on both
     engines apart from the integer-division spelling. A SCALAR
@@ -2447,7 +2478,9 @@ def _holt_lambda(div: str) -> str:
 
 
 def _holt_oracle() -> str:
-    pack = f"(vc // 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}"
+    pack = _holt_pack_guard(
+        f"(vc // 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}", "//", "error"
+    )
     return f"""
     WITH d AS ({_DAY_SERIES_SQL}),
     arr AS (
@@ -2458,8 +2491,12 @@ def _holt_oracle() -> str:
     ),
     st AS (
       SELECT event_type, n_days,
-             list_reduce(a, {_holt_lambda("//")}) AS s
-      FROM arr
+             {_holt_state_guard("s0", "//", "error")} AS s
+      FROM (
+        SELECT event_type, n_days,
+               list_reduce(a, {_holt_lambda("//")}) AS s0
+        FROM arr
+      )
     )
     SELECT event_type, n_days,
            CAST(s // {HOLT_B} - {HOLT_HL} AS BIGINT) AS level_dollars,
@@ -2488,7 +2525,11 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges) and (b) the offsets keep every divided operand
     non-negative, making Spark's truncating DIV and DuckDB's flooring
     // agree. Values are whole dollars (vc // 100), bounding the
-    packed level well under the 2³¹ field at the 100x probe.
+    packed level well under the 2³¹ field at the 100x probe. Band
+    membership is ENFORCED, not assumed (ADVICE r8): each packed input
+    and the folded state pass a guard that raises on |level| ≥ 2²⁹ or
+    |trend| ≥ 2³¹ on both engines, so a corpus large enough to wrap a
+    bit field fails loudly instead of hashing green on wrapped values.
 
     Scale shape: the corpus collapses to the (event_type, day) spine
     first (keyed map-side-combined hash agg); the fold runs per event
@@ -2502,7 +2543,9 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
     )
-    pack = f"(vc DIV 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}"
+    pack = _holt_pack_guard(
+        f"(vc DIV 100 + {HOLT_HL}) * {HOLT_B} + {HOLT_H}", "DIV", "raise_error"
+    )
     arr = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.expr(
@@ -2516,7 +2559,11 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"aggregate(slice(a, 2, size(a)), a[0],"
             f" {_holt_lambda('DIV')})"
-        ).alias("s"),
+        ).alias("s0"),
+    ).selectExpr(
+        "event_type",
+        "n_days",
+        f"{_holt_state_guard('s0', 'DIV', 'raise_error')} AS s",
     )
     return st.select(
         "event_type",

@@ -15,12 +15,34 @@ Contract reminders enforced by convention here (SURVEY.md §7.1):
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_DOC_PLACEHOLDER = re.compile(r"\{([A-Z][A-Z_0-9]*)\}")
+
+
+def _resolve_doc(fn: QueryFn) -> str:
+    """Render {CONST_NAME} placeholders in a docstring to the constant's
+    value from the function's module globals.
+
+    Docstrings can't be f-strings (a non-constant first statement is not
+    assigned to __doc__), so tuning-constant references in query docs
+    are written as {CHUNK_W}-style placeholders and resolved here at
+    registration. Only UPPERCASE names that exist in the module resolve;
+    anything else (e.g. JSON examples in braces) is left verbatim."""
+    doc = fn.__doc__ or ""
+    g = getattr(fn, "__globals__", {})
+
+    def sub(m: "re.Match[str]") -> str:
+        return repr(g[m.group(1)]) if m.group(1) in g else m.group(0)
+
+    return _DOC_PLACEHOLDER.sub(sub, doc)
 
 
 @dataclass(frozen=True)
@@ -53,7 +75,7 @@ def query(
             name=name,
             fn=fn,
             oracle=oracle,
-            doc=fn.__doc__ or "",
+            doc=_resolve_doc(fn),
             eval_tier=eval_tier,
         )
         return fn

@@ -2021,3 +2021,61 @@ def test_control_plane_collect_bound_is_load_bearing(spark):
     # exactly at the bound: allowed
     at = spark.range(625).selectExpr("id AS src", "id AS dst")
     assert len(_collect_control_plane(at, "test-at")) == 625
+
+
+def test_holt_pack_band_guard_raises(spark, tmp_path):
+    """q_ts_holt packs (level, trend) into one BIGINT; out-of-band
+    values must FAIL LOUDLY (ADVICE r8) instead of silently wrapping
+    into the neighboring bit field on BOTH engines (which would keep
+    the differential hash green around a wrong statistic)."""
+    import datetime
+
+    import pytest
+
+    from jsmr_spark.registry import get_query
+
+    # |daily dollars| >= 2^29 -> pack-time guard must trip.
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 8), 1, "click", 6.0e8, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 8), 1, "click", 6.0e8, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    df = get_query("q_ts_holt").fn(spark, str(tmp_path))
+    with pytest.raises(Exception, match="packing band"):
+        df.collect()
+
+    # In-band values still compute (guard is pass-through).
+    import duckdb
+
+    rows2 = [
+        (1, datetime.datetime(2024, 1, 1, 8), 1, "click", 100.0, "{}"),
+        (2, datetime.datetime(2024, 1, 2, 8), 1, "click", 200.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events2.parquet"))
+    # point the Spark side at a dir whose events.parquet is rows2
+    import os
+
+    d2 = tmp_path / "d2"
+    os.makedirs(d2)
+    os.symlink(tmp_path / "events2.parquet", d2 / "events.parquet")
+    got = get_query("q_ts_holt").fn(spark, str(d2)).collect()
+    # l0=100, b0=0; day2: l1=(200+100+0)//2=150, b1=(150-100+0)//2=25
+    assert got[0]["level_dollars"] == 150
+    assert got[0]["trend_dollars"] == 25
+    assert got[0]["forecast_1d_dollars"] == 175
+    # DuckDB oracle must raise on the out-of-band dir too
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    with pytest.raises(Exception, match="packing band"):
+        con2.execute(get_query("q_ts_holt").oracle).df()

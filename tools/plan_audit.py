@@ -260,12 +260,14 @@ def main() -> int:
             flags.append("UNEXPECTED nested-loop")
         if global_win and name not in ALLOW_GLOBAL_WINDOW:
             flags.append("UNEXPECTED global-window")
-        if flags:
+        if flags and not spec.eval_tier:
             bad.append((name, flags))
         verdict = "; ".join(flags) if flags else "ok"
         if spec.eval_tier:
             # exact/quadratic baseline by declared design — run on
             # CI-sized samples; the scalable sibling is the primary.
+            # Plan flags here are warnings, not failures (ADVICE r8):
+            # the quadratic shape is the key's declared purpose.
             verdict += " (eval-tier)"
         rows.append(
             (
