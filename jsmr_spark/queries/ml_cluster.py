@@ -589,7 +589,25 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed aggregate, then a per-doc argmax window over
     langs-many rows. Training and inference are the same two
     exchanges any wordcount pays."""
+    return naive_bayes_frame(spark, sf_dir)
+
+
+def naive_bayes_frame(
+    spark: SparkSession, sf_dir: str, strip_token_tag: str | None = None
+) -> DataFrame:
+    """q_ml_naive_bayes body, parameterized for the scale probe's
+    vocabulary-held CONTROL (VERDICT r8 #4): the 10x staging perturbs
+    every 5th token with an 'r<k>x' prefix (needed so dedup keys don't
+    measure their own clone-grown output), which inflates the VOCAB
+    ~2.8x and with it the (langs x vocab) model build. Passing
+    ``strip_token_tag`` removes that prefix before tokenizing, holding
+    the vocabulary at its base size so the control row isolates the
+    per-token cost from the staging artifact."""
     docs = t(spark, sf_dir, "documents")
+    if strip_token_tag is not None:
+        docs = docs.withColumn(
+            "text", F.regexp_replace("text", strip_token_tag, "")
+        )
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )

@@ -1092,6 +1092,15 @@ def _ndcg_idcg_case(nrel: str) -> str:
     return f"CASE least({nrel}, {MRR_K}) {arms} ELSE 0 END"
 
 
+# Fixed-SIZE query panel (VERDICT r8 #4, same design as
+# q_dedup_recall_report's 1024-doc panel): the % MRR_QMOD id sample is
+# a fixed FRACTION, so query count — and with it the (queries x corpus)
+# eval work — grows with the corpus and the 10x probe read x9.3. The
+# panel keeps the id-spread of the % sample but caps it at the first
+# NDCG_PANEL_N by vec_id: eval cost is then PANEL x corpus — linear.
+NDCG_PANEL_N = 32
+
+
 def _ndcg_oracle() -> str:
     return f"""
     WITH normed AS (
@@ -1100,6 +1109,7 @@ def _ndcg_oracle() -> str:
     q AS (
       SELECT vec_id AS q_id, label AS q_label, embedding, nrm
       FROM normed WHERE vec_id % {MRR_QMOD} = 0
+      ORDER BY vec_id LIMIT {NDCG_PANEL_N}
     ),
     lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM embeddings
            GROUP BY label),
@@ -1142,8 +1152,10 @@ def _ndcg_oracle() -> str:
 
 @query("q_ml_ndcg", _ndcg_oracle())
 def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@{MRR_K} retrieval evaluation on the q_rank_mrr frame (same
-    ~2% query sample, same rounded-cosine + vec_id tie-break ranking):
+    """nDCG@{MRR_K} retrieval evaluation on the q_rank_mrr frame (the
+    same % {MRR_QMOD} id sample CAPPED at a fixed {NDCG_PANEL_N}-query
+    panel by vec_id — eval work is panel x corpus, linear in the
+    corpus; same rounded-cosine + vec_id tie-break ranking):
     binary relevance = same label, DCG discounts 1/log2(rank+1) as
     PRECOMPUTED micro-unit integer literals (neither engine evaluates a
     log at runtime), IDCG = the literal prefix sum at min(n_relevant,
@@ -1160,11 +1172,16 @@ def q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    q = e.filter(F.col("vec_id") % MRR_QMOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    q = (
+        e.filter(F.col("vec_id") % MRR_QMOD == 0)
+        .orderBy("vec_id")
+        .limit(NDCG_PANEL_N)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     )
     lc = (
         t(spark, sf_dir, "embeddings")

@@ -324,6 +324,30 @@ def _sem_control(spark):
     return (small, big, factor)
 
 
+def _nb_control(spark):
+    """Vocabulary-held CONTROL for naive Bayes (VERDICT r8 #4): the 10x
+    staging tags every 5th token with an r<k>x prefix (so dedup keys
+    don't measure clone-grown output), inflating the vocab ~2.8x and
+    with it the (langs x vocab) model build — the x10.9 probe row
+    measures that staging artifact on top of the plan. This control
+    strips the tag before tokenizing AT BOTH SCALES, holding the
+    vocabulary at its base size: a flat factor here proves the
+    per-token cost is linear."""
+    from jsmr_spark.queries.ml_cluster import naive_bayes_frame
+
+    tag = r"(^|(?<=\s))r[0-9]{1,3}x"
+    t0 = time.perf_counter()
+    naive_bayes_frame(spark, BASE, strip_token_tag=tag).toPandas()
+    small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    naive_bayes_frame(spark, OUT_DIR, strip_token_tag=tag).toPandas()
+    big = time.perf_counter() - t0
+    factor = big / small if small else float("inf")
+    name = "q_ml_naive_bayes vocab-held@10x (control)"
+    print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
+    return (small, big, factor)
+
+
 def main():
     from jsmr_spark import io as jio
     from jsmr_spark.registry import canonical_specs
@@ -408,6 +432,8 @@ def main():
     if subset is not None:
         if "q_dedup_semantic" in subset:
             rows["q_dedup_semantic frozen16@10x (control)"] = _sem_control(spark)
+        if "q_ml_naive_bayes" in subset:
+            rows["q_ml_naive_bayes vocab-held@10x (control)"] = _nb_control(spark)
         patch_rows(rows)
         return
 
@@ -456,6 +482,11 @@ def main():
     name = "q_sim_recall_report qmod*10@10x (fixed eval set)"
     print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
     lines.append(f"| {name} | {small:.2f} | {big:.2f} | {factor:.1f} |")
+
+    small, big, factor = _nb_control(spark)
+    lines.append(
+        f"| q_ml_naive_bayes vocab-held@10x (control) | {small:.2f} | {big:.2f} | {factor:.1f} |"
+    )
 
     # radius ~ 1/sqrt(density) demonstration for the spatial tier: the
     # 10x staging multiplies POINT DENSITY (same 1000 km domain, 10x
