@@ -23,12 +23,28 @@ Round-9 rotation:
     (broadcast-total re-hash), and 4 of the round-8 additions.
 
 Round-10 rotation (PREPARED, do not apply until CORRECTNESS_r09 lands):
-retire every alias r9 reports green, then install the 50-key window
-listed in CHECKS_r10.md (analytics_extra + pipeline + remaining joins
-+ lakehouse + similarity/embed families), each pre-verified through
-the same local driver protocol at sf0.01 and sf0.1 before rotation.
-Keep any r9 hash-fail aliases in place until they pass. ~34 keys then
-remain for round 11, completing the full canonical surface.
+retire every alias r9 reports green, then install this EXACT 50-key
+window (pre-verified at sf0.01 AND sf0.1 — CHECKS_r10.md): the 12-key
+pipeline block (q_mix_anneal, q_mix_dedup_priority, q_mix_sources,
+q_mix_temperature, q_mix_token_budget, q_profile_columns,
+q_profile_dataset_card, q_profile_drift, q_scrub_redact, q_split_kfold,
+q_split_train, q_upsert_merge), the 10-key analytics_extra block
+(q_agg_gini, q_agg_hhi, q_agg_pareto, q_agg_theil,
+q_join_point_in_time, q_quality_benford, q_quantile_bins,
+q_retention_cohort, q_scd2_history, q_session_rfm), the 8-key
+timeseries tail (q_funnel_ordered, q_ml_calibration, q_ml_lift,
+q_ml_psi, q_path_mining, q_stats_bootstrap, q_ts_holt — changed in r9:
+band guards — q_win_rolling_distinct), the 7-key similarity/embed
+block (q_embed_dim_prune, q_embed_drift, q_embed_outliers,
+q_embed_quantize, q_embed_stats, q_ml_ndcg — changed in r9: fixed
+panel — q_sim_maxsim), the 5-key lakehouse/privacy block
+(q_privacy_dp_count, q_privacy_generalize, q_privacy_kanon,
+q_quality_constraints, q_snapshot_diff), graph (q_graph_closeness,
+q_graph_degree_dist, q_graph_kcore), multimodal (q_multimodal_audio,
+q_multimodal_dedup, q_multimodal_phash), and q_agg_string_agg +
+q_agg_corr_matrix. Keep any r9 hash-fail aliases in place until they
+pass. ~36 keys then remain for round 11, completing the full
+canonical surface.
 """
 
 from __future__ import annotations
