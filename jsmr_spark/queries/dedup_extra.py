@@ -647,3 +647,71 @@ def q_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("long").alias("n_sources"),
         (F.countDistinct("digest") > 1).alias("has_reordered"),
     )
+
+
+# Boilerplate-prefix dedup: web crawls carry shared headers/intros, so
+# a duplicated FIRST-k-token prefix flags template families that exact
+# and bag dedup both miss (the bodies differ). 8 tokens matches the
+# line-dedup chunk unit.
+PREFIX_TOKENS = 8
+
+
+_PREFIX_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+                   string_split(text, ' ')[1:{PREFIX_TOKENS}], ' ')) AS psig,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT psig,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(nc) AS BIGINT) AS total_chars
+    FROM p
+    GROUP BY psig
+    HAVING count(*) >= 2
+"""
+
+
+@query("q_dedup_prefix", _PREFIX_ORACLE)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-prefix census — the crawl-boilerplate detector:
+    group documents by the md5 of their first {PREFIX_TOKENS}
+    whitespace tokens and report every group that repeats (kept
+    canonical = min doc_id, member count, distinct sources, total
+    chars). Complements the dedup ladder: exact (whole-text digest),
+    bag (order-insensitive), line (cross-doc chunk removal), MinHash
+    (near-dup) — prefix duplication catches template families whose
+    INTROS repeat while bodies diverge, invisible to all four.
+
+    Determinism: the prefix is a pure string function of the text
+    (slice semantics verified identical: Spark slice(a,1,k) = DuckDB
+    a[1:k], both returning the whole list when shorter), md5 is
+    byte-identical, and the census aggregates are exact integers.
+
+    Scale shape: narrow map to (psig, nc) then ONE md5-keyed hash
+    aggregate with map-side combine + HAVING — the q_dedup_exact plan
+    on a different key; no joins, no windows, linear at any corpus
+    size."""
+    p = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.split("text", " "), 1, PREFIX_TOKENS), " "
+            ).cast("binary")
+        ).alias("psig"),
+        F.length("text").alias("nc"),
+    )
+    return (
+        p.groupBy("psig")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("nc").cast("long").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

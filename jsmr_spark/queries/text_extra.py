@@ -1658,3 +1658,65 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 END) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("pass_ppm"),
     )
+
+
+_LENGTH_HIST_ORACLE = """
+    WITH d AS (
+      SELECT source,
+             length(text) AS nc,
+             len(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(length(CAST(nc AS VARCHAR)) AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(w) AS BIGINT) AS total_tokens
+      FROM d GROUP BY 1, 2
+    ),
+    s AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM g GROUP BY 1)
+    SELECT g.source, g.bucket, g.n_docs, g.total_chars, g.total_tokens,
+           CAST(g.n_docs * 1000000 // s.tot AS BIGINT) AS share_ppm
+    FROM g JOIN s ON s.source = g.source
+"""
+
+
+@query("q_text_length_hist", _LENGTH_HIST_ORACLE)
+def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram — the data-card staple
+    next to q_profile_dataset_card's scalar stats: how are a source's
+    documents distributed across orders of magnitude of length? The
+    bucket is the DIGIT COUNT of n_chars (1 = 1-9 chars, 2 = 10-99,
+    ...), i.e. a log10 bucket computed as string length — an exact
+    integer on both engines, unlike floor(log10(x)) whose libm
+    boundary behavior at powers of ten is not portable. Each row
+    carries the bucket's doc count, total chars, total whitespace
+    tokens, and its exact-ppm share of the source's documents.
+
+    Scale shape: one narrow map (length + split-size, whole-stage
+    codegen) into a (source, bucket)-keyed map-side-combined hash
+    aggregate — output is sources x ~digit-count rows; the per-source
+    total re-joins on the source key (broadcast-sized)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").alias("nc"),
+        F.size(F.split("text", " ")).alias("w"),
+    )
+    g = d.groupBy(
+        "source",
+        F.length(F.col("nc").cast("string")).cast("int").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.sum("w").cast("long").alias("total_tokens"),
+    )
+    s = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("tot"))
+    return g.join(F.broadcast(s), "source").select(
+        "source",
+        "bucket",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.expr("CAST(n_docs * 1000000 DIV tot AS BIGINT)").alias("share_ppm"),
+    )
