@@ -1694,10 +1694,11 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the bucket's doc count, total chars, total whitespace
     tokens, and its exact-ppm share of the source's documents.
 
-    Scale shape: one narrow map (length + split-size, whole-stage
-    codegen) into a (source, bucket)-keyed map-side-combined hash
-    aggregate — output is sources x ~digit-count rows; the per-source
-    total re-joins on the source key (broadcast-sized)."""
+    Scale shape: ONE corpus scan — a narrow map (length + split-size,
+    whole-stage codegen) into a (source, bucket)-keyed map-side-
+    combined hash aggregate; the per-source total is a window over the
+    AGGREGATED frame (sources x ~digit-count rows), so the second pass
+    touches dozens of rows, not the corpus."""
     d = t(spark, sf_dir, "documents").select(
         "source",
         F.length("text").alias("nc"),
@@ -1711,8 +1712,8 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nc").cast("long").alias("total_chars"),
         F.sum("w").cast("long").alias("total_tokens"),
     )
-    s = g.groupBy("source").agg(F.sum("n_docs").cast("long").alias("tot"))
-    return g.join(F.broadcast(s), "source").select(
+    tot = F.sum("n_docs").over(Window.partitionBy("source"))
+    return g.withColumn("tot", tot.cast("long")).select(
         "source",
         "bucket",
         "n_docs",
