@@ -43,8 +43,16 @@ q_quality_constraints, q_snapshot_diff), graph (q_graph_closeness,
 q_graph_degree_dist, q_graph_kcore), multimodal (q_multimodal_audio,
 q_multimodal_dedup, q_multimodal_phash), and q_agg_string_agg +
 q_agg_corr_matrix. Keep any r9 hash-fail aliases in place until they
-pass. ~36 keys then remain for round 11, completing the full
-canonical surface.
+pass.
+
+Round-11 rotation (PREPARED, do not apply until CORRECTNESS_r10 lands):
+retire every alias r10 reports green, then install the 38-key window in
+CHECKS_r11.md — the ENTIRE remaining never-driver-verified surface,
+pre-verified 38/38 at sf0.01 AND sf0.1 (36 oracle MATCH + 2 rows-only
+by design: stream_join_static, stream_stream_join_outer). Round 11
+completes the full canonical surface. Any canonical keys added after
+CHECKS_r11.md was written join that window (up to 50) once pre-verified
+the same way; see the file's tail section for the exact list.
 """
 
 from __future__ import annotations
