@@ -715,3 +715,73 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# Boilerplate-suffix dedup: the footer twin of q_dedup_prefix — crawl
+# templates repeat SIGNATURES/footers as often as intros, and a
+# duplicated LAST-k-token suffix catches template families whose
+# bodies AND intros differ. Same census contract as the prefix key.
+SUFFIX_TOKENS = 8
+
+
+_SUFFIX_ORACLE = f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+                   string_split(text, ' ')[greatest(
+                     len(string_split(text, ' ')) - {SUFFIX_TOKENS - 1}, 1
+                   ):len(string_split(text, ' '))], ' ')) AS ssig,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT ssig,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(nc) AS BIGINT) AS total_chars
+    FROM p
+    GROUP BY ssig
+    HAVING count(*) >= 2
+"""
+
+
+@query("q_dedup_suffix", _SUFFIX_ORACLE)
+def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-suffix census — the FOOTER boilerplate detector,
+    completing q_dedup_prefix's intro detector: group documents by the
+    md5 of their last {SUFFIX_TOKENS} whitespace tokens and report
+    every group that repeats (kept canonical = min doc_id, member
+    count, distinct sources, total chars). Web templates repeat
+    signatures, nav footers, and license blurbs at the END of pages as
+    often as headers at the start; a family whose intros and bodies
+    both diverge still collides here.
+
+    Determinism: the suffix window is exact integer arithmetic on the
+    token count (start = max(len - {SUFFIX_TOKENS} + 1, 1), whole list
+    when shorter — verified identical: Spark slice(a, greatest(...), k)
+    clamps length exactly like DuckDB's a[greatest(...):len(a)]), md5
+    is byte-identical, and the census aggregates are exact integers.
+
+    Scale shape: identical to q_dedup_prefix — narrow map to
+    (ssig, nc), ONE md5-keyed hash aggregate with map-side combine +
+    HAVING; no joins, no windows, linear at any corpus size."""
+    toks = F.split("text", " ")
+    start = F.greatest(F.size(toks) - (SUFFIX_TOKENS - 1), F.lit(1))
+    p = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(toks, start, SUFFIX_TOKENS), " ").cast("binary")
+        ).alias("ssig"),
+        F.length("text").alias("nc"),
+    )
+    return (
+        p.groupBy("ssig")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum("nc").cast("long").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -1168,3 +1168,140 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_nodes bigint, n_communities bigint, m2 bigint, q_ppm bigint",
     )
+
+
+# --- connected components over the spatial graph (round 9) --------------
+
+_CONCOMP_ORACLE = f"""
+    WITH RECURSIVE pts AS ({GEO_PTS_SQL}),
+    e0 AS ({geo_edges_sql()}),
+    edges AS (
+      SELECT user_a AS src, user_b AS dst FROM e0
+      UNION ALL
+      SELECT user_b, user_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges GROUP BY src
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    lbl0 AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    lbl AS (
+      SELECT p.user_id AS node, coalesce(l.comp, p.user_id) AS comp
+      FROM pts p LEFT JOIN lbl0 l ON l.node = p.user_id
+    ),
+    ec AS (
+      SELECT l.comp, CAST(count(*) AS BIGINT) AS n_edges
+      FROM e0 JOIN lbl l ON l.node = e0.user_a
+      GROUP BY l.comp
+    )
+    SELECT l.comp,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(coalesce(min(ec.n_edges), 0) AS BIGINT) AS n_edges,
+           CAST(sum(l.node) AS BIGINT) AS sum_ids
+    FROM lbl l LEFT JOIN ec ON ec.comp = l.comp
+    GROUP BY l.comp
+"""
+
+
+@query("q_graph_concomp", _CONCOMP_ORACLE)
+def q_graph_concomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a FIRST-CLASS graph operator, on the one
+    graph in the fixtures whose node count scales with the data (the
+    spatial-proximity graph of q_graph_triangles/q_geo_gridjoin) — so
+    unlike reachability/SSSP's nations^2 edge sets, the distributed
+    form is forced: no driver-side recursion is valid here.
+
+    Algorithm: hash-min label propagation WITH pointer jumping — each
+    round takes the min label over neighbors (one keyed shuffle) and
+    then short-circuits through the label table itself
+    (lbl(v) <- lbl(lbl(v)), a second keyed join), which contracts label
+    chains by doubling, so convergence is O(log diameter) rounds
+    instead of O(diameter) (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — the same contraction GraphFrames/GraphX
+    run). Only the converged flag ever crosses to the driver. At the
+    fixture radius the spatial graph percolates into one giant
+    component spanning the domain (~20+ hops across), which is exactly
+    the regime where plain min-propagation pays diameter-many shuffles
+    and pointer jumping pays log-many.
+
+    Output is the component census: canonical label (min user_id),
+    node count, intra-component edge count, and the exact sum of member
+    ids — the sum pins MEMBERSHIP, so a single node in the wrong
+    component fails the hash even when the size survives. Isolated
+    points (no radius neighbor) appear as singletons with n_edges = 0.
+
+    Oracle: DuckDB recursive reachability closure + min-per-node (the
+    q_dedup_clusters recipe); the closure is |component|^2-sized —
+    honest and fine at fixture scale, the thing the log-round Spark
+    form exists to avoid at 100 TB.
+
+    Scale shape: edges come from the grid-blocked radius join (never
+    all-pairs), localCheckpoint'ed once; every round is two keyed
+    exchanges over (node, lbl) pairs; rounds are log-bounded. At 100 TB
+    the same loop runs with the label table hash-partitioned on node —
+    the shuffles stay (node-count)-sized, independent of corpus bytes."""
+    e0 = geo_pairs(spark, sf_dir).select("user_a", "user_b").localCheckpoint()
+    edges = e0.unionByName(
+        e0.select(F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"))
+    ).toDF("src", "dst")
+
+    nodes = (
+        t(spark, sf_dir, "events").select(F.col("user_id").alias("node")).distinct()
+    )
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+
+    while True:
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        l1 = labels.join(nbr, labels["node"] == nbr["src"], "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+            F.col("lbl").alias("old_lbl"),
+        )
+        # pointer jump: lbl(v) <- lbl(lbl(v)) — chains halve every round
+        parent = l1.select(
+            F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
+        )
+        l2 = (
+            l1.join(parent, l1["lbl"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
+                ).alias("new_lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint()
+        )
+        changed = l2.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = l2.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint()
+
+    ec = (
+        e0.join(labels, e0["user_a"] == labels["node"])
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .withColumnRenamed("lbl", "ec_lbl")
+    )
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("sum_ids"),
+        )
+        .join(F.broadcast(ec), F.col("lbl") == F.col("ec_lbl"), "left")
+        .select(
+            F.col("lbl").alias("comp"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            "sum_ids",
+        )
+    )

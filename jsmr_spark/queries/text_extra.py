@@ -1721,3 +1721,168 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.expr("CAST(n_docs * 1000000 DIV tot AS BIGINT)").alias("share_ppm"),
     )
+
+
+# --- tokenizer fertility (round 9) -------------------------------------
+
+_FERTILITY_ORACLE = r"""
+    WITH d AS (
+      SELECT lang, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS b,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_words,
+           CAST(sum(b) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           CAST(sum(b) * 1000000 // sum(w) AS BIGINT) AS fertility_ppm,
+           CAST(sum(nc) * 1000000 // sum(b) AS BIGINT) AS chars_per_token_ppm
+    FROM d GROUP BY lang, source
+"""
+
+
+@query("q_text_fertility", _FERTILITY_ORACLE)
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language x source — the tokenizer-
+    efficiency readout every multilingual pretraining mix is budgeted
+    with: fertility = subword tokens per whitespace word (a tokenizer
+    "spends" more tokens per word on languages it segments poorly) and
+    its companion chars-per-token, both as exact ppm ratios of corpus
+    totals. q_text_token_bpe emits the per-document counts; this key is
+    the corpus-level planning table built from the same BPE-ish
+    segmentation (letter runs / digit runs / single symbols) — the pair
+    (fertility, chars/token) decides how many TEXT bytes a fixed token
+    budget actually buys per source.
+
+    Exactness: counts are exact integers from identical regexes (the
+    q_text_token_bpe kernel) and both ratios are exact integer ppm
+    divisions of corpus sums — sum(w) and sum(b) are >= 1 per group
+    (split of any string yields >= 1 element; every fixture doc has
+    >= 1 BPE run because documents are non-empty).
+
+    Scale shape: ONE corpus scan, narrow per-row regex counting inside
+    whole-stage codegen, then a (lang, source)-keyed map-side-combined
+    hash aggregate — the q_text_length_hist plan with a different
+    functional; output is alphabet-sized."""
+    txt = F.col("text")
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.size(F.split(txt, " ")).cast("long").alias("w"),
+        F.size(
+            F.regexp_extract_all(txt, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).cast("long").alias("b"),
+        F.length(txt).cast("long").alias("nc"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.sum("b").cast("long").alias("total_bpe_tokens"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.expr("CAST(sum(b) * 1000000 DIV sum(w) AS BIGINT)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("CAST(sum(nc) * 1000000 DIV sum(b) AS BIGINT)").alias(
+            "chars_per_token_ppm"
+        ),
+    )
+
+
+# --- top-n-gram character coverage (round 9) ----------------------------
+
+TOPGRAM_THRESHOLD_PPM = 200_000  # Gopher: top-2-gram char fraction > 0.20
+
+
+_TOPGRAM_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, nc,
+             unnest(list_transform(list_slice(l, 1, len(l)-1),
+                                   (x, i) -> x || ' ' || l[i+1])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, nc, bigram, CAST(count(*) AS BIGINT) AS n_occ
+      FROM bg GROUP BY doc_id, nc, bigram
+    ),
+    top AS (
+      SELECT doc_id, nc, bigram AS top_bigram, n_occ,
+             CAST(sum(n_occ) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY n_occ DESC, bigram) AS rn
+        FROM cnt) x
+      QUALIFY rn = 1
+    )
+    SELECT doc_id, top_bigram, n_occ, n_bigrams,
+           CAST(n_occ * length(top_bigram) * 1000000 // nc AS BIGINT)
+             AS cover_ppm,
+           n_occ * length(top_bigram) * 1000000 // nc > {TOPGRAM_THRESHOLD_PPM}
+             AS flagged
+    FROM top
+"""
+
+
+@query("q_text_top_ngram_cover", _TOPGRAM_ORACLE)
+def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-gram character coverage — the Gopher repetition rule
+    (Rae et al. 2021, Table A1) that q_text_repetition's duplicate-
+    shingle fraction does NOT cover: per document, find the most
+    frequent token bigram and report the fraction of the document's
+    characters its occurrences account for (count x bigram chars /
+    total chars, exact ppm). Keyword-stuffed pages and looping
+    generator output concentrate mass in ONE n-gram long before the
+    distinct-shingle fraction moves, so Gopher gates on both. Flag
+    threshold {TOPGRAM_THRESHOLD_PPM} ppm = the published 0.20 bound
+    for 2-grams. (Overlapping occurrences can push the ratio past 1e6
+    ppm on degenerate "a a a ..." text — the score is a gate, not a
+    measure, identical on both engines.)
+
+    Determinism: the winning bigram tie-breaks (count desc, bigram
+    asc); coverage is exact integer arithmetic; documents with fewer
+    than 2 tokens carry no bigram and are excluded on both sides.
+
+    Scale shape: narrow zip of the token array with its own tail (no
+    explode-then-self-join), one (doc, bigram)-keyed count with
+    map-side combine, one per-doc argmax window partitioned on the
+    high-cardinality doc key — the q_text_ngram_lm plan re-keyed per
+    document."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        t(spark, sf_dir, "documents")
+        .where(n >= 2)
+        .select("doc_id", F.length("text").alias("nc"), bigrams.alias("bgs"))
+        .select("doc_id", "nc", F.explode("bgs").alias("bigram"))
+    )
+    cnt = bg.groupBy("doc_id", "nc", "bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_occ"), F.asc("bigram"))
+    wp = Window.partitionBy("doc_id")
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_bigrams", F.sum("n_occ").over(wp).cast("long"))
+        .where(F.col("rn") == 1)
+    )
+    cover = F.expr("CAST(n_occ * length(bigram) * 1000000 DIV nc AS BIGINT)")
+    return top.select(
+        "doc_id",
+        F.col("bigram").alias("top_bigram"),
+        "n_occ",
+        "n_bigrams",
+        cover.alias("cover_ppm"),
+        (cover > TOPGRAM_THRESHOLD_PPM).alias("flagged"),
+    )
