@@ -807,3 +807,218 @@ def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- IVF probe-count tuning curve (round 9) -----------------------------
+
+TUNE_PROBES = (1, 2, 4)  # n_probe sweep; N_PROBE=2 is the serving config
+
+_TUNE_ORACLE = f"""
+    WITH normed AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, (x, i) ->
+                  CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+      FROM normed WHERE vec_id < {K_CENT}
+    ),
+    scored AS (
+      SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+             round(list_aggregate(list_transform(n.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+                   / (n.nrm * c.c_nrm), 4) AS csim
+      FROM normed n, cent c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cid) AS crn
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, embedding, nrm, cid FROM ranked WHERE crn = 1),
+    queries AS (
+      SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm
+      FROM normed WHERE vec_id % {RECALL_QMOD} = 0
+    ),
+    qlists AS (
+      SELECT vec_id AS qid, cid, crn FROM ranked
+      WHERE vec_id % {RECALL_QMOD} = 0 AND crn <= {max(TUNE_PROBES)}
+    ),
+    cand0 AS (
+      SELECT q.qid, a.vec_id, l.crn,
+             round(list_aggregate(list_transform(a.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), 'sum')
+                   / (a.nrm * q.q_nrm), 4) AS sim
+      FROM assigned a
+      JOIN qlists l ON a.cid = l.cid
+      JOIN queries q ON q.qid = l.qid
+      WHERE a.vec_id <> q.qid
+    ),
+    probes AS (SELECT unnest([{", ".join(str(p) for p in TUNE_PROBES)}]) AS p),
+    cand AS (
+      SELECT probes.p, c.qid, c.vec_id, c.sim
+      FROM cand0 c JOIN probes ON c.crn <= probes.p
+    ),
+    topp AS (
+      SELECT p, qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY p, qid
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM cand) x WHERE rnk <= {TOP_K}
+    ),
+    allsims AS (
+      SELECT q.qid, n.vec_id,
+             round(list_aggregate(list_transform(n.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), 'sum')
+                   / (n.nrm * q.q_nrm), 4) AS sim
+      FROM normed n, queries q WHERE n.vec_id <> q.qid
+    ),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM allsims) x WHERE rnk <= {TOP_K}
+    ),
+    nc AS (SELECT p, qid, CAST(count(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY p, qid),
+    hits AS (
+      SELECT t.p, t.qid, CAST(count(e.vec_id) AS BIGINT) AS n_hits
+      FROM topp t LEFT JOIN exact_top e
+        ON e.qid = t.qid AND e.vec_id = t.vec_id
+      GROUP BY t.p, t.qid
+    ),
+    spine AS (SELECT probes.p, queries.qid FROM probes CROSS JOIN queries)
+    SELECT s.p AS n_probe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(coalesce(nc.n_cand, 0)) AS BIGINT) AS total_cand,
+           CAST(sum(coalesce(hits.n_hits, 0)) AS BIGINT) AS total_hits,
+           CAST(sum(coalesce(hits.n_hits, 0)) * 1000000
+                // (count(*) * {TOP_K}) AS BIGINT) AS recall_ppm
+    FROM spine s
+    LEFT JOIN nc ON nc.p = s.p AND nc.qid = s.qid
+    LEFT JOIN hits ON hits.p = s.p AND hits.qid = s.qid
+    GROUP BY s.p
+"""
+
+
+@query("q_sim_ann_tune", _TUNE_ORACLE)
+def q_sim_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-count TUNING CURVE: recall@{TOP_K} and candidate cost
+    for n_probe in {TUNE_PROBES}, over the same query panel as
+    q_sim_recall_report — the table you read to SET N_PROBE before
+    freezing a 100 TB index (q_sim_recall_report evaluates the chosen
+    config; this key shows the whole recall-vs-cost frontier so the
+    choice is evidence, not folklore). Output per probe count: query
+    count, total candidates scanned (the cost axis), total hits and
+    exact-ppm recall against the brute-force truth.
+
+    One-DAG efficiency: candidates are scored ONCE at max(n_probe) —
+    the nested property of probe lists (p=1 candidates are a subset of
+    p=2's, etc.) means smaller probe counts are a FILTER on the scored
+    max-probe set (crn <= p), never a rescan; the exact ground truth is
+    also computed once and shared by all three rows. Queries whose
+    probed lists hold no other vector still appear (zero-coalesced
+    spine join), so the denominator is pinned.
+
+    Scale shape: inherits q_sim_recall_report's plan — broadcast
+    centroids for assignment, broadcast query panel + probe lists, one
+    keyed top-k window now keyed (n_probe, query); the probe fan-out
+    multiplies SCORED ROWS (panel-sized), not corpus scans. The exact
+    baseline is the eval cost, sampled exactly like the recall
+    report's."""
+    return ann_tune_frame(spark, sf_dir, RECALL_QMOD)
+
+
+def ann_tune_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
+    """Parameterized body of q_sim_ann_tune: qmod sets the eval-set
+    stride, exactly like recall_report_frame — the 10x scale probe
+    re-runs with qmod*10 (constant-size eval panel, the deployment
+    shape) to separate per-query cost from the BY-DESIGN quadratic
+    growth of a corpus-proportional eval set."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    cent = F.broadcast(
+        base.filter(F.col("vec_id") < K_CENT).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    scored = base.crossJoin(cent).select(
+        "vec_id", "embedding", "nrm", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", "embedding", "nrm", "cid"
+    )
+    is_q = F.col("vec_id") % qmod == 0
+    queries = F.broadcast(
+        base.filter(is_q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    qlists = F.broadcast(
+        ranked.filter(is_q & (F.col("crn") <= max(TUNE_PROBES))).select(
+            F.col("vec_id").alias("qid"), "cid", "crn"
+        )
+    )
+    sim = r4(_dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")))
+    cand0 = (
+        assigned.join(qlists, "cid")
+        .join(queries, "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "crn", sim.alias("sim"))
+    )
+    probes = F.broadcast(
+        spark.createDataFrame([(p,) for p in TUNE_PROBES], "p int")
+    )
+    cand = cand0.crossJoin(probes).filter(F.col("crn") <= F.col("p")).select(
+        "p", "qid", "vec_id", "sim"
+    )
+    wq = Window.partitionBy("p", "qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    topp = cand.withColumn("rnk", F.row_number().over(wq)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    allsims = (
+        base.crossJoin(queries)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+    )
+    wq1 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact_top = (
+        allsims.withColumn("rnk", F.row_number().over(wq1))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id", F.lit(1).alias("inx"))
+    )
+    nc = cand.groupBy("p", "qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    hits = (
+        topp.select("p", "qid", "vec_id")
+        .join(exact_top, ["qid", "vec_id"], "left")
+        .groupBy("p", "qid")
+        .agg(F.sum(F.coalesce(F.col("inx"), F.lit(0))).cast("long").alias("n_hits"))
+    )
+    spine = probes.crossJoin(queries.select("qid"))
+    per = (
+        spine.join(nc, ["p", "qid"], "left")
+        .join(hits, ["p", "qid"], "left")
+        .select(
+            "p",
+            "qid",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+    return per.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_cand").cast("long").alias("total_cand"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.expr(
+            f"CAST(sum(n_hits) * 1000000 DIV (count(*) * {TOP_K}) AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).withColumnRenamed("p", "n_probe")

@@ -107,6 +107,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # recall metric is defined against (eval sets are
                      # corpus/50 here, a sampled slice at 100 TB).
                      "q_sim_recall_report",
+                     # same shape as the recall report: broadcast
+                     # query-panel x corpus exact-eval baseline, plus a
+                     # 3-row broadcast probe-count fan-out.
+                     "q_sim_ann_tune",
                      # rows x 1-row broadcast cutpoint aggregate — the
                      # two-pass equi-depth binning shape.
                      "q_quantile_bins",

@@ -348,6 +348,28 @@ def _nb_control(spark):
     return (small, big, factor)
 
 
+def _tune_control(spark):
+    """Fixed-eval-panel CONTROL for the IVF tuning curve — the
+    q_sim_recall_report control applied to its sibling: the registered
+    key's query panel is every RECALL_QMODth vector, so at 10x rows the
+    exact ground-truth side is ~100x pairs BY DESIGN. This control
+    re-runs the 10x corpus with qmod*10 (same ~panel size as sf0.1) —
+    the deployment shape, where the tuning panel is a constant-size
+    sample."""
+    from jsmr_spark.queries.ann import RECALL_QMOD, ann_tune_frame
+
+    t0 = time.perf_counter()
+    ann_tune_frame(spark, BASE, RECALL_QMOD).toPandas()
+    small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_tune_frame(spark, OUT_DIR, RECALL_QMOD * REPLICAS).toPandas()
+    big = time.perf_counter() - t0
+    factor = big / small if small else float("inf")
+    name = "q_sim_ann_tune fixed-panel@10x (control)"
+    print(f"{name:24s} {small:7.2f}s -> {big:7.2f}s  x{factor:.1f}", flush=True)
+    return (small, big, factor)
+
+
 def main():
     from jsmr_spark import io as jio
     from jsmr_spark.registry import canonical_specs
@@ -434,6 +456,8 @@ def main():
             rows["q_dedup_semantic frozen16@10x (control)"] = _sem_control(spark)
         if "q_ml_naive_bayes" in subset:
             rows["q_ml_naive_bayes vocab-held@10x (control)"] = _nb_control(spark)
+        if "q_sim_ann_tune" in subset:
+            rows["q_sim_ann_tune fixed-panel@10x (control)"] = _tune_control(spark)
         patch_rows(rows)
         return
 
