@@ -1241,3 +1241,86 @@ def test_auc_matches_pair_counting(spark, evs):
         assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_round9_batch_key_invariants(spark):
+    """Algebraic invariants for the round-9 additions (suffix census,
+    fertility, top-n-gram cover, connected components, ANN tuning
+    curve) — facts that must hold regardless of the oracle's values."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # suffix census: groups only, min-keeper, counts consistent
+    for r in get_query("q_dedup_suffix").fn(spark, sf).collect():
+        assert r.n_docs >= 2
+        assert 1 <= r.n_sources <= r.n_docs
+        assert r.total_chars > 0
+
+    # fertility: a whitespace word contains >= 1 BPE run and runs never
+    # span spaces, so fertility >= 1.0; chars-per-token >= 1 likewise
+    fert = get_query("q_text_fertility").fn(spark, sf).collect()
+    assert fert
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert sum(r.n_docs for r in fert) == docs.count()
+    for r in fert:
+        assert r.fertility_ppm >= 1_000_000
+        assert r.chars_per_token_ppm >= 1_000_000
+        assert r.total_bpe_tokens >= r.total_words
+
+    # top-n-gram cover: one row per multi-token doc, count bounds,
+    # flag consistency
+    cover = get_query("q_text_top_ngram_cover").fn(spark, sf).collect()
+    n_multi = docs.filter("size(split(text, ' ')) >= 2").count()
+    assert len(cover) == n_multi
+    for r in cover:
+        assert 1 <= r.n_occ <= r.n_bigrams
+        assert r.flagged == (r.cover_ppm > 200_000)
+
+    # connected components: census partitions the node set; the
+    # pointer-jumping implementation must agree with the plain
+    # min-propagation helper (cross-implementation check)
+    from jsmr_spark.queries.pipeline import connected_components
+    from jsmr_spark.queries.sampling_geo import geo_pairs
+    from pyspark.sql import functions as F
+
+    cc = get_query("q_graph_concomp").fn(spark, sf).collect()
+    n_users = (
+        spark.read.parquet(f"{sf}/events.parquet").select("user_id").distinct().count()
+    )
+    assert sum(r.n_nodes for r in cc) == n_users
+    assert len({r.comp for r in cc}) == len(cc)
+    for r in cc:
+        # the canonical label is a member (min), so it contributes to
+        # the id sum; singletons carry no edges
+        assert r.sum_ids >= r.comp
+        if r.n_nodes == 1:
+            assert r.n_edges == 0 and r.sum_ids == r.comp
+    pairs = geo_pairs(spark, sf).select(
+        F.col("user_a").alias("src"), F.col("user_b").alias("dst")
+    )
+    ref = {
+        (row.lbl, row.n)
+        for row in connected_components(pairs)
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # helper omits edgeless nodes; the key reports them as singletons
+    got = {(r.comp, r.n_nodes) for r in cc if r.n_nodes > 1 or (r.comp, 1) in ref}
+    assert ref == got, f"CC implementations disagree: {ref ^ got}"
+
+    # ANN tuning curve: nested probe lists under one total order make
+    # candidates AND hits monotone non-decreasing in n_probe
+    tune = sorted(
+        get_query("q_sim_ann_tune").fn(spark, sf).collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in tune] == [1, 2, 4]
+    assert len({r.n_queries for r in tune}) == 1
+    for lo, hi in zip(tune, tune[1:]):
+        assert lo.total_cand <= hi.total_cand
+        assert lo.total_hits <= hi.total_hits
+        assert lo.recall_ppm <= hi.recall_ppm
+    for r in tune:
+        assert 0 <= r.recall_ppm <= 1_000_000
