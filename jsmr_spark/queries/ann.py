@@ -1022,3 +1022,107 @@ def ann_tune_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
             f"CAST(sum(n_hits) * 1000000 DIV (count(*) * {TOP_K}) AS BIGINT)"
         ).alias("recall_ppm"),
     ).withColumnRenamed("p", "n_probe")
+
+
+# --- multi-probe LSH (round 9) ------------------------------------------
+
+# Probed buckets: the probe's own bucket plus every Hamming-1 neighbor
+# (one plane's sign flipped) — xor(bucket, probe_bucket) in this set.
+MULTIPROBE_XORS = tuple([0] + [1 << i for i in range(N_PLANES)])
+
+_MULTIPROBE_ORACLE = f"""
+    WITH bucketed AS (
+      SELECT vec_id, label, embedding, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    probe AS (SELECT * FROM bucketed WHERE vec_id = {PROBE_ID}),
+    cand AS (
+      SELECT b.vec_id, b.label, b.bucket, {_SIM_BP_DD} AS sim
+      FROM bucketed b, probe p
+      WHERE xor(b.bucket, p.bucket) IN {MULTIPROBE_XORS}
+        AND b.vec_id <> {PROBE_ID}
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    topk AS (
+      SELECT vec_id, label, bucket, sim, rnk
+      FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk FROM cand) x
+      WHERE rnk <= {TOP_K}
+    ),
+    allsims AS (
+      SELECT b.vec_id, {_SIM_BP_DD} AS sim
+      FROM bucketed b, probe p WHERE b.vec_id <> {PROBE_ID}
+    ),
+    exact AS (
+      SELECT vec_id
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+            FROM allsims) e
+      WHERE rnk <= {TOP_K}
+    ),
+    hits AS (SELECT count(*) AS n_hits FROM topk t JOIN exact e USING (vec_id))
+    SELECT t.vec_id, t.label, t.bucket, t.sim, t.rnk, nc.n_cand,
+           CAST(h.n_hits AS DOUBLE) / {TOP_K}.0 AS recall_at_10
+    FROM topk t, hits h, nc
+"""
+
+
+@query("q_sim_ann_multiprobe", _MULTIPROBE_ORACLE)
+def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): the probe inspects its own
+    bucket AND every Hamming-1 neighbor (one hyperplane sign flipped) —
+    {len(MULTIPROBE_XORS)} of 2^{N_PLANES} buckets — before the exact
+    cosine re-rank. This is the LSH-side recall lever that costs NO
+    extra index: where q_sim_ann_tune trades candidates for recall by
+    probing more IVF lists, multi-probe does it by probing adjacent
+    hash buckets, so one table serves many recall targets (the
+    alternative — more hash tables — multiplies index memory). A point
+    near a hyperplane lands on either side of it with near-equal
+    probability; its true neighbors that fell on the other side are
+    exactly the Hamming-1 population this key recovers. Emits n_cand
+    next to recall so the single-probe key's frontier point
+    (q_sim_ann_lsh: same planes, xor = 0 only) is directly comparable.
+
+    Determinism: the probed set is the literal xor list
+    {MULTIPROBE_XORS} against the probe's bucket (identical planes →
+    identical buckets both engines, the q_sim_ann_lsh argument); the
+    re-rank shares the exact sim kernel and tie-break.
+
+    Scale shape: candidate generation stays a partition-pruned scan —
+    {len(MULTIPROBE_XORS)} bucket partitions of a bucket-partitioned
+    corpus instead of 1, still O(probed fraction), never a corpus
+    scan; the re-rank is candidate-sized. At 100 TB the probe set
+    generalizes to the query-adaptive form (flip lowest-|margin| bits
+    first) with the same plan."""
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == PROBE_ID)
+        .select("embedding")
+        .head()
+    )
+    emb_p = [float(x) for x in row[0]]
+    acc = 0.0
+    for x in emb_p:
+        acc += x * x
+    nrm_p = math.sqrt(acc)
+    p_bucket = _bucket_py(emb_p)
+    probed = [p_bucket ^ x for x in MULTIPROBE_XORS]
+    plit = F.array(*[F.lit(x) for x in emb_p])
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    sim = r4(
+        _dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * F.lit(nrm_p))
+    )
+    cand = emb.filter(
+        F.col("bucket").isin(probed) & (F.col("vec_id") != PROBE_ID)
+    ).select("vec_id", "label", "bucket", sim.alias("sim"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    keys = [F.desc("sim"), F.asc("vec_id")]
+    top = cand.orderBy(*keys).limit(TOP_K)
+    ranked = (
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+        .crossJoin(F.broadcast(nc))
+    )
+    return _with_recall(spark, sf_dir, ranked).select(
+        "vec_id", "label", "bucket", "sim", "rnk", "n_cand", "recall_at_10"
+    )

@@ -1324,3 +1324,22 @@ def test_round9_batch_key_invariants(spark):
         assert lo.recall_ppm <= hi.recall_ppm
     for r in tune:
         assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe LSH candidates are a superset of the single-probe
+    bucket's, so under the shared total order its recall and candidate
+    count must dominate q_sim_ann_lsh's."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    single = get_query("q_sim_ann_lsh").fn(spark, sf).collect()
+    multi = get_query("q_sim_ann_multiprobe").fn(spark, sf).collect()
+    assert multi
+    r_multi = multi[0].recall_at_10
+    assert 0.0 <= r_multi <= 1.0
+    assert len({r.n_cand for r in multi}) == 1
+    if single:
+        assert r_multi >= single[0].recall_at_10
+        assert multi[0].n_cand >= len(single)

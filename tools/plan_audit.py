@@ -76,7 +76,7 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      "q_privacy_generalize",
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
-                     "q_sim_ann_lsh", "q_scalar_subq", "q_text_tfidf",
+                     "q_sim_ann_lsh", "q_sim_ann_multiprobe", "q_scalar_subq", "q_text_tfidf",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
