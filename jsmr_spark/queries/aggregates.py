@@ -1294,14 +1294,14 @@ def q_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(eu))
     )
 
-    def est_expr(n_exact, n_sk, rk):
+    def est_expr(n_exact, rk):
         return F.when(
             F.col(n_exact) >= KMV_K,
             F.expr(f"CAST({_KMV_SCALE} AS BIGINT) DIV {rk}"),
         ).otherwise(F.col(n_exact))
 
-    e_a = est_expr("n_a", "n_ska", "rk_ska")
-    e_b = est_expr("n_b", "n_skb", "rk_skb")
+    e_a = est_expr("n_a", "rk_ska")
+    e_b = est_expr("n_b", "rk_skb")
     # union estimate uses the MERGED sketch's own size for the <k path
     e_u = F.when(
         F.col("n_usk") >= KMV_K,
