@@ -388,3 +388,143 @@ def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist_m"),
         )
     )
+
+
+# --- Neyman-allocation stratified sampling (round 9) ---------------------
+
+NEYMAN_BUDGET = 100  # total sample size across strata
+
+
+def _neyman_w_sql(vnum: str) -> str:
+    """Quantized Neyman weight: floor(sqrt(vnum)*1000 + 0.5).
+
+    W_h = N_h * S_h with S_h = sqrt(vnum_h)/N_h collapses to
+    sqrt(vnum_h) — vnum = n*Σx² − (Σx)² is one exact BIGINT per
+    stratum, CAST to DOUBLE rounds identically on both engines, and
+    IEEE sqrt is CORRECTLY rounded (unlike ln), so the quantized
+    weight is bit-portable."""
+    return f"CAST(floor(sqrt(CAST({vnum} AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"
+
+
+_NEYMAN_ORACLE = f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_h,
+             {_neyman_w_sql("n_h * sxx - sx * sx")} AS w_milli
+      FROM s
+    ),
+    tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS wt FROM w),
+    alloc0 AS (
+      SELECT w.lang, w.n_h, w.w_milli,
+             CAST({NEYMAN_BUDGET} * w.w_milli // tot.wt AS BIGINT) AS base,
+             CAST({NEYMAN_BUDGET} * w.w_milli % tot.wt AS BIGINT) AS rem
+      FROM w, tot
+    ),
+    short AS (
+      SELECT CAST({NEYMAN_BUDGET} - sum(base) AS BIGINT) AS r FROM alloc0
+    ),
+    alloc AS (
+      SELECT lang, n_h, w_milli,
+             CAST(base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, lang) <= short.r
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+      FROM alloc0, short
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT a.lang, a.n_h, a.w_milli, a.n_alloc,
+           CAST(count(CASE WHEN r.rk <= a.n_alloc THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(coalesce(sum(CASE WHEN r.rk <= a.n_alloc
+                                  THEN r.doc_id END), 0) AS BIGINT)
+             AS kept_id_sum
+    FROM alloc a JOIN ranked r ON r.lang = a.lang
+    GROUP BY a.lang, a.n_h, a.w_milli, a.n_alloc
+"""
+
+
+@query("q_sample_neyman", _NEYMAN_ORACLE)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample: split a fixed budget of
+    {NEYMAN_BUDGET} draws across language strata proportionally to
+    N_h·S_h (stratum size x std dev of n_chars) — the allocation that
+    minimizes the variance of the stratified mean (Neyman 1934), i.e.
+    the statistically optimal way to spend an eval/labeling budget
+    across heterogeneous corpus slices, vs q_sample_balanced's equal
+    caps and q_sample_weighted's per-row priorities.
+
+    Exactness end-to-end: N_h·S_h collapses to sqrt(N_h·Σx² − (Σx)²)
+    — one exact BIGINT radicand per stratum through one CORRECTLY-
+    ROUNDED IEEE sqrt (not libm-approximate like ln), quantized once
+    to milli; integer floor allocation with largest-remainder
+    rounding (rank by exact modulo, lang tie-break) so allocations
+    sum EXACTLY to the budget; membership by the house md5 hash-rank
+    rule, pinned by kept_id_sum.
+
+    Scale shape: one (lang)-keyed moment aggregate (map-side
+    combined), alphabet-sized allocation control plane (broadcast),
+    one per-stratum rank window — q_sample_balanced's plan with a
+    computed cap. The window's scale refinement (hash-prefix
+    pre-filter before ranking) applies unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    w = s.select(
+        "lang",
+        "n_h",
+        F.expr(_neyman_w_sql("n_h * sxx - sx * sx")).alias("w_milli"),
+    )
+    tot = w.agg(F.sum("w_milli").cast("long").alias("wt"))
+    alloc0 = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "w_milli",
+        F.expr(f"CAST({NEYMAN_BUDGET} * w_milli DIV wt AS BIGINT)").alias("base"),
+        F.expr(f"CAST({NEYMAN_BUDGET} * w_milli % wt AS BIGINT)").alias("rem"),
+    )
+    short = alloc0.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("r")
+    )
+    wrem = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    alloc = (
+        alloc0.crossJoin(F.broadcast(short))
+        .withColumn("rn", F.row_number().over(wrem))
+        .select(
+            "lang",
+            "n_h",
+            "w_milli",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("r"), 1).otherwise(0)
+            ).cast("long").alias("n_alloc"),
+        )
+    )
+    wrk = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("lang", "doc_id").withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    kept = F.when(F.col("rk") <= F.col("n_alloc"), F.col("doc_id"))
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .groupBy("lang", "n_h", "w_milli", "n_alloc")
+        .agg(
+            F.count(kept).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(kept), F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
+    )

@@ -1343,3 +1343,21 @@ def test_multiprobe_dominates_single_probe(spark):
     if single:
         assert r_multi >= single[0].recall_at_10
         assert multi[0].n_cand >= len(single)
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Largest-remainder rounding must spend EXACTLY the budget, never
+    over-allocate a stratum past its size, and pin membership."""
+    from jsmr_spark.queries.sampling_geo import NEYMAN_BUDGET
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = get_query("q_sample_neyman").fn(spark, sf).collect()
+    assert rows
+    assert sum(r.n_alloc for r in rows) == NEYMAN_BUDGET
+    for r in rows:
+        assert r.n_kept == min(r.n_alloc, r.n_h)
+        assert r.w_milli > 0
+        if r.n_kept:
+            assert r.kept_id_sum > 0

@@ -77,6 +77,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # broadcast query-panel x corpus: the exhaustive eval baseline
                      "q_rank_mrr",
                      "q_sim_ann_lsh", "q_sim_ann_multiprobe", "q_scalar_subq", "q_text_tfidf",
+                     # strata x 1-row broadcast weight-total and
+                     # shortfall aggregates — alphabet-sized scalar
+                     # fan-in for the largest-remainder allocation.
+                     "q_sample_neyman",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
@@ -206,7 +210,12 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # table (two rows per user-day span, a
                                  # rollup — never raw events); 100 TB path
                                  # is the sharded two-pass parallel prefix
-                                 "q_ts_concurrency"}
+                                 "q_ts_concurrency",
+                                 # largest-remainder rank over the
+                                 # ALLOCATION table (one row per language
+                                 # stratum) — alphabet-sized control
+                                 # plane, never the corpus
+                                 "q_sample_neyman"}
 
 
 def has_global_window(plan: str) -> bool:
