@@ -777,3 +777,237 @@ def q_mix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_ppm"),
         )
     )
+
+
+# --- MinHash banding tuning curve (round 9) ------------------------------
+
+# (n_bands, rows_per_band) sweeps over the SAME 16 permutations; the
+# shipped operator's config (4, 4) sits in the middle of the S-curve.
+BAND_TUNE_CONFIGS = ((8, 2), (4, 4), (2, 8))
+
+
+def _band_tune_bands_sql() -> str:
+    frags = []
+    for nb, rpb in BAND_TUNE_CONFIGS:
+        for band in range(nb):
+            cols = ", ".join(f"m{band * rpb + r}" for r in range(rpb))
+            frags.append(
+                f"SELECT doc_id, {nb} AS nb, {band} AS band,"
+                f" concat_ws(',', {cols}) AS bkey FROM mh"
+            )
+    return "\n      UNION ALL\n      ".join(frags)
+
+
+_BAND_TUNE_ORACLE = f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    panel AS (
+      SELECT doc_id FROM docs0
+      ORDER BY {hex12_sql("md5(CAST(doc_id AS VARCHAR))")}, doc_id
+      LIMIT {RECALL_SAMPLE_N}
+    ),
+    docs AS (
+      SELECT d.doc_id, d.s FROM docs0 d JOIN panel p ON p.doc_id = d.doc_id
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sg FROM (
+        SELECT doc_id,
+               unnest(list_transform(s[1:len(s)-2],
+                                     (x, i) -> concat(x, ' ', s[i+1], ' ', s[i+2]))) AS sg
+        FROM docs) u
+    ),
+    hv AS (SELECT doc_id, sg, {hex12_sql("md5(sg)")} AS hv FROM sh),
+    mh AS (
+      SELECT doc_id,
+           {_ORACLE_MINHASH_COLS}
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      {{bands}}
+    ),
+    cand AS (
+      SELECT DISTINCT a.nb, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.nb = b.nb AND a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT DISTINCT doc_id, hv FROM hv),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+    ti AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM shd x JOIN shd y ON y.hv = x.hv AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM ti t
+      JOIN sizes sa ON sa.doc_id = t.doc_a
+      JOIN sizes sb ON sb.doc_id = t.doc_b
+      WHERE t.n_common / (sa.n + sb.n - t.n_common) >= {JACCARD_THRESHOLD}
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    nc AS (SELECT nb, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY nb),
+    nh AS (
+      SELECT c.nb, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY c.nb
+    ),
+    spine AS (
+      SELECT * FROM (VALUES {", ".join(f"({nb}, {rpb})" for nb, rpb in BAND_TUNE_CONFIGS)})
+        v(n_bands, rows_per_band)
+    )
+    SELECT CAST(s.n_bands AS INTEGER) AS n_bands,
+           CAST(s.rows_per_band AS INTEGER) AS rows_per_band,
+           nt.n_truth,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(nh.n_hits, 0) * 1000000 // nullif(nt.n_truth, 0)
+             AS BIGINT) AS recall_ppm,
+           CAST(coalesce(nh.n_hits, 0) * 1000000 // nullif(nc.n_cand, 0)
+             AS BIGINT) AS precision_ppm
+    FROM spine s
+    CROSS JOIN nt
+    LEFT JOIN nc ON nc.nb = s.n_bands
+    LEFT JOIN nh ON nh.nb = s.n_bands
+""".replace("{bands}", _band_tune_bands_sql())
+
+
+@query("q_dedup_band_tune", _BAND_TUNE_ORACLE, eval_tier=True)
+def q_dedup_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL TIER — MinHash banding TUNING CURVE: recall and precision
+    of the LSH candidate filter for (bands x rows) in
+    {BAND_TUNE_CONFIGS} over the SAME 16 permutations, against the
+    exact-Jaccard>={JACCARD_THRESHOLD} truth on the fixed
+    {RECALL_SAMPLE_N}-doc panel. This is the dedup S-curve instrument
+    that completes the tuning-tool family (q_sim_ann_tune picks IVF's
+    N_PROBE, q_sim_ann_multiprobe widens LSH buckets, THIS picks
+    bands/rows before a 100 TB dedup run): more bands with fewer rows
+    (8x2) collides aggressively — high recall, low precision; fewer
+    wider bands (2x8) barely collides — the curve shows where the
+    shipped (4x4) config sits and what a threshold change would cost.
+
+    One-pass efficiency: the 16 minhash values are computed ONCE and
+    re-banded per config (banding is a projection, never a rescan);
+    the exact truth join is computed once and shared by all three
+    rows; the panel cap is in the code, so corpus growth cannot grow
+    the quadratic part (the q_dedup_recall_report guarantee).
+
+    Determinism: candidates are exact integer band-key collisions;
+    truth reuses the recall report's expression verbatim; zero-
+    coalesced spine keeps configs with no collisions (precision NULL
+    by nullif, identically on both engines)."""
+    sets_all = _shingle_sets(spark, sf_dir)
+    hk = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hk")
+    )
+    panel = (
+        sets_all.select("doc_id", hk)
+        .orderBy("hk", "doc_id")
+        .limit(RECALL_SAMPLE_N)
+        .select("doc_id")
+    )
+    sets = sets_all.join(F.broadcast(panel), "doc_id").cache()
+    mh = sets.select("doc_id", *_minhash_set_cols())
+
+    def bands_for(nb: int, rpb: int) -> DataFrame:
+        return mh.select(
+            "doc_id",
+            F.lit(nb).alias("nb"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{band * rpb + r}")
+                                for r in range(rpb)
+                            ],
+                        )
+                        for band in range(nb)
+                    ]
+                )
+            ).alias("band", "bkey"),
+        )
+
+    bands = None
+    for nb, rpb in BAND_TUNE_CONFIGS:
+        frame = bands_for(nb, rpb)
+        bands = frame if bands is None else bands.unionByName(frame)
+    b2 = bands.select(
+        F.col("nb").alias("nb_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("nb") == F.col("nb_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select("nb", F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    shd = sets.select("doc_id", F.explode("hvs").alias("hv"))
+    sizes = sets.select("doc_id", F.size("hvs").cast("long").alias("n"))
+    ti = (
+        shd.join(shd.select(F.col("doc_id").alias("doc_b"), "hv"), ["hv"])
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    truth = (
+        ti.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.groupBy("nb").agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    nh = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    spine = spark.createDataFrame(
+        list(BAND_TUNE_CONFIGS), "n_bands int, rows_per_band int"
+    )
+    return (
+        spine.crossJoin(F.broadcast(nt))
+        .join(F.broadcast(nc), F.col("n_bands") == F.col("nb"), "left")
+        .drop("nb")
+        .join(F.broadcast(nh), F.col("n_bands") == F.col("nb"), "left")
+        .drop("nb")
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "n_truth",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 DIV nullif(n_truth, 0)"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(coalesce(n_hits, 0) * 1000000 DIV nullif(n_cand, 0)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -1361,3 +1361,25 @@ def test_neyman_allocation_sums_to_budget(spark):
         assert r.w_milli > 0
         if r.n_kept:
             assert r.kept_id_sum > 0
+
+
+def test_band_tune_nesting_monotone(spark):
+    """With a shared 16-perm signature, a (4x4) band collision implies
+    collisions in both covering (8x2) bands — candidate sets nest, so
+    candidates/hits/recall are monotone in band count."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in get_query("q_dedup_band_tune").fn(spark, sf).collect()
+    }
+    assert set(rows) == {(8, 2), (4, 4), (2, 8)}
+    assert len({r.n_truth for r in rows.values()}) == 1
+    wide, mid, narrow = rows[(8, 2)], rows[(4, 4)], rows[(2, 8)]
+    assert wide.n_cand >= mid.n_cand >= narrow.n_cand
+    assert wide.n_hits >= mid.n_hits >= narrow.n_hits
+    for r in rows.values():
+        assert r.n_hits <= r.n_cand
+        assert r.n_hits <= r.n_truth

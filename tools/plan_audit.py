@@ -57,8 +57,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # B-row control-plane joins.
                      "q_stats_bootstrap",
                      # three 1-row count aggregates crossJoined for the
-                     # recall/precision report.
-                     "q_dedup_recall_report",
+                     # recall/precision report (and its banding-curve
+                     # sibling's config-spine fan-in).
+                     "q_dedup_recall_report", "q_dedup_band_tune",
                      # cells/dims x 1-row broadcast total (share-of-total
                      # denominators, as q_graph_degree_dist).
                      "q_ts_heatmap", "q_embed_dim_prune",
