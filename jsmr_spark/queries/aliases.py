@@ -46,13 +46,13 @@ q_agg_corr_matrix. Keep any r9 hash-fail aliases in place until they
 pass.
 
 Round-11 rotation (PREPARED, do not apply until CORRECTNESS_r10 lands):
-retire every alias r10 reports green, then install the 46-key window in
+retire every alias r10 reports green, then install the 47-key window in
 CHECKS_r11.md — the ENTIRE remaining never-driver-verified surface (the
 original 38 plus the round-9 additions q_dedup_suffix,
 q_text_fertility, q_text_top_ngram_cover, q_graph_concomp,
 q_sim_ann_tune, q_sim_ann_multiprobe, q_sample_neyman,
-q_dedup_band_tune), pre-verified
-46/46 at sf0.01 AND sf0.1 (44 oracle MATCH + 2 rows-only by design:
+q_dedup_band_tune, q_ml_roc_curve), pre-verified
+47/47 at sf0.01 AND sf0.1 (45 oracle MATCH + 2 rows-only by design:
 stream_join_static, stream_stream_join_outer). Round 11 completes the
 full canonical surface. Any further keys join that window (up to 50)
 once pre-verified the same way; see the file's tail section.

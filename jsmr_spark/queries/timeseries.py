@@ -2583,3 +2583,109 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("forecast_3d_dollars"),
     )
+
+
+# --- ROC curve table (round 9) ------------------------------------------
+
+ROC_THR_STEP = 1_000  # cent thresholds 1000..9000 (10$..90$)
+ROC_THR_MAX = 9_000
+
+
+_ROC_ORACLE = f"""
+    WITH pts AS (
+      SELECT {sql_cents("value")} AS c,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS BIGINT) AS p,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+               AS BIGINT) AS n
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1
+    ),
+    thr AS (
+      SELECT unnest(generate_series({ROC_THR_STEP}, {ROC_THR_MAX},
+                                    {ROC_THR_STEP})) AS thr_cents
+    ),
+    cm AS (
+      SELECT t.thr_cents,
+             CAST(sum(CASE WHEN pts.c >= t.thr_cents THEN pts.p ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pts.c < t.thr_cents THEN pts.p ELSE 0 END)
+               AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pts.c >= t.thr_cents THEN pts.n ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pts.c < t.thr_cents THEN pts.n ELSE 0 END)
+               AS BIGINT) AS tn
+      FROM pts CROSS JOIN thr t
+      GROUP BY t.thr_cents
+    )
+    SELECT CAST(thr_cents AS BIGINT) AS thr_cents, tp, fn, fp, tn,
+           CAST(tp * 1000000 // nullif(tp + fn, 0) AS BIGINT) AS tpr_ppm,
+           CAST(fp * 1000000 // nullif(fp + tn, 0) AS BIGINT) AS fpr_ppm,
+           CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT)
+             AS precision_ppm
+    FROM cm
+"""
+
+
+@query("q_ml_roc_curve", _ROC_ORACLE)
+def q_ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve TABLE — the threshold sweep behind q_ml_auc's scalar:
+    for every fixed cent threshold ({ROC_THR_STEP}..{ROC_THR_MAX} step
+    {ROC_THR_STEP}), the full confusion quadrant (score = value,
+    positives = purchases, negatives = views, predict-positive =
+    score >= threshold) with exact-ppm TPR / FPR / precision. This is
+    the operating-point picker the scalar AUC cannot be: q_ml_auc says
+    whether the score ranks at all, q_ml_confusion evaluates ONE
+    chosen threshold, this key lays out the whole frontier so the
+    threshold choice is read off a table (the eval-family closer next
+    to calibration and lift).
+
+    Exactness: the corpus collapses to the bounded cent domain first
+    (the q_ml_auc / q_stats_ks shape), quadrants are exact integer
+    conditional sums against a 9-row broadcast threshold spine, and
+    every rate is an exact floor-divided ppm with nullif guards (a
+    threshold above every score yields NULL precision identically on
+    both engines).
+
+    Scale shape: ONE map-side-combined aggregate to the cent domain,
+    then domain x 9 thresholds (bounded work independent of corpus
+    size), one 9-group aggregate. The corpus is scanned once; nothing
+    sorts."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy(cents(F.col("value")).alias("c")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("long").alias("p"),
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("n"),
+    )
+    thr = spark.createDataFrame(
+        [(x,) for x in range(ROC_THR_STEP, ROC_THR_MAX + 1, ROC_THR_STEP)],
+        "thr_cents long",
+    )
+    at_or_above = F.col("c") >= F.col("thr_cents")
+    cm = (
+        pts.crossJoin(F.broadcast(thr))
+        .groupBy("thr_cents")
+        .agg(
+            F.sum(F.when(at_or_above, F.col("p")).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(~at_or_above, F.col("p")).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(at_or_above, F.col("n")).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~at_or_above, F.col("n")).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    return cm.select(
+        "thr_cents",
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        F.expr("CAST(tp * 1000000 DIV nullif(tp + fn, 0) AS BIGINT)").alias(
+            "tpr_ppm"
+        ),
+        F.expr("CAST(fp * 1000000 DIV nullif(fp + tn, 0) AS BIGINT)").alias(
+            "fpr_ppm"
+        ),
+        F.expr("CAST(tp * 1000000 DIV nullif(tp + fp, 0) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+    )

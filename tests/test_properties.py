@@ -1383,3 +1383,29 @@ def test_band_tune_nesting_monotone(spark):
     for r in rows.values():
         assert r.n_hits <= r.n_cand
         assert r.n_hits <= r.n_truth
+
+
+def test_roc_curve_monotone_in_threshold(spark):
+    """Raising the threshold can only shrink the predicted-positive
+    set: TPR and FPR are non-increasing in thr_cents, quadrants sum to
+    the same population everywhere, and the quadrants must agree with
+    q_ml_auc's positive/negative totals."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    rows = sorted(
+        get_query("q_ml_roc_curve").fn(spark, sf).collect(),
+        key=lambda r: r.thr_cents,
+    )
+    assert [r.thr_cents for r in rows] == list(range(1000, 9001, 1000))
+    pops = {(r.tp + r.fn, r.fp + r.tn) for r in rows}
+    assert len(pops) == 1
+    auc = get_query("q_ml_auc").fn(spark, sf).collect()[0]
+    assert pops == {(auc.n_pos, auc.n_neg)}
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.tp <= lo.tp and hi.fp <= lo.fp
+        if lo.tpr_ppm is not None and hi.tpr_ppm is not None:
+            assert hi.tpr_ppm <= lo.tpr_ppm
+        if lo.fpr_ppm is not None and hi.fpr_ppm is not None:
+            assert hi.fpr_ppm <= lo.fpr_ppm

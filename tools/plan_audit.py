@@ -56,6 +56,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # documented Poisson-bootstrap fan-out — plus the
                      # B-row control-plane joins.
                      "q_stats_bootstrap",
+                     # cent-domain rollup x broadcast 9-row threshold
+                     # spine (bounded work, the ROC sweep fan-out).
+                     "q_ml_roc_curve",
                      # three 1-row count aggregates crossJoined for the
                      # recall/precision report (and its banding-curve
                      # sibling's config-spine fan-in).
