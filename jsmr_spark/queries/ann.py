@@ -1069,7 +1069,7 @@ _MULTIPROBE_ORACLE = f"""
 def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (Lv et al. 2007): the probe inspects its own
     bucket AND every Hamming-1 neighbor (one hyperplane sign flipped) —
-    {len(MULTIPROBE_XORS)} of 2^{N_PLANES} buckets — before the exact
+    9 of 2^{N_PLANES} buckets, xor offsets {MULTIPROBE_XORS} — before the exact
     cosine re-rank. This is the LSH-side recall lever that costs NO
     extra index: where q_sim_ann_tune trades candidates for recall by
     probing more IVF lists, multi-probe does it by probing adjacent
@@ -1087,7 +1087,7 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank shares the exact sim kernel and tie-break.
 
     Scale shape: candidate generation stays a partition-pruned scan —
-    {len(MULTIPROBE_XORS)} bucket partitions of a bucket-partitioned
+    9 bucket partitions of a bucket-partitioned
     corpus instead of 1, still O(probed fraction), never a corpus
     scan; the re-rank is candidate-sized. At 100 TB the probe set
     generalizes to the query-adaptive form (flip lowest-|margin| bits
