@@ -57,7 +57,33 @@ def _aliases_at(commit: str) -> dict[str, str]:
     return {}
 
 
+def _invert_alias(key: str, canon: set[str]) -> str:
+    """Resolve an a0_ alias to its canonical key by inverting the naming
+    rule (register_alias strips a leading ``q_`` before prefixing
+    ``a0_``), independent of any commit.
+
+    This is the fallback for CORRECTNESS files with no introducing
+    commit (the judge runs before the driver's round-close commit, so
+    the newest round's file is untracked at audit time — VERDICT r9 #2:
+    the old code returned {} and silently dropped the whole round).
+    The inversion is exact because every alias ever registered uses the
+    same derivation; a canonical key renamed out of the registry fails
+    to invert, but such a key would be excluded by the `& canon`
+    intersection anyway.
+    """
+    if not key.startswith("a0_"):
+        return key
+    short = key[3:]
+    for cand in (f"q_{short}", short):
+        if cand in canon:
+            return cand
+    return key
+
+
 def main() -> int:
+    from jsmr_spark.registry import canonical_specs
+
+    canon_set = set(canonical_specs())
     hash_green: set[str] = set()
     rows_only: set[str] = set()
     per_round: list[tuple[int, int, int]] = []
@@ -73,7 +99,7 @@ def main() -> int:
         data = json.load(open(path))
         n_green = n_rows = 0
         for key, res in data.items():
-            canonical = amap.get(key, key)
+            canonical = amap.get(key) or _invert_alias(key, canon_set)
             if res.get("hash_match") is True:
                 hash_green.add(canonical)
                 n_green += 1
@@ -82,17 +108,17 @@ def main() -> int:
                 n_rows += 1
         per_round.append((rnd, n_green, n_rows))
 
-    from jsmr_spark.registry import canonical_specs
-
-    canon = set(canonical_specs())
+    canon = canon_set
     union = (hash_green | rows_only) & canon
     print("round  hash-green  rows-only")
     for rnd, g, r in per_round:
         print(f"r{rnd:<5} {g:<11} {r}")
+    # a key can be rows-only in one round and hash-green in a later one;
+    # count it once, under the stronger signal
     print(
         f"\never-driver-verified union: {len(union)}/{len(canon)} canonical "
         f"({len(hash_green & canon)} hash-green, "
-        f"{len(rows_only & canon)} rows-only)"
+        f"{len((rows_only - hash_green) & canon)} rows-only)"
     )
     missing = sorted(canon - union)
     print(f"never-driver-verified: {len(missing)}")
