@@ -614,7 +614,7 @@ _RECALL_ORACLE = f"""
 """
 
 
-@query("q_sim_recall_report", _RECALL_ORACLE)
+@query("q_sim_recall_report", _RECALL_ORACLE, eval_tier=True)
 def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN evaluation: recall@{TOP_K} of the IVF route (same
     codebook/probe config as q_sim_ann_ivf) measured over a QUERY SET
@@ -622,6 +622,11 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — the tuning readout that decides K_CENT/N_PROBE before a
     100 TB index is frozen. Output: per-query candidate count, hits
     against the exact brute-force top-{TOP_K}, and recall.
+
+    eval_tier: the corpus-proportional panel makes the exact baseline
+    corpus x panel — quadratic by construction (a tuning INSTRUMENT,
+    not a serving path; the fixed-panel control in tools/scale_probe.py
+    shows the operator itself scales at x1.1).
 
     Scale shape: assignment is the same narrow map against broadcast
     centroids as the serving path; the per-query probe lists and query
@@ -901,7 +906,7 @@ _TUNE_ORACLE = f"""
 """
 
 
-@query("q_sim_ann_tune", _TUNE_ORACLE)
+@query("q_sim_ann_tune", _TUNE_ORACLE, eval_tier=True)
 def q_sim_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-count TUNING CURVE: recall@{TOP_K} and candidate cost
     for n_probe in {TUNE_PROBES}, over the same query panel as
@@ -911,6 +916,11 @@ def q_sim_ann_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is evidence, not folklore). Output per probe count: query
     count, total candidates scanned (the cost axis), total hits and
     exact-ppm recall against the brute-force truth.
+
+    eval_tier: same corpus-proportional panel as q_sim_recall_report,
+    so the exact baseline is quadratic by construction (fixed-panel
+    control in tools/scale_probe.py: x1.9 — the instrument is fine,
+    the registered panel shape is what doesn't scale).
 
     One-DAG efficiency: candidates are scored ONCE at max(n_probe) —
     the nested property of probe lists (p=1 candidates are a subset of
@@ -1099,10 +1109,6 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .head()
     )
     emb_p = [float(x) for x in row[0]]
-    acc = 0.0
-    for x in emb_p:
-        acc += x * x
-    nrm_p = math.sqrt(acc)
     p_bucket = _bucket_py(emb_p)
     probed = [p_bucket ^ x for x in MULTIPROBE_XORS]
     plit = F.array(*[F.lit(x) for x in emb_p])
@@ -1110,8 +1116,14 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
+    # probe norm via the shared engine-side sequential-fold kernel
+    # (ADVICE r9: a driver-side Python accumulation could differ from
+    # DuckDB's list_aggregate 'sum' by a last ulp and flip the 4-dp
+    # rounding at a .00005 boundary; _norm folds left-to-right exactly
+    # like the oracle does)
     sim = r4(
-        _dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * F.lit(nrm_p))
+        _dot(F.col("embedding"), plit)
+        / (_norm(F.col("embedding")) * _norm(plit))
     )
     cand = emb.filter(
         F.col("bucket").isin(probed) & (F.col("vec_id") != PROBE_ID)

@@ -293,11 +293,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN documents db ON db.doc_id = p.doc_b
     WHERE p.cos_sim >= {EMB_COS_MIN}
     """,
+    eval_tier=True,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup: embedding-cosine pairs over the threshold,
     annotated with the documents' languages (multimodal join of the
-    dedup decision back to text metadata)."""
+    dedup decision back to text metadata).
+
+    eval_tier: the pair source is every-pair block-GEMM cosine
+    (vectorized.block_cosine_pairs) — O(n^2) compute by construction,
+    kept as the exact calibration baseline for its scalable twins
+    (q_sim_ann_lsh hyperplane-bucketed candidates, q_dedup_semantic
+    per-cluster GEMM). At 100 TB you run THOSE; this key tells you what
+    recall they achieved."""
     from jsmr_spark.vectorized import block_cosine_pairs
 
     emb = t(spark, sf_dir, "embeddings")

@@ -1291,13 +1291,18 @@ def q_graph_concomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .withColumnRenamed("lbl", "ec_lbl")
     )
+    # no pinned broadcast on the per-component edge census (VERDICT r9
+    # #7): ec has one row per component — up to node-count rows on a
+    # singleton-heavy graph, so it is NOT bounded small. Both sides are
+    # keyed on lbl; AQE broadcasts from runtime stats when ec is small
+    # and falls back to a shuffle join when it isn't.
     return (
         labels.groupBy("lbl")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.sum("node").cast("long").alias("sum_ids"),
         )
-        .join(F.broadcast(ec), F.col("lbl") == F.col("ec_lbl"), "left")
+        .join(ec, F.col("lbl") == F.col("ec_lbl"), "left")
         .select(
             F.col("lbl").alias("comp"),
             "n_nodes",

@@ -88,13 +88,21 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranking uses the *rounded* score (plus token tiebreak) so that
     sub-ulp libm differences between engines cannot reorder ties.
+
+    The document-frequency side of the tf-x-df join carries NO pinned
+    broadcast hint (VERDICT r9 #7): df is vocabulary-sized — Heaps' law
+    keeps it sublinear in the corpus but not bounded, so at 100x it may
+    outgrow the broadcast threshold. AQE decides from runtime stats
+    (broadcasts while it fits, shuffles when it doesn't). n_docs is a
+    literal 1-row aggregate — that broadcast is bounded by construction
+    and stays pinned.
     """
     docs = t(spark, sf_dir, "documents")
     tf = tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", r4(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))))
     )

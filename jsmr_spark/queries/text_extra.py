@@ -1739,8 +1739,10 @@ _FERTILITY_ORACLE = r"""
            CAST(sum(w) AS BIGINT) AS total_words,
            CAST(sum(b) AS BIGINT) AS total_bpe_tokens,
            CAST(sum(nc) AS BIGINT) AS total_chars,
-           CAST(sum(b) * 1000000 // sum(w) AS BIGINT) AS fertility_ppm,
-           CAST(sum(nc) * 1000000 // sum(b) AS BIGINT) AS chars_per_token_ppm
+           CAST(sum(b) * 1000000 // nullif(sum(w), 0) AS BIGINT)
+             AS fertility_ppm,
+           CAST(sum(nc) * 1000000 // nullif(sum(b), 0) AS BIGINT)
+             AS chars_per_token_ppm
     FROM d GROUP BY lang, source
 """
 
@@ -1760,7 +1762,11 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are exact integers from identical regexes (the
     q_text_token_bpe kernel) and both ratios are exact integer ppm
-    divisions of corpus sums — sum(w) and sum(b) are >= 1 per group
+    divisions of corpus sums, nullif-guarded on BOTH engines (ADVICE r9:
+    Spark DIV returns NULL on zero while DuckDB // raises — the guard
+    makes a group with no BPE-matching characters yield NULL uniformly,
+    the same convention as q_ml_roc_curve / q_dedup_band_tune). On the
+    fixtures the guard never fires: sum(w) and sum(b) are >= 1 per group
     (split of any string yields >= 1 element; every fixture doc has
     >= 1 BPE run because documents are non-empty).
 
@@ -1783,10 +1789,10 @@ def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("total_words"),
         F.sum("b").cast("long").alias("total_bpe_tokens"),
         F.sum("nc").cast("long").alias("total_chars"),
-        F.expr("CAST(sum(b) * 1000000 DIV sum(w) AS BIGINT)").alias(
+        F.expr("CAST(sum(b) * 1000000 DIV nullif(sum(w), 0) AS BIGINT)").alias(
             "fertility_ppm"
         ),
-        F.expr("CAST(sum(nc) * 1000000 DIV sum(b) AS BIGINT)").alias(
+        F.expr("CAST(sum(nc) * 1000000 DIV nullif(sum(b), 0) AS BIGINT)").alias(
             "chars_per_token_ppm"
         ),
     )

@@ -2079,3 +2079,60 @@ def test_holt_pack_band_guard_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="packing band"):
         con2.execute(get_query("q_ts_holt").oracle).df()
+
+
+def test_bootstrap_all_zero_replicate_null_semantics(spark, tmp_path):
+    """Close the r9 spot-audit note on q_stats_bootstrap: a replicate
+    whose Poisson weights all draw 0 for a group yields m_milli NULL;
+    BOTH engines must then count it in n_replicates (count(*)) while
+    excluding it from s1/s2 (sum skips NULL) — identically.
+
+    event_id=1 as a SINGLETON group draws weight 0 in 9 of the 32
+    replicates under the portable (event_id, r) hash, so this
+    micro-fixture actually reaches the all-zero branch the fixture
+    corpus never can (P = e^-n per replicate, n in the thousands).
+    """
+    import datetime
+    import os
+
+    import duckdb
+
+    from jsmr_spark.registry import get_query
+    from tests.conftest import canon_rows
+
+    rows = [
+        # the singleton group that hits all-zero replicates
+        (1, datetime.datetime(2024, 1, 1, 8), 1, "solo", 3.50, "{}"),
+        # a multi-row control group (never all-zero)
+        (2, datetime.datetime(2024, 1, 1, 9), 2, "ctrl", 1.00, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 10), 2, "ctrl", 2.00, "{}"),
+        (4, datetime.datetime(2024, 1, 1, 11), 2, "ctrl", 4.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    spec = get_query("q_stats_bootstrap")
+    sdf = spec.fn(spark, str(tmp_path))
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+
+    assert canon_rows(s_cols, s_rows) == canon_rows(d_cols, d_rows)
+
+    by_type = {r["event_type"]: r for r in sdf.collect()}
+    # NULL replicates still count in the denominator on both engines
+    assert by_type["solo"]["n_replicates"] == 32
+    # and the mean really was built from the 23 non-null replicates:
+    # vc=350, so every non-null singleton replicate mean is exactly
+    # 350*1000 milli regardless of the drawn weight
+    assert by_type["solo"]["boot_mean_milli"] == 350 * 1000 * 23 // 32

@@ -62,7 +62,20 @@ def main() -> None:
     # DuckDB ~100x its sf0.1 seconds). Excluding them is CONSERVATIVE
     # for the published ratio: they are precisely the keys where Spark's
     # block-GEMM already beats DuckDB ~10x at sf0.1.
+    #
+    # The token `eval_tier` expands to EXACTLY the registry's
+    # eval_tier-flagged set (VERDICT r9 #3: the exclusion list must
+    # equal the registry flag, nothing excluded by prose alone). The
+    # 10x protocol is AB_EXCLUDE=eval_tier; ad-hoc extra keys can still
+    # be appended but each one shows up in the printed exclusion line.
     exclude = set(filter(None, os.environ.get("AB_EXCLUDE", "").split(",")))
+    if "eval_tier" in exclude:
+        exclude.discard("eval_tier")
+        flagged = {n for n, s in canonical_specs().items() if s.eval_tier}
+        exclude |= flagged
+    if exclude:
+        print(f"excluded ({len(exclude)}): {','.join(sorted(exclude))}",
+              flush=True)
     specs = {
         n: s
         for n, s in canonical_specs().items()

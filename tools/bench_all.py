@@ -161,8 +161,13 @@ def main():
         f.write("q_text_wordcount and q_join_inner/q_join_broadcast run the same\n")
         f.write("work at two orders of magnitude lower cost in this table.\n\n")
         f.write("| key | duckdb_s | spark_s | exec_s | ratio |\n|---|---|---|---|---|\n")
+        # 6-dp timings: the resume cache reseeds from these cells
+        # (cache_from_md), and at 3 dp a millisecond-scale key's
+        # recomputed ratio picked up ~25% rounding error (ADVICE r9) —
+        # micro-second precision keeps reseeded ratios faithful to the
+        # original measurement.
         for name, d, s, e, r in rows:
-            f.write(f"| {name} | {d:.3f} | {s:.3f} | {e:.3f} | {r:.2f} |\n")
+            f.write(f"| {name} | {d:.6f} | {s:.6f} | {e:.6f} | {r:.2f} |\n")
         tot_d = sum(r[1] for r in rows); tot_s = sum(r[2] for r in rows)
         tot_e = sum(r[3] for r in rows)
         f.write(f"| **TOTAL** | {tot_d:.3f} | {tot_s:.3f} | {tot_e:.3f} | {tot_s/tot_d:.2f} |\n")
