@@ -27,16 +27,18 @@ Round-10 rotation:
     graph (3), multimodal (3), and 2 aggregates.
 
 Round-11 rotation (PREPARED, do not apply until CORRECTNESS_r10 lands):
-retire every alias r10 reports green, then install the 47-key window in
+retire every alias r10 reports green, then install the 50-key window in
 CHECKS_r11.md — the ENTIRE remaining never-driver-verified surface (the
-original 38 plus the round-9 additions q_dedup_suffix,
-q_text_fertility, q_text_top_ngram_cover, q_graph_concomp,
-q_sim_ann_tune, q_sim_ann_multiprobe, q_sample_neyman,
-q_dedup_band_tune, q_ml_roc_curve), pre-verified
-47/47 at sf0.01 AND sf0.1 (45 oracle MATCH + 2 rows-only by design:
-stream_join_static, stream_stream_join_outer). Round 11 completes the
-full canonical surface. Any further keys join that window (up to 50)
-once pre-verified the same way; see CHECKS_r11.md.
+original 38, the round-9 additions q_dedup_suffix, q_text_fertility,
+q_text_top_ngram_cover, q_graph_concomp, q_sim_ann_tune,
+q_sim_ann_multiprobe, q_sample_neyman, q_dedup_band_tune,
+q_ml_roc_curve, and the round-10 additions q_sample_dsir,
+q_pack_sequences, q_text_watermark_detect), pre-verified 50/50 —
+48 oracle MATCH + 2 rows-only by design (stream_join_static,
+stream_stream_join_outer) — at sf0.01 AND sf0.1 (round-10 additions
+also at sf0.001). The window is at the 50-key cap. Round 11 completes
+the full canonical surface; any further keys queue for round 12. See
+CHECKS_r11.md.
 """
 
 from __future__ import annotations

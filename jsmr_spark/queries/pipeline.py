@@ -1824,3 +1824,102 @@ def q_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_tokens"
         ),
     )
+
+
+# --- sequence-packing census (round 10) ----------------------------------
+
+PACK_CTX = 512  # training context length in whitespace tokens
+
+
+_PACK_ORACLE = f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    ),
+    f AS (
+      SELECT source, tok,
+             CASE WHEN (cum - tok) // {PACK_CTX} <> (cum - 1) // {PACK_CTX}
+                  THEN 1 ELSE 0 END AS split_doc
+      FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST((sum(tok) + {PACK_CTX} - 1) // {PACK_CTX} AS BIGINT)
+             AS n_windows,
+           CAST(sum(split_doc) AS BIGINT) AS split_docs,
+           CAST(sum(split_doc) * 1000000 // count(*) AS BIGINT)
+             AS split_ppm,
+           CAST((sum(tok) + {PACK_CTX} - 1) // {PACK_CTX} * {PACK_CTX}
+                - sum(tok) AS BIGINT) AS tail_waste_tokens,
+           CAST(count(*) * 1000
+                // ((sum(tok) + {PACK_CTX} - 1) // {PACK_CTX}) AS BIGINT)
+             AS docs_per_window_milli
+    FROM f GROUP BY source
+"""
+
+
+@query("q_pack_sequences", _PACK_ORACLE)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing census at context length
+    {PACK_CTX}: pretraining dataloaders concatenate documents in a
+    deterministic order and slice the stream into fixed context
+    windows (the GPT-3/Gopher regime), so the numbers that decide the
+    batch pipeline are per source: how many windows the corpus yields,
+    how many documents get SPLIT across a window boundary (each split
+    is an attention-contamination site unless the loader masks across
+    the seam), the split rate, the tail waste in the final window, and
+    mean docs per window (the document-boundary density the masking
+    pass will pay for). Order is (source, doc_id) — the stable shard
+    order a production loader freezes before training.
+
+    Determinism: token counts, running sums and every ratio are exact
+    integers (ppm / milli via integer division); a doc is split iff its
+    [cum-tok, cum-1] token interval crosses a {PACK_CTX} boundary.
+
+    Scale shape: one corpus scan (narrow token count, no explode), ONE
+    running-sum window partitioned by source ordered by doc_id (the
+    packing order is per-shard sequential BY DEFINITION — this window
+    is the operator, not an artifact), then a source-keyed rollup;
+    output is catalog-sized. At 100 TB the same plan runs per shard:
+    the window key becomes (source, shard) and windows never span
+    shards, exactly like the real loader."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("tok").over(wcum).cast("long"))
+    split_doc = F.expr(
+        f"CASE WHEN (cum - tok) DIV {PACK_CTX} <> (cum - 1) DIV {PACK_CTX}"
+        " THEN 1 ELSE 0 END"
+    )
+    f = c.select("source", "tok", split_doc.alias("split_doc"))
+    nw = f"(sum(tok) + {PACK_CTX} - 1) DIV {PACK_CTX}"
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.expr(f"CAST({nw} AS BIGINT)").alias("n_windows"),
+        F.sum("split_doc").cast("long").alias("split_docs"),
+        F.expr("CAST(sum(split_doc) * 1000000 DIV count(*) AS BIGINT)").alias(
+            "split_ppm"
+        ),
+        F.expr(f"CAST({nw} * {PACK_CTX} - sum(tok) AS BIGINT)").alias(
+            "tail_waste_tokens"
+        ),
+        F.expr(f"CAST(count(*) * 1000 DIV ({nw}) AS BIGINT)").alias(
+            "docs_per_window_milli"
+        ),
+    )

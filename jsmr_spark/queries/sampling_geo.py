@@ -528,3 +528,180 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(kept), F.lit(0)).cast("long").alias("kept_id_sum"),
         )
     )
+
+
+# --- DSIR importance resampling (round 10) -------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space
+DSIR_TOP = 20  # selected docs reported
+DSIR_TARGET = "en"  # target-domain slice the raw pool is scored against
+
+_DSIR_LN_SCALE = 1_000_000
+
+
+def _dsir_lnq(x: str) -> str:
+    """ln of a POSITIVE integer expression, snapped once to the 1e-6
+    grid (the q_text_pmi recipe) so downstream arithmetic is exact."""
+    return (
+        f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {_DSIR_LN_SCALE} + 0.5)"
+        " AS BIGINT)"
+    )
+
+
+def _dsir_oracle() -> str:
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    lam = (
+        f"{_dsir_lnq('coalesce(t.ct, 0) + 1')}"
+        f" - {_dsir_lnq('tot.tt + ' + str(DSIR_BUCKETS))}"
+        f" - {_dsir_lnq('r.cr + 1')}"
+        f" + {_dsir_lnq('tot.rt + ' + str(DSIR_BUCKETS))}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, source,
+             ({hex12_sql("md5(pair)")}) % {DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(list_slice(l, 1, len(l) - 1),
+                                     (x, i) -> x || '|' || l[i + 1])) AS pair
+        FROM d WHERE len(l) >= 2
+      )
+    ),
+    db AS (
+      SELECT doc_id, lang, source, bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY doc_id, lang, source, bucket
+    ),
+    raw_b AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY bucket),
+    tgt_b AS (
+      SELECT bucket, CAST(sum(n) AS BIGINT) AS ct
+      FROM db WHERE lang = '{DSIR_TARGET}' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS rt,
+             (SELECT CAST(sum(ct) AS BIGINT) FROM tgt_b) AS tt
+      FROM raw_b
+    ),
+    lam AS (
+      SELECT r.bucket, CAST({lam} AS BIGINT) AS lam_micro
+      FROM raw_b r LEFT JOIN tgt_b t ON t.bucket = r.bucket
+      CROSS JOIN tot
+    ),
+    w AS (
+      SELECT db.doc_id, db.lang, db.source,
+             CAST(sum(db.n) AS BIGINT) AS n_grams,
+             CAST(sum(db.n * lam.lam_micro) AS BIGINT) AS weight_micro
+      FROM db JOIN lam ON lam.bucket = db.bucket
+      GROUP BY db.doc_id, db.lang, db.source
+    )
+    SELECT doc_id, lang, source, n_grams, weight_micro, rnk
+    FROM (SELECT *, CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                         AS INTEGER) AS rnk FROM w) x
+    WHERE rnk <= {DSIR_TOP}
+"""
+
+
+@query("q_sample_dsir", _dsir_oracle())
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw-pool document by how target-like its hashed
+    n-gram feature distribution is — log w(x) = sum over features of
+    n_f(x) * [ln p_target(f) - ln p_raw(f)] — and keep the top-scored
+    docs. THE published data-selection method for choosing pretraining
+    data that matches a high-quality target domain at corpus scale.
+    Features are word bigrams hashed into {DSIR_BUCKETS} buckets
+    (portable md5), target = the '{DSIR_TARGET}' slice, raw = the whole
+    corpus; both bucket distributions carry +1 smoothing. Output: the
+    top-{DSIR_TOP} selected docs with their exact micro-nat weights.
+
+    Determinism: bucket counts are exact integers; each of the four ln
+    terms is snapped ONCE to the 1e-6 grid (the q_text_pmi recipe), so
+    every per-bucket log-ratio is a per-bucket integer constant and
+    doc weights are exact BIGINT sums; ranking tie-breaks on doc_id.
+
+    Scale shape: ONE corpus tokenize (narrow zip, no self-join) -> one
+    (doc, bucket) hash agg -> the bucket tables are {DSIR_BUCKETS}-row
+    CONTROL PLANE (broadcast by construction — bounded, unlike a
+    vocabulary) -> one broadcast join + per-doc agg -> global top-k
+    (TakeOrderedAndProject). At 100 TB: two corpus scans' worth of
+    shuffle-light work, exactly the paper's MapReduce shape; the
+    selection threshold generalizes from top-k to a weight cutoff
+    sampled via the Gumbel trick without changing the plan."""
+    from jsmr_spark.queries.dedup import hex12_sql
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("|"), b),
+    )
+    bg = (
+        docs.where(n >= 2)
+        .select(
+            "doc_id", "lang", "source", F.explode(pairs).alias("pair")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(f"({hex12_sql('md5(pair)')}) % {DSIR_BUCKETS}").alias(
+                "bucket"
+            ),
+        )
+    )
+    # cached: db feeds the raw distribution, the target distribution
+    # AND the per-doc scoring join — without the cache the tokenize +
+    # explode re-runs three times (the q_dedup_minhash shingle-set
+    # precedent; at 100 TB this is the featurized-counts table the
+    # DSIR paper materializes between its two passes)
+    db = bg.groupBy("doc_id", "lang", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).cache()
+    raw_b = db.groupBy("bucket").agg(F.sum("n").cast("long").alias("cr"))
+    tgt_b = (
+        db.where(F.col("lang") == DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("ct_raw"))
+    )
+    tot = raw_b.agg(F.sum("cr").cast("long").alias("rt")).crossJoin(
+        tgt_b.agg(F.sum("ct_raw").cast("long").alias("tt"))
+    )
+    lam_expr = (
+        f"CAST({_dsir_lnq('ct + 1')}"
+        f" - {_dsir_lnq('tt + ' + str(DSIR_BUCKETS))}"
+        f" - {_dsir_lnq('cr + 1')}"
+        f" + {_dsir_lnq('rt + ' + str(DSIR_BUCKETS))} AS BIGINT)"
+    )
+    lam = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .select(
+            "bucket",
+            "cr",
+            F.coalesce(F.col("ct_raw"), F.lit(0)).cast("long").alias("ct"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", F.expr(lam_expr).alias("lam_micro"))
+    )
+    w = (
+        db.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lam_micro")).cast("long").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return (
+        w.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= DSIR_TOP)
+        .select("doc_id", "lang", "source", "n_grams", "weight_micro", "rnk")
+    )

@@ -1892,3 +1892,112 @@ def q_text_top_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         cover.alias("cover_ppm"),
         (cover > TOPGRAM_THRESHOLD_PPM).alias("flagged"),
     )
+
+
+# --- hash-keyed watermark detection (round 10) ---------------------------
+
+WM_MIN_TRANS = 16  # minimum transitions before a doc is z-scored
+WM_Z_FLAG = 4.0  # Kirchenbauer et al. 2023 detection threshold (z > 4)
+
+
+_WM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS l
+      FROM documents
+    ),
+    tr AS (
+      SELECT doc_id, lang, source,
+             CAST(len(l) - 1 AS BIGINT) AS nt,
+             unnest(list_transform(list_slice(l, 1, len(l) - 1),
+                                   (x, i) -> x || '|' || l[i + 1])) AS pair
+      FROM d WHERE len(l) - 1 >= {WM_MIN_TRANS}
+    ),
+    g AS (
+      SELECT doc_id, lang, source, nt,
+             CAST(sum(CASE WHEN ({hex12_sql("md5(pair)")}) % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ng
+      FROM tr GROUP BY doc_id, lang, source, nt
+    ),
+    z AS (
+      SELECT lang, source, nt, ng,
+             round(CAST(2 * ng - nt AS DOUBLE)
+                   / sqrt(CAST(nt AS DOUBLE)), 4) AS z4
+      FROM g
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN z4 > {WM_Z_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(ng) * 1000000 // sum(nt) AS BIGINT) AS green_ppm,
+           max(z4) AS max_z
+    FROM z GROUP BY lang, source
+"""
+
+
+@query("q_text_watermark_detect", _WM_ORACLE)
+def q_text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed watermark detection census (Kirchenbauer et al. 2023,
+    "A Watermark for Large Language Models"): a green-list watermark
+    seeds a PRF with the previous token and biases generation toward
+    the "green" half of the vocabulary, so watermarked text shows a
+    green-transition fraction far above 1/2 and is detected by the
+    one-proportion z-score z = (2g - T) / sqrt(T) over T scored
+    transitions. This is the synthetic-text contamination gate a
+    pretraining pipeline runs BEFORE training on crawled data — models
+    trained on watermarked model output inherit the bias. Green
+    membership here is the md5 parity of the (prev|next) pair — the
+    same keyed-PRF shape as the published detector, deterministic and
+    identical on both engines; natural text sits at ~500000 ppm green
+    and z near 0, so flags (z > {WM_Z_FLAG}) measure the detector's
+    false-positive floor on a clean corpus. Docs with fewer than
+    {WM_MIN_TRANS} transitions are not scored (the z approximation
+    needs mass; same floor as the paper's minimum-length guidance).
+
+    Determinism: counts are exact integers; z's only float ops are one
+    IEEE-exact BIGINT->DOUBLE divide and one correctly-rounded sqrt,
+    then the shared 4-dp round — bit-identical cross-engine, so the
+    flag comparison and max_z hash stably.
+
+    Scale shape: narrow zip of the token array with its own tail (the
+    q_text_top_ngram_cover idiom — no explode-then-self-join), one
+    (doc)-keyed count with map-side combine, one (lang, source) rollup;
+    output is catalog-sized. At 100 TB this is ONE corpus scan and two
+    hash aggregates."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("|"), b),
+    )
+    tr = (
+        t(spark, sf_dir, "documents")
+        .where((n - 1) >= WM_MIN_TRANS)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (n - 1).cast("long").alias("nt"),
+            F.explode(pairs).alias("pair"),
+        )
+    )
+    green = F.expr(f"CASE WHEN ({hex12_sql('md5(pair)')}) % 2 = 0 THEN 1 ELSE 0 END")
+    g = tr.groupBy("doc_id", "lang", "source", "nt").agg(
+        F.sum(green).cast("long").alias("ng")
+    )
+    z4 = F.round(
+        (2 * F.col("ng") - F.col("nt")).cast("double")
+        / F.sqrt(F.col("nt").cast("double")),
+        4,
+    )
+    z = g.select("lang", "source", "nt", "ng", z4.alias("z4"))
+    return z.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("z4") > WM_Z_FLAG, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.expr("CAST(sum(ng) * 1000000 DIV sum(nt) AS BIGINT)").alias(
+            "green_ppm"
+        ),
+        F.max("z4").alias("max_z"),
+    )

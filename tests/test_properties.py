@@ -1409,3 +1409,54 @@ def test_roc_curve_monotone_in_threshold(spark):
             assert hi.tpr_ppm <= lo.tpr_ppm
         if lo.fpr_ppm is not None and hi.fpr_ppm is not None:
             assert hi.fpr_ppm <= lo.fpr_ppm
+
+
+def test_round10_batch_key_invariants(spark):
+    """Algebraic invariants for the round-10 additions (DSIR selection,
+    sequence-packing census, watermark detection) — facts that must
+    hold regardless of the oracle's values."""
+    from jsmr_spark.queries.pipeline import PACK_CTX
+    from jsmr_spark.queries.sampling_geo import DSIR_TARGET, DSIR_TOP
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # DSIR: dense unique ranks, weights non-increasing in rank, and the
+    # selection skews toward the target domain (that is the POINT of
+    # importance resampling: target-like docs score the highest)
+    dsir = sorted(
+        get_query("q_sample_dsir").fn(spark, sf).collect(), key=lambda r: r.rnk
+    )
+    assert [r.rnk for r in dsir] == list(range(1, DSIR_TOP + 1))
+    for a, b in zip(dsir, dsir[1:]):
+        assert (a.weight_micro, -a.doc_id) >= (b.weight_micro, -b.doc_id)
+    assert all(r.n_grams >= 1 for r in dsir)
+    n_target = sum(1 for r in dsir if r.lang == DSIR_TARGET)
+    assert n_target > DSIR_TOP // 2, f"target slice only {n_target}/{DSIR_TOP}"
+
+    # packing census: window count is exactly ceil(total/CTX), waste is
+    # the last window's slack, split rate bounded by doc count, and the
+    # corpus token total is conserved across sources
+    pack = get_query("q_pack_sequences").fn(spark, sf).collect()
+    assert pack
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus_toks = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("s")
+    ).collect()[0].s
+    assert sum(r.total_tokens for r in pack) == corpus_toks
+    for r in pack:
+        assert r.n_windows == -(-r.total_tokens // PACK_CTX)
+        assert 0 <= r.tail_waste_tokens < PACK_CTX
+        assert r.tail_waste_tokens == r.n_windows * PACK_CTX - r.total_tokens
+        assert 0 <= r.split_docs <= r.n_docs
+        assert r.split_ppm == r.split_docs * 1_000_000 // r.n_docs
+        assert r.docs_per_window_milli == r.n_docs * 1_000 // r.n_windows
+
+    # watermark: natural text sits near 500000 ppm green; the flag
+    # column and max_z must tell the same story row by row
+    wm = get_query("q_text_watermark_detect").fn(spark, sf).collect()
+    assert wm
+    for r in wm:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert (r.n_flagged > 0) == (r.max_z > 4.0)
+        assert 350_000 < r.green_ppm < 650_000, r

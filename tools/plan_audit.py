@@ -85,6 +85,10 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # shortfall aggregates — alphabet-sized scalar
                      # fan-in for the largest-remainder allocation.
                      "q_sample_neyman",
+                     # 256-bucket table x 1-row broadcast corpus totals
+                     # (the DSIR smoothing denominators) — 256x1 by
+                     # construction.
+                     "q_sample_dsir",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",

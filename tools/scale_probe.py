@@ -199,7 +199,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           # 3x codec write+scan side-effect wall (like sink_compact)
           "sink_codecs",
           # spine self-equi-join on (type, day-7)
-          "q_ts_wow_growth"]
+          "q_ts_wow_growth",
+          # round-10 additions: DSIR bucket-distribution selection,
+          # packing-order running sum, watermark pair census
+          "q_sample_dsir", "q_pack_sequences", "q_text_watermark_detect"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
