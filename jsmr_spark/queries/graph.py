@@ -1204,7 +1204,7 @@ _CONCOMP_ORACLE = f"""
 """
 
 
-@query("q_graph_concomp", _CONCOMP_ORACLE)
+@query("q_graph_concomp", _CONCOMP_ORACLE, quadratic_oracle=True)
 def q_graph_concomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components as a FIRST-CLASS graph operator, on the one
     graph in the fixtures whose node count scales with the data (the

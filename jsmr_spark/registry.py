@@ -58,13 +58,25 @@ class QuerySpec:
     # audit surfaces this tier so a quadratic probe factor on these keys
     # reads as by-design rather than as a scale bug.
     eval_tier: bool = False
+    # True => the SPARK implementation scales but the registered DuckDB
+    # ORACLE is quadratic in corpus size (e.g. a recursive reachability
+    # closure standing in for pointer-jumping CC). Such keys stay in the
+    # canonical tier and in every correctness sweep; perf protocols that
+    # time the oracle at grown scale factors (the 10x A/B/A) exclude
+    # them STRUCTURALLY via this flag instead of by prose
+    # (VERDICT r9 #3's principle, extended).
+    quadratic_oracle: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def query(
-    name: str, oracle: str | None = None, *, eval_tier: bool = False
+    name: str,
+    oracle: str | None = None,
+    *,
+    eval_tier: bool = False,
+    quadratic_oracle: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query implementation plus its oracle SQL."""
 
@@ -77,6 +89,7 @@ def query(
             oracle=oracle,
             doc=_resolve_doc(fn),
             eval_tier=eval_tier,
+            quadratic_oracle=quadratic_oracle,
         )
         return fn
 

@@ -63,16 +63,24 @@ def main() -> None:
     # for the published ratio: they are precisely the keys where Spark's
     # block-GEMM already beats DuckDB ~10x at sf0.1.
     #
-    # The token `eval_tier` expands to EXACTLY the registry's
-    # eval_tier-flagged set (VERDICT r9 #3: the exclusion list must
-    # equal the registry flag, nothing excluded by prose alone). The
-    # 10x protocol is AB_EXCLUDE=eval_tier; ad-hoc extra keys can still
-    # be appended but each one shows up in the printed exclusion line.
+    # The tokens `eval_tier` and `quadratic_oracle` expand to EXACTLY
+    # the registry's corresponding flag sets (VERDICT r9 #3: the
+    # exclusion list must equal the registry flags, nothing excluded by
+    # prose alone). The 10x protocol is
+    # AB_EXCLUDE=eval_tier,quadratic_oracle (quadratic_oracle keys have
+    # a scalable SPARK plan but a by-design-quadratic DuckDB oracle —
+    # timing that oracle at 10x prices the oracle, not the engine).
+    # Ad-hoc extra keys can still be appended but each one shows up in
+    # the printed exclusion line.
     exclude = set(filter(None, os.environ.get("AB_EXCLUDE", "").split(",")))
     if "eval_tier" in exclude:
         exclude.discard("eval_tier")
-        flagged = {n for n, s in canonical_specs().items() if s.eval_tier}
-        exclude |= flagged
+        exclude |= {n for n, s in canonical_specs().items() if s.eval_tier}
+    if "quadratic_oracle" in exclude:
+        exclude.discard("quadratic_oracle")
+        exclude |= {
+            n for n, s in canonical_specs().items() if s.quadratic_oracle
+        }
     if exclude:
         print(f"excluded ({len(exclude)}): {','.join(sorted(exclude))}",
               flush=True)
