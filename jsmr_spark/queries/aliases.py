@@ -37,8 +37,10 @@ q_pack_sequences, q_text_watermark_detect), pre-verified 50/50 —
 48 oracle MATCH + 2 rows-only by design (stream_join_static,
 stream_stream_join_outer) — at sf0.01 AND sf0.1 (round-10 additions
 also at sf0.001). The window is at the 50-key cap. Round 11 completes
-the full canonical surface; any further keys queue for round 12. See
-CHECKS_r11.md.
+the pre-round-10 canonical surface; the three round-10 batch-2 keys
+(q_embed_gram, q_mix_kl_divergence, q_stats_mannwhitney) are
+pre-verified at all three scales and queue in CHECKS_r12.md for the
+round-12 rotation. See CHECKS_r11.md / CHECKS_r12.md.
 """
 
 from __future__ import annotations

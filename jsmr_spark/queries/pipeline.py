@@ -1923,3 +1923,143 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_per_window_milli"
         ),
     )
+
+
+# --- per-source KL divergence vs the corpus mix (round 10) ----------------
+
+KL_BUCKETS = 256  # hashed word-bigram feature space (the DSIR grid)
+
+_KL_LN_SCALE = 1_000_000
+
+
+def _kl_lnq(x: str) -> str:
+    """ln of a POSITIVE integer expression snapped once to the 1e-6
+    grid (the q_text_pmi / q_sample_dsir recipe)."""
+    return (
+        f"CAST(floor(ln(CAST({x} AS DOUBLE)) * {_KL_LN_SCALE} + 0.5)"
+        " AS BIGINT)"
+    )
+
+
+def _kl_oracle() -> str:
+    lam = (
+        f"{_kl_lnq('cs + 1')} - {_kl_lnq('ts + ' + str(KL_BUCKETS))}"
+        f" - {_kl_lnq('cc + 1')} + {_kl_lnq('tc + ' + str(KL_BUCKETS))}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT source,
+             ({hex12_sql("md5(pair)")}) % {KL_BUCKETS} AS bucket
+      FROM (
+        SELECT source,
+               unnest(list_transform(list_slice(l, 1, len(l) - 1),
+                                     (x, i) -> x || '|' || l[i + 1])) AS pair
+        FROM d WHERE len(l) >= 2
+      )
+    ),
+    sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM bg GROUP BY source, bucket),
+    spine AS (
+      SELECT s.source, CAST(u.i AS BIGINT) AS bucket
+      FROM (SELECT DISTINCT source FROM sb) s,
+           UNNEST(range(0, {KL_BUCKETS})) AS u(i)
+    ),
+    cb AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS cc FROM sb GROUP BY bucket),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ts FROM sb GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tc FROM sb),
+    terms AS (
+      SELECT sp.source, st.ts,
+             coalesce(sb.n, 0) AS cs, coalesce(cb.cc, 0) AS cc, tot.tc
+      FROM spine sp
+      LEFT JOIN sb ON sb.source = sp.source AND sb.bucket = sp.bucket
+      LEFT JOIN cb ON cb.bucket = sp.bucket
+      JOIN st ON st.source = sp.source
+      CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(max(ts) AS BIGINT) AS n_grams,
+           CAST(greatest(sum((cs + 1) * ({lam})), 0)
+                // (max(ts) + {KL_BUCKETS}) AS BIGINT) AS kl_micronat
+    FROM terms GROUP BY source
+"""
+
+
+@query("q_mix_kl_divergence", _kl_oracle())
+def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus mix, KL(source ||
+    corpus), over the {KL_BUCKETS}-bucket hashed word-bigram space
+    (the q_sample_dsir feature grid) — the domain-skew readout a data
+    mixer reads next to token shares: token budgets say how MUCH each
+    source contributes, this says how DIFFERENT each source's content
+    distribution is from the blend (high-KL sources are the
+    upweighting candidates DoReMi-style reweighting and DSIR target
+    selection act on). +1 smoothing on both sides over the FULL bucket
+    spine, so zero-count buckets contribute their smoothed mass
+    exactly.
+
+    Determinism: counts exact; each of the four ln terms snapped once
+    to the 1e-6 grid, so every per-bucket term is (cs+1) * integer;
+    the bucket sum is exact BIGINT, divided ONCE by the smoothed total
+    (floor). KL >= 0 analytically; grid rounding can push the numerator
+    a few micro-nats below zero for a source identical to the blend, so
+    both engines clamp at 0 BEFORE the division (floor-vs-trunc
+    division of negatives differs across engines; the clamp makes the
+    question moot).
+
+    Scale shape: the q_sample_dsir plan minus the per-doc pass — one
+    tokenize + (source, bucket) hash agg, then EVERYTHING downstream is
+    sources x {KL_BUCKETS} control plane (the spine, the corpus
+    marginal, the totals). One corpus scan at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("|"), b),
+    )
+    bg = (
+        d.where(n >= 2)
+        .select("source", F.explode(pairs).alias("pair"))
+        .select(
+            "source",
+            F.expr(f"({hex12_sql('md5(pair)')}) % {KL_BUCKETS}").alias("bucket"),
+        )
+    )
+    sb = bg.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # sources x buckets control-plane spine (zero buckets carry their
+    # smoothed mass); everything below sb is alphabet-sized
+    spine = (
+        sb.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(KL_BUCKETS).select(F.col("id").cast("long").alias("bucket"))
+        )
+    )
+    cb = sb.groupBy("bucket").agg(F.sum("n").cast("long").alias("cc"))
+    st = sb.groupBy("source").agg(F.sum("n").cast("long").alias("ts"))
+    tot = sb.agg(F.sum("n").cast("long").alias("tc"))
+    lam = (
+        f"{_kl_lnq('cs + 1')} - {_kl_lnq('ts + ' + str(KL_BUCKETS))}"
+        f" - {_kl_lnq('cc + 1')} + {_kl_lnq('tc + ' + str(KL_BUCKETS))}"
+    )
+    terms = (
+        spine.join(sb, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("cs"))
+        .join(F.broadcast(cb), "bucket", "left")
+        .select("source", "cs", F.coalesce(F.col("cc"), F.lit(0)).alias("cc"))
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return terms.groupBy("source").agg(
+        F.max("ts").cast("long").alias("n_grams"),
+        F.expr(
+            f"CAST(greatest(sum((cs + 1) * ({lam})), 0)"
+            f" DIV (max(ts) + {KL_BUCKETS}) AS BIGINT)"
+        ).alias("kl_micronat"),
+    )

@@ -1314,3 +1314,88 @@ def q_embed_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- embedding Gramian / covariance precursor (round 10) -----------------
+
+GRAM_DIMS = 16  # leading dimension block the exact Gramian is built over
+
+
+@query(
+    "q_embed_gram",
+    f"""
+    WITH e AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(floor(abs(CAST(embedding[u.i] AS DOUBLE) * {_Q_SCALE}.0) + 0.5)
+                  * sign(CAST(embedding[u.i] AS DOUBLE) * {_Q_SCALE}.0)
+               AS BIGINT) AS xq
+      FROM embeddings,
+           UNNEST(range(1, {GRAM_DIMS} + 1)) AS u(i)
+    )
+    SELECT CAST(a.dim AS INTEGER) AS dim_i,
+           CAST(b.dim AS INTEGER) AS dim_j,
+           count(*) AS n_vecs,
+           CAST(sum(a.xq * b.xq) AS BIGINT) AS sum_xy_q,
+           round(CAST(sum(a.xq * b.xq) AS DOUBLE) / count(*)
+                 / {_Q_SCALE}.0 / {_Q_SCALE}.0, 4) AS second_moment
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+    GROUP BY a.dim, b.dim
+    """,
+)
+def q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding Gramian (uncentered second-moment matrix) over
+    the leading {GRAM_DIMS}-dimension block — the ONE-PASS input every
+    covariance-based embedding tool consumes: PCA/whitening (subtract
+    the q_embed_stats means from this and you have the covariance),
+    OPQ rotation fitting for the PQ index, and anisotropy diagnosis
+    (Ethayarajh 2019: contextual embeddings are sharply anisotropic —
+    visible here as mass concentrated in few diagonal cells).
+
+    Exactness: the q_embed_stats recipe lifted to cross-moments —
+    every coordinate is quantized ONCE to the exact 1e-6 integer grid,
+    cross-products and sums are exact BIGINT (|xq| <= ~1e6 for unit-ish
+    embeddings => products <= 1e12, 5e16 at 50k vectors — int64-safe;
+    at true 100 TB row counts you drop the grid to 1e-4, same recipe),
+    one double division + shared 4-dp round at the very end. Upper
+    triangle only (the matrix is symmetric): {GRAM_DIMS}x{GRAM_DIMS}
+    -> 136 output cells.
+
+    Scale shape: narrow posexplode of the dim block (rows x
+    {GRAM_DIMS}), ONE vec_id-keyed equi-self-join that fans out to the
+    pair census (rows x {GRAM_DIMS}^2/2, still narrow), then a
+    136-group map-side-combined hash aggregate — the classic
+    distributed Gramian: no driver math, no O(n^2) in ROWS, linear in
+    corpus size with a constant dim^2 factor. The full-width form at
+    100 TB is the block GEMM in vectorized.py; this key is its exact
+    declarative twin over the leading block."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, GRAM_DIMS)).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.expr(
+                f"cast(floor(abs(cast(x as double) * {_Q_SCALE}.0) + 0.5)"
+                f" * signum(cast(x as double) * {_Q_SCALE}.0) as bigint)"
+            ).alias("xq"),
+        )
+    )
+    a = e.select("vec_id", F.col("dim").alias("dim_i"), F.col("xq").alias("xa"))
+    b = e.select("vec_id", F.col("dim").alias("dim_j"), F.col("xq").alias("xb"))
+    pairs = a.join(b, "vec_id").where(F.col("dim_j") >= F.col("dim_i"))
+    return pairs.groupBy(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sum_xy_q"),
+        r4(
+            F.sum(F.col("xa") * F.col("xb")).cast("double")
+            / F.count(F.lit(1))
+            / _Q_SCALE
+            / _Q_SCALE
+        ).alias("second_moment"),
+    )

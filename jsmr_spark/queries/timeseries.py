@@ -2689,3 +2689,115 @@ def q_ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_ppm"
         ),
     )
+
+
+# --- Mann-Whitney U rank-sum test (round 10) ------------------------------
+
+_MWU_Z = (
+    "round((CAST(u_x2 - n1 * n2 AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+    "        * (CAST(n1 + n2 + 1 AS DOUBLE)"
+    "           - CAST(ties AS DOUBLE)"
+    "             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),"
+    " 4)"
+)
+
+_MWU_ORACLE = f"""
+    WITH f AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             {sql_cents("value")} AS vc
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    cnt AS (
+      SELECT vc, CAST(count(*) AS BIGINT) AS c, CAST(sum(g) AS BIGINT) AS c1
+      FROM f GROUP BY vc
+    ),
+    cum AS (
+      SELECT vc, c, c1,
+             CAST(coalesce(sum(c) OVER (ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS clt
+      FROM cnt
+    ),
+    agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c - c1) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * clt + c + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      FROM cum
+    ),
+    u AS (
+      SELECT n1, n2, ties,
+             CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2
+      FROM agg
+    )
+    SELECT n1 AS n_purchase, n2 AS n_view, u_x2, ties AS tie_correction,
+           {_MWU_Z} AS z
+    FROM u
+"""
+
+
+@query("q_stats_mannwhitney", _MWU_ORACLE)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947), purchase vs
+    view event values: the NONPARAMETRIC two-sample test the stats tier
+    was missing — q_stats_ttest compares means and assumes rough
+    normality; U compares the whole distributions through ranks and is
+    the test you actually reach for on heavy-tailed value data. Ranks
+    use the midrank (average) convention for ties; z carries the full
+    tie correction Σ(t³−t)/(N(N−1)).
+
+    Exactness: everything up to z is exact integer arithmetic on the
+    cent census — 2x the rank sum is integral even with midranks
+    (2·avgrank(v) = 2·count(<v) + count(=v) + 1), so u_x2 = 2U₁ is an
+    exact BIGINT; the tie term Σ(t³−t) likewise. z is computed in one
+    identical expression on both engines (IEEE divides/multiplies of
+    exact integers + one correctly-rounded sqrt) then 4-dp rounded.
+    Overflow: the variance product is evaluated in doubles — the exact
+    integer form n1·n2·((N+1)N(N−1) − Σ(t³−t)) exceeds int64 at corpus
+    scale, while the double form is bit-deterministic regardless.
+
+    Scale shape: one event scan into a cent-value census (map-side
+    combined; the domain is bounded cents, q_ml_roc_curve's argument),
+    one running-count window over the DISTINCT-VALUE census (domain-
+    sized, not corpus-sized), one 1-row aggregate. At 100 TB the only
+    corpus-sized stage is the first hash agg."""
+    f = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+            cents(F.col("value")).alias("vc"),
+        )
+    )
+    cnt = f.groupBy("vc").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("g").cast("long").alias("c1"),
+    )
+    wlt = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.withColumn(
+        "clt", F.coalesce(F.sum("c").over(wlt), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("clt") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties"),
+    )
+    u = agg.select(
+        "n1",
+        "n2",
+        "ties",
+        F.expr("CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT)").alias("u_x2"),
+    )
+    return u.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_view"),
+        "u_x2",
+        F.col("ties").alias("tie_correction"),
+        F.expr(_MWU_Z).alias("z"),
+    )

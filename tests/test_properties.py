@@ -1460,3 +1460,53 @@ def test_round10_batch_key_invariants(spark):
         assert 0 <= r.n_flagged <= r.n_docs
         assert (r.n_flagged > 0) == (r.max_z > 4.0)
         assert 350_000 < r.green_ppm < 650_000, r
+
+
+def test_round10_batch2_key_invariants(spark):
+    """Algebraic invariants for the second round-10 batch (embedding
+    Gramian, per-source KL, Mann-Whitney U)."""
+    import math
+
+    from jsmr_spark.queries.similarity import GRAM_DIMS, _Q_SCALE
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # Gramian: exactly the upper triangle, one shared n, diagonal cells
+    # positive (sum of squares), and Cauchy-Schwarz on every off-diag
+    gram = {(r.dim_i, r.dim_j): r for r in
+            get_query("q_embed_gram").fn(spark, sf).collect()}
+    assert len(gram) == GRAM_DIMS * (GRAM_DIMS + 1) // 2
+    assert all(i <= j for i, j in gram)
+    ns = {r.n_vecs for r in gram.values()}
+    assert len(ns) == 1
+    for (i, j), r in gram.items():
+        if i == j:
+            assert r.sum_xy_q > 0
+        else:
+            assert (r.sum_xy_q * r.sum_xy_q
+                    <= gram[(i, i)].sum_xy_q * gram[(j, j)].sum_xy_q)
+        assert abs(r.second_moment
+                   - round(r.sum_xy_q / r.n_vecs / _Q_SCALE / _Q_SCALE, 4)) \
+            <= 1e-9
+
+    # KL: non-negative by clamp, zero only if a source IS the blend;
+    # n_grams conserved vs the bigram census
+    kl = get_query("q_mix_kl_divergence").fn(spark, sf).collect()
+    assert kl and all(r.kl_micronat >= 0 for r in kl)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    total_bigrams = docs.select(
+        F.sum(F.greatest(F.size(F.split(F.col("text"), " ")) - 1, F.lit(0)))
+        .alias("s")
+    ).collect()[0].s
+    assert sum(r.n_grams for r in kl) == total_bigrams
+
+    # Mann-Whitney: U bounds, z recomputable from the emitted exact
+    # integers, and U1 + U2 = n1*n2 (the rank-sum identity)
+    mw = get_query("q_stats_mannwhitney").fn(spark, sf).collect()[0]
+    assert 0 <= mw.u_x2 <= 2 * mw.n_purchase * mw.n_view
+    n = mw.n_purchase + mw.n_view
+    var = (mw.n_purchase * mw.n_view / 12.0
+           * ((n + 1) - mw.tie_correction / (n * (n - 1.0))))
+    z = ((mw.u_x2 - mw.n_purchase * mw.n_view) / 2.0) / math.sqrt(var)
+    assert abs(mw.z - round(z, 4)) <= 1e-9

@@ -89,6 +89,11 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # (the DSIR smoothing denominators) — 256x1 by
                      # construction.
                      "q_sample_dsir",
+                     # sources x 256-bucket spine crossJoin (control
+                     # plane: distinct sources x fixed grid) and the
+                     # 1-row corpus-total broadcast — both bounded by
+                     # construction.
+                     "q_mix_kl_divergence",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
@@ -223,7 +228,11 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # ALLOCATION table (one row per language
                                  # stratum) — alphabet-sized control
                                  # plane, never the corpus
-                                 "q_sample_neyman"}
+                                 "q_sample_neyman",
+                                 # running count over the DISTINCT-cent
+                                 # census (bounded domain, q_ml_auc's
+                                 # argument) for midrank computation
+                                 "q_stats_mannwhitney"}
 
 
 def has_global_window(plan: str) -> bool:

@@ -202,7 +202,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_ts_wow_growth",
           # round-10 additions: DSIR bucket-distribution selection,
           # packing-order running sum, watermark pair census
-          "q_sample_dsir", "q_pack_sequences", "q_text_watermark_detect"]
+          "q_sample_dsir", "q_pack_sequences", "q_text_watermark_detect",
+          # round-10 batch 2: dim-pair fan-out Gramian, source x bucket
+          # spine KL, cent-census rank test
+          "q_embed_gram", "q_mix_kl_divergence", "q_stats_mannwhitney"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
