@@ -1310,3 +1310,91 @@ def q_graph_concomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_ids",
         )
     )
+
+
+# --- degree assortativity (round 10) --------------------------------------
+
+_ASSORT_ORACLE = f"""
+    WITH pts AS ({GEO_PTS_SQL}),
+    e AS ({geo_edges_sql(TRI_RADIUS)}),
+    dirs AS (
+      SELECT user_a AS u, user_b AS v FROM e
+      UNION ALL
+      SELECT user_b, user_a FROM e
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM dirs GROUP BY u),
+    xy AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM dirs
+      JOIN deg du ON du.u = dirs.u
+      JOIN deg dv ON dv.u = dirs.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT m AS m_directed, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS assortativity
+    FROM m
+"""
+
+
+@query("q_graph_assortativity", _ASSORT_ORACLE)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the spatial-proximity graph (Newman
+    2002): the Pearson correlation of degrees across edge endpoints —
+    positive = hubs attach to hubs (social-network shape), negative =
+    hubs attach to leaves (infrastructure/star shape). THE one-number
+    mixing diagnostic read next to q_graph_degree_dist's tail: it
+    decides whether hub skew compounds (assortative hubs form a dense
+    core that a vertex-cut partitioner must split) or disperses.
+
+    Exactness: both marginals of the directed-edge degree census are
+    IDENTICAL (every undirected edge contributes both directions), so
+    Pearson r collapses to (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no
+    sqrt at all. Moments are exact BIGINT (emitted for the invariant
+    test to recompute r); the final expression is IEEE doubles in one
+    identical form both engines, 4-dp rounded.
+
+    Scale shape: grid-blocked radius self-join for edges (never
+    all-pairs), one keyed degree agg, TWO broadcast-able joins of the
+    directed edge list against the degree table (node-count-sized), one
+    1-row moment aggregate. Linear in edges at 100 TB."""
+    e = geo_pairs(spark, sf_dir, TRI_RADIUS).select("user_a", "user_b")
+    dirs = e.unionAll(
+        e.select(F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"))
+    ).select(F.col("user_a").alias("u"), F.col("user_b").alias("v"))
+    deg = dirs.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    xy = (
+        dirs.join(deg.select(F.col("u").alias("ju"), F.col("d").alias("x")),
+                  F.col("u") == F.col("ju"))
+        .join(deg.select(F.col("u").alias("jv"), F.col("d").alias("y")),
+              F.col("v") == F.col("jv"))
+        .select("x", "y")
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("m").alias("m_directed"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxx").alias("sum_deg_sq"),
+        F.col("sxy").alias("sum_deg_prod"),
+        F.expr(
+            "round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)"
+        ).alias("assortativity"),
+    )

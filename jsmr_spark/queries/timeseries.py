@@ -2801,3 +2801,248 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ties").alias("tie_correction"),
         F.expr(_MWU_Z).alias("z"),
     )
+
+
+# --- average precision / PR-AUC (round 10) ---------------------------------
+
+_AP_ORACLE = f"""
+    WITH f AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             {sql_cents("value")} AS vc
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    cnt AS (
+      SELECT vc, CAST(count(*) AS BIGINT) AS c, CAST(sum(g) AS BIGINT) AS c1
+      FROM f GROUP BY vc
+    ),
+    cum AS (
+      SELECT vc, c, c1,
+             CAST(sum(c) OVER (ORDER BY vc DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(c1) OVER (ORDER BY vc DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS p,
+                   CAST(sum(c - c1) AS BIGINT) AS neg,
+                   CAST(count(*) AS BIGINT) AS nthr
+            FROM cnt)
+    SELECT tot.p AS n_pos, tot.neg AS n_neg, tot.nthr AS n_thresholds,
+           CAST(sum(c1 * cum_pos * 1000000 // cum_n) // tot.p AS BIGINT)
+             AS ap_ppm
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.p, tot.neg, tot.nthr
+"""
+
+
+@query("q_ml_average_precision", _AP_ORACLE)
+def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve by the
+    step-wise sum, the scikit-learn AP definition): AP = Σ_k P(k)·ΔR(k)
+    over score thresholds descending — the imbalanced-class companion
+    to q_ml_auc (ROC-AUC is blind to base rate; PR-AUC is what you
+    read when positives are rare, which is every retrieval / quality-
+    filter tuning task). Scores are event value cents, positives are
+    purchases vs views (q_ml_auc's framing).
+
+    Exactness: the bounded-cent-domain census recipe — per distinct
+    score v (descending): ΔR numerator c1_v and precision cum_pos/cum_n
+    from exact running sums; each term is floored ONCE at ppm scale
+    (c1·cum_pos·1e6 // cum_n, exact BIGINT — |c1·cum_pos| ≤ P·N keeps
+    1e6-scaled products under int64 at every probed scale), summed
+    exactly, divided once by P. Identical floor points on both engines.
+
+    Scale shape: one event scan into a cent census (map-side combined,
+    bounded domain), one running-sum window over the DISTINCT-value
+    census (domain-sized, q_ml_roc_curve's argument), one 1-row
+    aggregate."""
+    f = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+            cents(F.col("value")).alias("vc"),
+        )
+    )
+    cnt = f.groupBy("vc").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("g").cast("long").alias("c1"),
+    )
+    wd = Window.orderBy(F.desc("vc")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        "vc",
+        "c",
+        "c1",
+        F.sum("c").over(wd).cast("long").alias("cum_n"),
+        F.sum("c1").over(wd).cast("long").alias("cum_pos"),
+    )
+    tot = cnt.agg(
+        F.sum("c1").cast("long").alias("p"),
+        F.sum(F.col("c") - F.col("c1")).cast("long").alias("neg"),
+        F.count(F.lit(1)).cast("long").alias("nthr"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("p", "neg", "nthr")
+        .agg(
+            F.expr(
+                "CAST(sum(c1 * cum_pos * 1000000 DIV cum_n) DIV p AS BIGINT)"
+            ).alias("ap_ppm")
+        )
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("neg").alias("n_neg"),
+            F.col("nthr").alias("n_thresholds"),
+            "ap_ppm",
+        )
+    )
+
+
+# --- robust MAD outlier census (round 10) ----------------------------------
+
+MAD_K = 3  # flag |x - median| > K * MAD (the classic robust z cut)
+
+_MAD_ORACLE = f"""
+    WITH f AS (
+      SELECT event_type, {sql_cents("value")} AS vc FROM events
+    ),
+    cnt AS (
+      SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c
+      FROM f GROUP BY event_type, vc
+    ),
+    cum AS (
+      SELECT event_type, vc, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm
+      FROM cnt
+    ),
+    nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+           FROM cnt GROUP BY event_type),
+    med AS (
+      SELECT cum.event_type, CAST(min(vc) AS BIGINT) AS med
+      FROM cum JOIN nt ON nt.event_type = cum.event_type
+      WHERE cum.cm >= (nt.n + 1) // 2
+      GROUP BY cum.event_type
+    ),
+    dev AS (
+      SELECT cnt.event_type, abs(cnt.vc - med.med) AS dv, cnt.c
+      FROM cnt JOIN med ON med.event_type = cnt.event_type
+    ),
+    dcnt AS (
+      SELECT event_type, dv, CAST(sum(c) AS BIGINT) AS c
+      FROM dev GROUP BY event_type, dv
+    ),
+    dcum AS (
+      SELECT event_type, dv, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY dv
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm
+      FROM dcnt
+    ),
+    mad AS (
+      SELECT dcum.event_type, CAST(min(dv) AS BIGINT) AS mad
+      FROM dcum JOIN nt ON nt.event_type = dcum.event_type
+      WHERE dcum.cm >= (nt.n + 1) // 2
+      GROUP BY dcum.event_type
+    )
+    SELECT nt.event_type, nt.n AS n_events, med.med AS median_cents,
+           mad.mad AS mad_cents,
+           CAST(coalesce(sum(CASE WHEN dev.dv > {MAD_K} * mad.mad
+                                  THEN dev.c ELSE 0 END), 0) AS BIGINT)
+             AS n_outliers,
+           CAST(coalesce(sum(CASE WHEN dev.dv > {MAD_K} * mad.mad
+                                  THEN dev.c ELSE 0 END), 0)
+                * 1000000 // nt.n AS BIGINT) AS outlier_ppm
+    FROM nt
+    JOIN med ON med.event_type = nt.event_type
+    JOIN mad ON mad.event_type = nt.event_type
+    JOIN dev ON dev.event_type = nt.event_type
+    GROUP BY nt.event_type, nt.n, med.med, mad.mad
+"""
+
+
+@query("q_ts_mad_outliers", _MAD_ORACLE)
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median / MAD (median
+    absolute deviation) and the count of values beyond {MAD_K}·MAD —
+    the robust twin of q_ts_zscore. Mean/stddev z-scores are dragged by
+    the very outliers they hunt (one 1000x spike inflates σ and hides
+    its siblings); the median/MAD cut has a 50 % breakdown point and is
+    the production anomaly gate on heavy-tailed value streams.
+
+    Exactness: medians are LOWER medians by rank (smallest value whose
+    running census count reaches ceil(n/2)) — integer-exact and
+    identical on both engines, no midpoint averaging; MAD is the same
+    statistic over the |x − med| census; every count and ppm is exact
+    BIGINT. A degenerate type (MAD = 0) flags every value off the
+    median — deterministic, documented, identical.
+
+    Scale shape: one event scan into a (type, cent) census — from there
+    EVERYTHING is census-sized (bounded cent domain): two running-count
+    windows partitioned by type, two rank-threshold lookups, one rollup.
+    The corpus is touched once at 100 TB."""
+    f = t(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("vc")
+    )
+    cnt = f.groupBy("event_type", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("cm", F.sum("c").over(wc).cast("long"))
+    nt = cnt.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    med = (
+        cum.join(nt, "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("vc").cast("long").alias("med"))
+    )
+    dev = cnt.join(med, "event_type").select(
+        "event_type", F.abs(F.col("vc") - F.col("med")).alias("dv"), "c"
+    )
+    dcnt = dev.groupBy("event_type", "dv").agg(F.sum("c").cast("long").alias("c"))
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dcnt.withColumn("cm", F.sum("c").over(wd).cast("long"))
+    mad = (
+        dcum.join(nt, "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("dv").cast("long").alias("mad"))
+    )
+    out = F.sum(
+        F.when(F.col("dv") > MAD_K * F.col("mad"), F.col("c")).otherwise(0)
+    ).cast("long")
+    return (
+        nt.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(dev, "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.coalesce(out, F.lit(0)).alias("n_outliers"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN dv > "
+                f"{MAD_K} * mad THEN c ELSE 0 END), 0)"
+                " * 1000000 DIV n AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_outliers",
+            "outlier_ppm",
+        )
+    )

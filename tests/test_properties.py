@@ -1510,3 +1510,54 @@ def test_round10_batch2_key_invariants(spark):
            * ((n + 1) - mw.tie_correction / (n * (n - 1.0))))
     z = ((mw.u_x2 - mw.n_purchase * mw.n_view) / 2.0) / math.sqrt(var)
     assert abs(mw.z - round(z, 4)) <= 1e-9
+
+
+def test_round10_batch3_key_invariants(spark):
+    """Algebraic invariants for the third round-10 batch (degree
+    assortativity, average precision, MAD outlier census)."""
+    from jsmr_spark.queries.timeseries import MAD_K
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # assortativity: r recomputable from the emitted exact moments and
+    # bounded to [-1, 1]; directed-edge count is even (both directions)
+    a = get_query("q_graph_assortativity").fn(spark, sf).collect()[0]
+    assert a.m_directed % 2 == 0
+    num = a.m_directed * a.sum_deg_prod - a.sum_deg * a.sum_deg
+    den = a.m_directed * a.sum_deg_sq - a.sum_deg * a.sum_deg
+    assert den > 0
+    assert abs(a.assortativity - round(num / den, 4)) <= 1e-9
+    assert -1.0 <= a.assortativity <= 1.0
+
+    # average precision: bounded by the best and worst rankings —
+    # AP >= base rate (random baseline is P/N; any census ordering
+    # dominates the worst case P/N at the floor) and AP <= 1
+    ap = get_query("q_ml_average_precision").fn(spark, sf).collect()[0]
+    n = ap.n_pos + ap.n_neg
+    assert 0 < ap.ap_ppm <= 1_000_000
+    assert ap.ap_ppm >= ap.n_pos * 1_000_000 // n - 1  # >= base rate - 1ulp
+    assert ap.n_thresholds > 0
+
+    # MAD: median/MAD are members of the value/deviation domains,
+    # outliers bounded, ppm consistent; at least half the mass lies
+    # within MAD of the median (the defining property)
+    rows = get_query("q_ts_mad_outliers").fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_cents >= 0
+        assert 0 <= r.n_outliers < r.n_events / 2 + 1
+        assert r.outlier_ppm == r.n_outliers * 1_000_000 // r.n_events
+    # recompute one type end-to-end in pandas
+    import pandas as pd  # noqa: F401
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_type", "value").toPandas())
+    ev["vc"] = (ev.value * 100).round().astype("int64")
+    for r in rows[:2]:
+        g = ev[ev.event_type == r.event_type].vc.sort_values().reset_index(drop=True)
+        k = (len(g) + 1) // 2
+        med = int(g.iloc[k - 1])
+        assert med == r.median_cents
+        dv = (g - med).abs().sort_values().reset_index(drop=True)
+        assert int(dv.iloc[k - 1]) == r.mad_cents
+        assert int((dv > MAD_K * r.mad_cents).sum()) == r.n_outliers

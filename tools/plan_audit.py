@@ -94,6 +94,13 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # 1-row corpus-total broadcast — both bounded by
                      # construction.
                      "q_mix_kl_divergence",
+                     # inherits the grid-blocked radius edge build's
+                     # neighbor-cell theta join (the q_geo_gridjoin
+                     # shape, never all-pairs).
+                     "q_graph_assortativity",
+                     # cent-census x 1-row broadcast totals (the
+                     # q_ml_lift share-of-total shape).
+                     "q_ml_average_precision",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
@@ -232,7 +239,10 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # running count over the DISTINCT-cent
                                  # census (bounded domain, q_ml_auc's
                                  # argument) for midrank computation
-                                 "q_stats_mannwhitney"}
+                                 "q_stats_mannwhitney",
+                                 # same census-sized running sums, score
+                                 # order (the AP threshold sweep)
+                                 "q_ml_average_precision"}
 
 
 def has_global_window(plan: str) -> bool:

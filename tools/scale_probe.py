@@ -205,7 +205,11 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_sample_dsir", "q_pack_sequences", "q_text_watermark_detect",
           # round-10 batch 2: dim-pair fan-out Gramian, source x bucket
           # spine KL, cent-census rank test
-          "q_embed_gram", "q_mix_kl_divergence", "q_stats_mannwhitney"]
+          "q_embed_gram", "q_mix_kl_divergence", "q_stats_mannwhitney",
+          # round-10 batch 3: edge-degree moment join, census AP sweep,
+          # double-census median/MAD
+          "q_graph_assortativity", "q_ml_average_precision",
+          "q_ts_mad_outliers"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
