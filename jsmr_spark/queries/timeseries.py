@@ -2974,6 +2974,10 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the very outliers they hunt (one 1000x spike inflates σ and hides
     its siblings); the median/MAD cut has a 50 % breakdown point and is
     the production anomaly gate on heavy-tailed value streams.
+    (q_agg_mad is the lineitem-quantity sibling built on the engines'
+    own median() over a tiny distinct domain; this key's medians are
+    LOWER medians BY RANK over the cent census — the form that stays
+    integer-exact when the value domain is large and tie-heavy.)
 
     Exactness: medians are LOWER medians by rank (smallest value whose
     running census count reaches ceil(n/2)) — integer-exact and
