@@ -457,21 +457,20 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .head()
     )
     emb_p = [float(x) for x in row[0]]
-    acc = 0.0
-    for x in emb_p:
-        acc += x * x
-    nrm_p = math.sqrt(acc)
     plit = F.array(*[F.lit(x) for x in emb_p])
 
+    # probe norm via the shared engine-side sequential-fold kernel
+    # (VERDICT r10 #3 — same fix as q_sim_ann_multiprobe: _norm folds
+    # left-to-right exactly like the oracle's list_aggregate 'sum').
     recon = _sq_recon_col(F.col("embedding"))
-    qsim = r4(_dot(recon, plit) / (_norm(recon) * F.lit(nrm_p)))
+    qsim = r4(_dot(recon, plit) / (_norm(recon) * _norm(plit)))
     cand = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != PROBE_ID)
         .select("vec_id", "label", "embedding", qsim.alias("qsim"))
     )
     topc = cand.orderBy(F.desc("qsim"), F.asc("vec_id")).limit(CAND_K)
-    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * F.lit(nrm_p)))
+    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * _norm(plit)))
     rer = topc.withColumn("sim", sim).drop("embedding")
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = rer.orderBy(*keys).limit(TOP_K)
@@ -511,17 +510,14 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .head()
     )
     emb_p = [float(x) for x in row[0]]
-    acc = 0.0
-    for x in emb_p:
-        acc += x * x
-    nrm_p = math.sqrt(acc)
     p_bucket = _bucket_py(emb_p)
     plit = F.array(*[F.lit(x) for x in emb_p])
 
     emb = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col(F.col("embedding")))
     # Same operand order as the oracle: dot(corpus, probe) /
-    # (norm_corpus * norm_probe).
-    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * F.lit(nrm_p)))
+    # (norm_corpus * norm_probe). Probe norm via the shared engine-side
+    # sequential-fold kernel (VERDICT r10 #3, the multiprobe fix).
+    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * _norm(plit)))
     cand = (
         emb.filter((F.col("bucket") == F.lit(p_bucket)) & (F.col("vec_id") != PROBE_ID))
         .select("vec_id", "label", "bucket", sim.alias("sim"))
@@ -781,13 +777,10 @@ def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .head()
         )
         emb_p = [float(x) for x in row[0]]
-        acc = 0.0
-        for x in emb_p:
-            acc += x * x
-        nrm_p = math.sqrt(acc)
         plit = F.array(*[F.lit(x) for x in emb_p])
         sub = F.slice("embedding", 1, d)
-        sim = r4(_dot(plit, sub) / (F.lit(nrm_p) * _norm(sub)))
+        # probe norm engine-side (VERDICT r10 #3 kernel sweep)
+        sim = r4(_dot(plit, sub) / (_norm(plit) * _norm(sub)))
         keys = [F.desc("sim"), F.asc("vec_b")]
         lists[d] = (
             t(spark, sf_dir, "embeddings")

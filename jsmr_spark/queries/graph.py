@@ -1340,8 +1340,8 @@ _ASSORT_ORACLE = f"""
            sxy AS sum_deg_prod,
            round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+                 / nullif(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 4)
              AS assortativity
     FROM m
 """
@@ -1362,7 +1362,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson r collapses to (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no
     sqrt at all. Moments are exact BIGINT (emitted for the invariant
     test to recompute r); the final expression is IEEE doubles in one
-    identical form both engines, 4-dp rounded.
+    identical form both engines, 4-dp rounded. The denominator
+    m·Σx² − (Σx)² is wrapped in nullif(·, 0) on BOTH engines (ADVICE
+    r10): on a degree-regular graph (every node the same degree, e.g.
+    a perfect matching) the degree variance is exactly 0 and r is
+    undefined — the guard makes that a uniform NULL instead of a
+    NaN/Inf whose cross-engine canonicalization could diverge.
 
     Scale shape: grid-blocked radius self-join for edges (never
     all-pairs), one keyed degree agg, TWO broadcast-able joins of the
@@ -1394,7 +1399,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-            " / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
-            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)"
+            " / nullif(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0d), 4)"
         ).alias("assortativity"),
     )

@@ -2756,6 +2756,16 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Overflow: the variance product is evaluated in doubles — the exact
     integer form n1·n2·((N+1)N(N−1) − Σ(t³−t)) exceeds int64 at corpus
     scale, while the double form is bit-deterministic regardless.
+    The tie term itself carries an explicit int64 budget (ADVICE r10,
+    the Gramian-note pattern): Σ(t³−t) is exact while every per-value
+    tie group stays under t < 2,097,152 rows AND the sum stays under
+    2^63 (≈9.2e18 micro-units — >2000 maximal tie groups of 2M rows
+    each). Within budget both engines agree bit-for-bit; beyond it
+    DuckDB raises on BIGINT overflow while Spark wraps silently — a
+    double SUM over the census would instead introduce cross-engine
+    fold-order divergence, strictly worse, so the exact form + budget
+    is the deliberate choice (tests/test_properties.py pins fixture
+    headroom ≥1000x under both bounds).
 
     Scale shape: one event scan into a cent-value census (map-side
     combined; the domain is bounded cents, q_ml_roc_curve's argument),
@@ -2830,8 +2840,8 @@ _AP_ORACLE = f"""
                    CAST(count(*) AS BIGINT) AS nthr
             FROM cnt)
     SELECT tot.p AS n_pos, tot.neg AS n_neg, tot.nthr AS n_thresholds,
-           CAST(sum(c1 * cum_pos * 1000000 // cum_n) // tot.p AS BIGINT)
-             AS ap_ppm
+           CAST(sum(c1 * cum_pos * 1000000 // cum_n) // nullif(tot.p, 0)
+             AS BIGINT) AS ap_ppm
     FROM cum CROSS JOIN tot
     GROUP BY tot.p, tot.neg, tot.nthr
 """
@@ -2853,6 +2863,10 @@ def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c1·cum_pos·1e6 // cum_n, exact BIGINT — |c1·cum_pos| ≤ P·N keeps
     1e6-scaled products under int64 at every probed scale), summed
     exactly, divided once by P. Identical floor points on both engines.
+    The final divide guards P with nullif(P, 0) on BOTH engines (the
+    q_text_fertility / q_ml_roc_curve convention, ADVICE r10): with
+    zero positives the result is a uniform NULL rather than a DuckDB
+    division-by-zero error vs a Spark NULL asymmetry.
 
     Scale shape: one event scan into a cent census (map-side combined,
     bounded domain), one running-sum window over the DISTINCT-value
@@ -2890,7 +2904,8 @@ def q_ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "neg", "nthr")
         .agg(
             F.expr(
-                "CAST(sum(c1 * cum_pos * 1000000 DIV cum_n) DIV p AS BIGINT)"
+                "CAST(sum(c1 * cum_pos * 1000000 DIV cum_n)"
+                " DIV nullif(p, 0) AS BIGINT)"
             ).alias("ap_ppm")
         )
         .select(

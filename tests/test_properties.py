@@ -290,8 +290,13 @@ def test_round4_late_key_invariants(spark):
     assert q14[0].n_lineitems > 0
 
     # binary dedup: every group is a genuine duplicate group and the
-    # canonical is its minimum member
-    for r in get_query("q_multimodal_dedup").fn(spark, sf).collect():
+    # canonical is its minimum member. At sf0.001/sf0.01 the fixture has
+    # NO duplicate binary blobs, so the census is legitimately empty and
+    # the per-row loop would be vacuous (VERDICT r10 #5) — run the
+    # invariants at the duplicate-bearing scale and REQUIRE rows there.
+    mm_rows = get_query("q_multimodal_dedup").fn(spark, "/root/testdata/sf0.1").collect()
+    assert mm_rows, "sf0.1 must contain duplicate blobs (8 groups expected)"
+    for r in mm_rows:
         assert r.n_copies >= 2
         assert r.canonical_doc <= r.last_doc
 
@@ -1251,8 +1256,14 @@ def test_round9_batch_key_invariants(spark):
 
     from tests.conftest import SF_DIR as sf
 
-    # suffix census: groups only, min-keeper, counts consistent
-    for r in get_query("q_dedup_suffix").fn(spark, sf).collect():
+    # suffix census: groups only, min-keeper, counts consistent. The
+    # sf0.001/sf0.01 census is legitimately EMPTY (no shared-suffix
+    # groups exist there — CHECKS_r11.md batch-2 note), which would make
+    # the loop vacuous (VERDICT r10 #5) — so run at the group-bearing
+    # sf0.1 scale and require rows.
+    sfx_rows = get_query("q_dedup_suffix").fn(spark, "/root/testdata/sf0.1").collect()
+    assert sfx_rows, "sf0.1 must contain shared-suffix groups (8 expected)"
+    for r in sfx_rows:
         assert r.n_docs >= 2
         assert 1 <= r.n_sources <= r.n_docs
         assert r.total_chars > 0
@@ -1510,6 +1521,23 @@ def test_round10_batch2_key_invariants(spark):
            * ((n + 1) - mw.tie_correction / (n * (n - 1.0))))
     z = ((mw.u_x2 - mw.n_purchase * mw.n_view) / 2.0) / math.sqrt(var)
     assert abs(mw.z - round(z, 4)) <= 1e-9
+    # tie-term int64 budget headroom (ADVICE r10 / docstring bound):
+    # every per-cent-value tie group must sit >=1000x under the
+    # t < 2,097,152 per-term bound, and the exact tie sum >=1000x under
+    # 2^63 — so Spark's silent wrap and DuckDB's overflow raise are both
+    # unreachable on the fixture by three orders of magnitude.
+    from pyspark.sql import functions as _F
+    from jsmr_spark.io import load_table as _lt
+    _tmax = (
+        _lt(spark, sf, "events")
+        .where(_F.col("event_type").isin("purchase", "view"))
+        .groupBy(_F.round(_F.col("value") * 100).cast("long"))
+        .count()
+        .agg(_F.max("count"))
+        .collect()[0][0]
+    )
+    assert _tmax < 2_097_152 // 1000
+    assert mw.tie_correction < 2**63 // 1000
 
 
 def test_round10_batch3_key_invariants(spark):
