@@ -1011,3 +1011,125 @@ def q_dedup_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+# --- cross-snapshot incremental dedup census (round 11) --------------------
+
+SNAP_DELTA_SHIFT = 1_000_000_000  # new-id offset, q_snapshot_diff's convention
+_SD_BUCKET_DUCK = f"({hex12_sql('md5(CAST(doc_id AS VARCHAR))')} % 100)"
+_SD_BUCKET_SPARK = f"({hex12_sql('md5(cast(doc_id as string))')} % 100)"
+
+_SNAP_DELTA_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, text, source, {_SD_BUCKET_DUCK} AS bk FROM documents
+    ),
+    carried AS (
+      SELECT doc_id, source,
+             CASE WHEN bk BETWEEN 5 AND 14 THEN text || ' v2' ELSE text END
+               AS text
+      FROM b WHERE bk >= 5
+    ),
+    added AS (
+      SELECT doc_id + {SNAP_DELTA_SHIFT} AS doc_id, source,
+             CASE WHEN bk < 95 THEN text || ' u2' ELSE text END AS text
+      FROM b WHERE bk >= 90
+    ),
+    oldh AS (SELECT DISTINCT md5(text) AS h FROM carried),
+    ac AS (
+      SELECT a.source,
+             CAST(count(*) AS BIGINT) AS n_added,
+             CAST(count(o.h) AS BIGINT) AS n_dup_prior
+      FROM added a LEFT JOIN oldh o ON md5(a.text) = o.h
+      GROUP BY a.source
+    ),
+    cc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_carried
+           FROM carried GROUP BY source)
+    SELECT cc.source,
+           cc.n_carried,
+           CAST(coalesce(ac.n_added, 0) AS BIGINT) AS n_added,
+           CAST(coalesce(ac.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+           CAST(coalesce(ac.n_added - ac.n_dup_prior, 0) AS BIGINT) AS n_fresh,
+           CAST(coalesce(ac.n_dup_prior, 0) * 1000000
+                // nullif(coalesce(ac.n_added, 0), 0) AS BIGINT) AS dup_ppm
+    FROM cc LEFT JOIN ac ON ac.source = cc.source
+"""
+
+
+@query("q_dedup_snapshot_delta", _SNAP_DELTA_ORACLE)
+def q_dedup_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot INCREMENTAL exact-dedup census — the lakehouse
+    loop closure between q_snapshot_diff (keyed change feed) and
+    q_merge_dedup (near-dup of an incoming batch): when a new corpus
+    snapshot lands, which of its ADDED documents carry content that the
+    LIVE snapshot already holds under a different id (the crawler
+    re-fetch / re-ingest duplicate — the exact-duplicate class Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", measures first), and which are genuinely fresh.
+
+    Snapshot B is the deterministic pure-function-of-doc_id transform
+    (q_snapshot_diff's convention, same md5-bucket): bucket < 5
+    deleted, 5-14 edited (text || ' v2'), and the bucket >= 90 slice
+    RE-INGESTED under doc_id + {SNAP_DELTA_SHIFT} — verbatim for
+    bucket >= 95 (true re-fetch duplicates) and with changed content
+    (text || ' u2') for 90-94 (pages that changed between crawls).
+    The census classifies every added id against the carried (live,
+    post-edit) content-hash set — NOT against stale pre-edit hashes,
+    which is exactly the index-maintenance discipline an incremental
+    lakehouse dedup needs. Per source: carried/added counts, how many
+    adds duplicate prior content, fresh count, and the duplicate rate
+    (ppm, nullif-guarded for sources with no adds).
+
+    Exactness: md5 content digests, exact BIGINT counts, one ppm floor
+    — hash-green.
+
+    Scale shape (the 100 TB argument): the carried content-hash set is
+    the maintained exact-dedup INDEX of the live snapshot (at rest:
+    written bucketed by digest, q_dedup_exact's layout) — corpus-sized,
+    so it is NEVER broadcast (the r9 lesson): the added batch joins it
+    keyed on digest, batch-size x 1 lookups on a co-located layout, AQE
+    free to pick the strategy at fixture scale. Everything else is
+    narrow maps + map-side-combined per-source counts. Ingest cost is
+    O(batch), independent of corpus row count."""
+    bk = F.expr(_SD_BUCKET_SPARK)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "source", bk.alias("bk"))
+    carried = docs.filter(F.col("bk") >= 5).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("bk").between(5, 14), F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("bk") >= 90).select(
+        (F.col("doc_id") + SNAP_DELTA_SHIFT).alias("doc_id"),
+        "source",
+        F.when(
+            F.col("bk") < 95, F.concat(F.col("text"), F.lit(" u2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # The live snapshot's content-hash index: corpus-sized -> never
+    # broadcast; keyed join, AQE decides the physical strategy.
+    oldh = carried.select(F.md5("text").alias("h")).distinct()
+    ac = (
+        added.join(oldh, F.md5(added["text"]) == oldh["h"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_added"),
+            F.count("h").cast("long").alias("n_dup_prior"),
+        )
+    )
+    cc = carried.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_carried")
+    )
+    return cc.join(ac, "source", "left").select(
+        "source",
+        "n_carried",
+        F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        F.coalesce("n_dup_prior", F.lit(0)).cast("long").alias("n_dup_prior"),
+        F.coalesce(F.col("n_added") - F.col("n_dup_prior"), F.lit(0))
+        .cast("long")
+        .alias("n_fresh"),
+        F.expr(
+            "CAST(coalesce(n_dup_prior, 0) * 1000000"
+            " DIV nullif(coalesce(n_added, 0), 0) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

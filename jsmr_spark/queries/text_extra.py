@@ -2001,3 +2001,109 @@ def q_text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("z4").alias("max_z"),
     )
+
+
+# --- eval-side tokenizer-aware contamination report (round 11) -------------
+
+DECON_N = 5  # token n-gram order for the eval-contamination check
+DIRTY_PPM = 700_000  # flag an eval doc "dirty" at >= 70% n-gram overlap
+
+_DECONTAM_EVAL_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(tk[1:len(tk)-{DECON_N - 1}],
+                    (x, i) -> concat(x, ' ', tk[i+1], ' ', tk[i+2],
+                                     ' ', tk[i+3], ' ', tk[i+4]))) AS gram
+      FROM toks WHERE len(tk) >= {DECON_N}
+    ),
+    hv AS (SELECT DISTINCT doc_id, {hex12_sql("md5(gram)")} AS hv FROM g),
+    ev AS (SELECT doc_id, hv FROM hv
+           WHERE doc_id % {BENCH_MOD} = {BENCH_RESIDUE}),
+    tr AS (SELECT DISTINCT hv FROM hv
+           WHERE doc_id % {BENCH_MOD} <> {BENCH_RESIDUE})
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(t.hv) AS BIGINT) AS n_contaminated,
+           CAST(count(t.hv) * 1000000 // count(*) AS BIGINT)
+             AS contamination_ppm,
+           count(t.hv) * 1000000 // count(*) >= {DIRTY_PPM} AS dirty
+    FROM ev e LEFT JOIN tr t USING (hv)
+    GROUP BY e.doc_id
+"""
+
+
+@query("q_text_decontam_eval", _DECONTAM_EVAL_ORACLE)
+def q_text_decontam_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side, tokenizer-aware contamination report: for every
+    held-out benchmark document (the deterministic doc_id % 100 == 7
+    slice), the fraction of its {DECON_N}-gram TOKEN n-grams that occur
+    anywhere in the training corpus, and a dirty flag at the >= 70%
+    overlap mark — the eval-integrity table from the GPT-3 appendix-C /
+    PaLM contamination procedure (Brown et al. 2020; Chowdhery et al.
+    2022), where a benchmark EXAMPLE is graded clean/dirty so
+    contaminated examples can be excluded from the eval split.
+
+    This is the complement of q_text_decontam, which grades the
+    TRAINING side (which train docs to drop, word 3-grams); this key
+    grades the EVAL side, and is tokenizer-aware: n-grams run over the
+    BPE-ish regex segmentation (letter runs / digit runs / single
+    symbols — the q_text_token_bpe kernel), the unit actual
+    contamination checks operate in, not whitespace words.
+
+    Exactness: gram hashes are the shared hex12(md5) 48-bit kernel;
+    counts are exact BIGINT; contamination_ppm is floored once at ppm
+    scale (n_grams >= 1 by the len(tk) >= {DECON_N} filter, so the
+    divide never sees 0); dirty is a BIGINT comparison. Hash-green.
+
+    Scale shape (the 100 TB argument): the EVAL side is tiny by
+    construction (benchmark suites are MBs against a 100 TB corpus), so
+    its distinct gram-hash set BROADCASTS (bounded by eval size — the
+    documented-bound broadcast case); the corpus side is a narrow
+    tokenize+explode that is SEMI-joined against that broadcast set —
+    the only thing ever shuffled from the corpus is the matched-gram
+    subset, itself bounded by eval size. A distinct + per-eval-doc
+    count finish the report. No corpus-sized shuffle, no all-pairs."""
+    txt = F.col("text")
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(txt, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)).alias("tk"),
+    ).filter(F.size("tk") >= DECON_N)
+    gram_expr = (
+        f"transform(sequence(1, size(tk) - {DECON_N - 1}), "
+        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ', "
+        "element_at(tk, i + 2), ' ', element_at(tk, i + 3), ' ', "
+        "element_at(tk, i + 4)))"
+    )
+    g = toks.select("doc_id", F.explode(F.expr(gram_expr)).alias("gram")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long").alias("hv"),
+    )
+    is_ev = (F.col("doc_id") % BENCH_MOD) == BENCH_RESIDUE
+    ev = g.filter(is_ev).distinct()
+    # eval gram set: bounded by the benchmark suite's size by
+    # construction -> broadcast is safe (documented bound).
+    evset = F.broadcast(ev.select("hv").distinct())
+    # contaminated grams = train grams that hit the eval set; bounded
+    # by the eval set, so broadcasting the RESULT back is equally safe.
+    tr_hit = F.broadcast(
+        g.filter(~is_ev).join(evset, "hv", "semi").select("hv").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(tr_hit, "hv", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+            F.expr("CAST(count(hit) * 1000000 DIV count(1) AS BIGINT)").alias(
+                "contamination_ppm"
+            ),
+            (F.expr("count(hit) * 1000000 DIV count(1)") >= DIRTY_PPM).alias(
+                "dirty"
+            ),
+        )
+    )

@@ -1589,3 +1589,61 @@ def test_round10_batch3_key_invariants(spark):
         dv = (g - med).abs().sort_values().reset_index(drop=True)
         assert int(dv.iloc[k - 1]) == r.mad_cents
         assert int((dv > MAD_K * r.mad_cents).sum()) == r.n_outliers
+
+
+def test_round11_key_invariants(spark):
+    """Algebraic invariants for the round-11 additions (eval-side
+    tokenizer-aware decontamination, cross-snapshot dedup census)."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # eval decontamination: every benchmark doc graded; counts bounded
+    # and ppm/dirty recomputable from the exact integers; the eval
+    # slice is exactly the doc_id % 100 == 7 residue class
+    from jsmr_spark.queries.text_extra import BENCH_MOD, BENCH_RESIDUE, DIRTY_PPM
+    rows = get_query("q_text_decontam_eval").fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % BENCH_MOD == BENCH_RESIDUE
+        assert 0 <= r.n_contaminated <= r.n_grams and r.n_grams >= 1
+        assert r.contamination_ppm == r.n_contaminated * 1_000_000 // r.n_grams
+        assert r.dirty == (r.contamination_ppm >= DIRTY_PPM)
+
+    # snapshot-delta dedup: verbatim re-ingests (bucket >= 95) MUST be
+    # flagged as duplicates of the live snapshot and suffixed re-ingests
+    # (90-94) must be fresh — recompute the census end-to-end from the
+    # fixture and require equality, so the key can never pass vacuously
+    import duckdb
+    rows = get_query("q_dedup_snapshot_delta").fn(spark, sf).collect()
+    assert rows and sum(r.n_added for r in rows) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    from jsmr_spark.queries.dedup import _SD_BUCKET_DUCK
+    expected = {
+        (s or ""): (int(nv), int(nu))
+        for s, nv, nu in con.execute(
+            f"SELECT source, "
+            f"sum(CASE WHEN {_SD_BUCKET_DUCK} >= 95 THEN 1 ELSE 0 END), "
+            f"sum(CASE WHEN {_SD_BUCKET_DUCK} >= 90 AND {_SD_BUCKET_DUCK} < 95 "
+            f"THEN 1 ELSE 0 END) "
+            f"FROM documents GROUP BY source"
+        ).fetchall()
+    }
+    for r in rows:
+        nv, nu = expected[r.source or ""]
+        assert r.n_added == nv + nu
+        # every verbatim re-ingest duplicates its carried origin
+        # (bucket >= 95 is outside the 5-14 edit range, so the origin
+        # text is carried verbatim); ' u2'-suffixed adds are fresh
+        # unless the fixture coincidentally holds the suffixed text
+        assert r.n_dup_prior >= nv
+        assert r.n_fresh <= nu
+        assert r.n_carried > 0
+        if r.n_added:
+            assert r.dup_ppm == r.n_dup_prior * 1_000_000 // r.n_added
+        else:
+            assert r.dup_ppm is None
