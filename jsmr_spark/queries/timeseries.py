@@ -3065,3 +3065,146 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_ppm",
         )
     )
+
+
+# --- Kruskal-Wallis H rank test (round 11) ----------------------------------
+
+# The quantized-term trick: H needs a SUM over the k groups of the
+# double quantity n_i * (mean_rank_i - grand_mean)^2, and a raw double
+# SUM over an unordered group-by is fold-order-dependent across
+# engines. Each group's term is therefore computed in ONE identical
+# double expression from exact integers and floored ONCE at micro
+# scale; the cross-group SUM is then integer arithmetic — order-free
+# on both engines. (x 250000 = 1e6 / 4: the /4 folds the midrank
+# doubling r2 = 2*R out of the squared deviation.)
+_KW_TERM = (
+    "CAST(floor("
+    "(CAST(r2_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+    " - CAST(n + 1 AS DOUBLE))"
+    " * (CAST(r2_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+    " - CAST(n + 1 AS DOUBLE))"
+    " * CAST(n_i AS DOUBLE) * 250000.0"
+    ") AS BIGINT)"
+)
+
+_KW_H = (
+    "round(12.0 * CAST(sum_term_q AS DOUBLE) / 1000000.0"
+    " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 4)"
+)
+
+_KW_HC = (
+    "round((12.0 * CAST(sum_term_q AS DOUBLE) / 1000000.0"
+    " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
+    " / (1.0 - CAST(tie_term AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE))), 4)"
+)
+
+_KW_ORACLE = f"""
+    WITH f AS (
+      SELECT event_type AS g, {sql_cents("value")} AS vc FROM events
+    ),
+    gc AS (SELECT g, vc, CAST(count(*) AS BIGINT) AS cg FROM f GROUP BY g, vc),
+    vc_c AS (SELECT vc, CAST(sum(cg) AS BIGINT) AS c FROM gc GROUP BY vc),
+    cum AS (
+      SELECT vc, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS clt
+      FROM vc_c
+    ),
+    r AS (
+      SELECT gc.g, CAST(sum(gc.cg) AS BIGINT) AS n_i,
+             CAST(sum(gc.cg * (2 * cum.clt + cum.c + 1)) AS BIGINT) AS r2_i
+      FROM gc JOIN cum ON cum.vc = gc.vc
+      GROUP BY gc.g
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+      FROM vc_c
+    ),
+    terms AS (
+      SELECT r.g, r.n_i, r.r2_i, {_KW_TERM} AS term_q
+      FROM r, tot
+    ),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(term_q) AS BIGINT) AS sum_term_q
+      FROM terms
+    )
+    SELECT h.n_groups, tot.n AS n_total, tot.tie_term, h.sum_term_q,
+           {_KW_H} AS h4, {_KW_HC} AS hc4
+    FROM h, tot
+"""
+
+
+@query("q_stats_kruskal", _KW_ORACLE)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H rank test (Kruskal & Wallis 1952) across ALL
+    event types: the k-sample extension of q_stats_mannwhitney — the
+    nonparametric one-way test you reach for when q_stats_anova's
+    normality assumption is indefensible on heavy-tailed value data
+    and there are more than two groups. Midrank (average) tie
+    convention; hc4 carries the full tie correction
+    H / (1 − Σ(t³−t)/(N³−N)).
+
+    Exactness: per-group 2x rank sums are exact BIGINT over the cent
+    census (2·avgrank(v) = 2·count(<v) + count(=v) + 1, the
+    q_stats_mannwhitney identity); each group's deviation term
+    n_i·(r̄_i − (N+1)/2)² is ONE identical double expression from those
+    exact integers, floored ONCE at micro scale, so the cross-group sum
+    is order-free integer arithmetic (see _KW_TERM) — never a raw
+    double SUM over an unordered group. sum_term_q is emitted for the
+    invariant test to recompute H end-to-end. Int64 budgets (the
+    q_stats_mannwhitney pattern): the rank-sum accumulators stay exact
+    while N < ~2.1e9 rows and the tie term while every per-value tie
+    group stays under 2.09M rows; the N³ in the tie correction is
+    evaluated in doubles (bit-deterministic in fixed textual order).
+
+    Scale shape: one event scan into a (type, cent) census (map-side
+    combined, bounded domain), a value-census running-count window
+    (domain-sized), one census-sized join + per-group agg (k rows), a
+    1-row total — the q_stats_mannwhitney plan generalized to k groups;
+    nothing past the first hash agg is corpus-sized."""
+    f = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), cents(F.col("value")).alias("vc")
+    )
+    gc = f.groupBy("g", "vc").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    vc_c = gc.groupBy("vc").agg(F.sum("cg").cast("long").alias("c"))
+    wlt = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vc_c.withColumn(
+        "clt", F.coalesce(F.sum("c").over(wlt), F.lit(0)).cast("long")
+    )
+    r = (
+        gc.join(cum, "vc")
+        .groupBy("g")
+        .agg(
+            F.sum("cg").cast("long").alias("n_i"),
+            F.sum(F.col("cg") * (2 * F.col("clt") + F.col("c") + 1))
+            .cast("long")
+            .alias("r2_i"),
+        )
+    )
+    tot = vc_c.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    # 1-row broadcast total: the allowlisted share-of-total shape.
+    terms = r.crossJoin(F.broadcast(tot)).select(
+        "g", "n_i", "r2_i", "n", "tie_term", F.expr(_KW_TERM).alias("term_q")
+    )
+    h = terms.groupBy("n", "tie_term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("term_q").cast("long").alias("sum_term_q"),
+    )
+    return h.select(
+        "n_groups",
+        F.col("n").alias("n_total"),
+        "tie_term",
+        "sum_term_q",
+        F.expr(_KW_H).alias("h4"),
+        F.expr(_KW_HC).alias("hc4"),
+    )

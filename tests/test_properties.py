@@ -1647,3 +1647,35 @@ def test_round11_key_invariants(spark):
             assert r.dup_ppm == r.n_dup_prior * 1_000_000 // r.n_added
         else:
             assert r.dup_ppm is None
+
+
+def test_kruskal_invariants(spark):
+    """q_stats_kruskal: H recomputable from the emitted exact integers,
+    and the whole statistic recomputable end-to-end in pandas (midrank
+    convention) within the micro-quantization tolerance."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    kw = get_query("q_stats_kruskal").fn(spark, sf).collect()[0]
+    assert kw.n_groups >= 2
+    # identity: h4 from the emitted order-free integer term sum
+    n = kw.n_total
+    h = 12.0 * kw.sum_term_q / 1e6 / (n * (n + 1.0))
+    assert abs(kw.h4 - round(h, 4)) <= 1e-9
+    hc = h / (1.0 - kw.tie_term / (float(n) * n * n - n))
+    assert abs(kw.hc4 - round(hc, 4)) <= 1e-9
+    assert kw.h4 >= 0 and kw.hc4 >= kw.h4  # tie correction divides by <= 1
+    # end-to-end pandas recompute (scipy-free): midranks via average rank
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_type", "value").toPandas())
+    ev["vc"] = (ev.value * 100).round().astype("int64")
+    ranks = ev.vc.rank(method="average")
+    n_py = len(ev)
+    grand = (n_py + 1) / 2.0
+    h_py = 0.0
+    for _, g in ev.assign(rk=ranks).groupby("event_type"):
+        h_py += len(g) * (g.rk.mean() - grand) ** 2
+    h_py *= 12.0 / (n_py * (n_py + 1.0))
+    assert n_py == n
+    assert abs(h_py - h) <= 1e-3  # micro-floor quantization bound

@@ -39,6 +39,15 @@ def cache_from_md(cache_path: str) -> None:
     )
     cache = {}
     for line in open(bench_md):
+        # Only the per-key table at the top of the file is the cache
+        # source: the appended sections (pinned A/B/A, side-effect tier
+        # trend) contain OTHER tables whose first five cells can match
+        # a per-key row shape — the round-11 rebuild caught the trend
+        # rows (| key | r9_wall | r10_wall | r9_exec | r10_exec | x |)
+        # silently overwriting ~30 sink_/stream_ keys with wrong
+        # columns. Stop at the first appended section header.
+        if line.startswith("## "):
+            break
         # any per-key row: a bare name plus four numeric cells (the
         # numeric groups already exclude the header and **TOTAL** rows,
         # and a fixed prefix list would silently drop future families)

@@ -101,6 +101,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # cent-census x 1-row broadcast totals (the
                      # q_ml_lift share-of-total shape).
                      "q_ml_average_precision",
+                     # k group-rank rows x 1-row broadcast (N, tie_term)
+                     # total — the same share-of-total singleton shape.
+                     "q_stats_kruskal",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",
@@ -240,6 +243,9 @@ ALLOW_GLOBAL_WINDOW: set[str] = {"q_stats_ks", "q_ml_auc",
                                  # census (bounded domain, q_ml_auc's
                                  # argument) for midrank computation
                                  "q_stats_mannwhitney",
+                                 # the same census-sized midrank window,
+                                 # k-group form
+                                 "q_stats_kruskal",
                                  # same census-sized running sums, score
                                  # order (the AP threshold sweep)
                                  "q_ml_average_precision"}

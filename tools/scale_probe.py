@@ -211,8 +211,10 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_graph_assortativity", "q_ml_average_precision",
           "q_ts_mad_outliers",
           # round-11 additions: broadcast eval-gram semi-join
-          # decontamination, content-hash-index incremental dedup
-          "q_text_decontam_eval", "q_dedup_snapshot_delta"]
+          # decontamination, content-hash-index incremental dedup,
+          # k-group rank-census test
+          "q_text_decontam_eval", "q_dedup_snapshot_delta",
+          "q_stats_kruskal"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
