@@ -31,12 +31,13 @@ Round-11 rotation:
 
 Round 11 COMPLETES the driver signal over the pre-round-10 canonical
 surface: once CORRECTNESS_r11 lands green, the ever-verified union is
-368/377 and the only never-verified keys are the 9 in the CHECKS_r12.md
-queue — the round-10 batch-2/3 additions (q_embed_gram,
+368/378 and the only never-verified keys are the 10 in the
+CHECKS_r12.md queue — the round-10 batch-2/3 additions (q_embed_gram,
 q_mix_kl_divergence, q_stats_mannwhitney, q_graph_assortativity,
 q_ml_average_precision, q_ts_mad_outliers) and the round-11 additions
-(q_text_decontam_eval, q_dedup_snapshot_delta, q_stats_kruskal) — each
-pre-verified at all three scales. See CHECKS_r11.md / CHECKS_r12.md.
+(q_text_decontam_eval, q_dedup_snapshot_delta, q_stats_kruskal,
+q_stats_levene) — each pre-verified at all three scales. See
+CHECKS_r11.md / CHECKS_r12.md.
 """
 
 from __future__ import annotations

@@ -3208,3 +3208,171 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KW_H).alias("h4"),
         F.expr(_KW_HC).alias("hc4"),
     )
+
+
+# --- Brown-Forsythe / Levene variance-homogeneity test (round 11) ----------
+
+# Same determinism discipline as _KW_TERM: the between-group sum of
+# squares needs SUM over k groups of a double quantity — each group's
+# term is ONE identical double expression from exact integers, floored
+# ONCE, so the cross-group SUM is order-free integers. UNIT scale, not
+# micro: the SS magnitudes are >= 1e9 cent² even at sf0.001 (relative
+# floor error < 1e-9, far inside the 4-dp round), and a 1e6 factor
+# would push the within term past int64 at the 10x probe (SS ~1e12).
+# The 1e6-vs-unit choice cancels out of F entirely (both terms share
+# the scale).
+_BF_BETWEEN = (
+    "CAST(floor("
+    "(CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+    " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+    " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * CAST(n_i AS DOUBLE)"
+    ") AS BIGINT)"
+)
+
+# Within-group SS = sum(z^2) - S_i^2/n_i: S_i^2 exceeds int64 once a
+# group's absolute-deviation total passes ~3e9 cent-units, so the
+# subtraction runs in doubles per group and floors once (same budget
+# rationale as the Kruskal-Wallis doc). Unit-scale floor keeps the
+# integer sum inside int64 to ~9e18 cent² of within-group SS (~sf1000
+# at fixture density).
+_BF_WITHIN = (
+    "CAST(floor("
+    "CAST(ss_i AS DOUBLE)"
+    " - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+    ") AS BIGINT)"
+)
+
+_BF_F = (
+    "round((CAST(n - n_groups AS DOUBLE) / CAST(n_groups - 1 AS DOUBLE))"
+    " * (CAST(between_q AS DOUBLE) / nullif(CAST(within_q AS DOUBLE), 0.0)), 4)"
+)
+
+_BF_ORACLE = f"""
+    WITH f AS (
+      SELECT event_type AS g, {sql_cents("value")} AS vc FROM events
+    ),
+    cnt AS (
+      SELECT g, vc, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY g, vc
+    ),
+    cum AS (
+      SELECT g, vc, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cm
+      FROM cnt
+    ),
+    gn AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cnt GROUP BY g),
+    med AS (
+      SELECT cum.g, CAST(min(vc) AS BIGINT) AS med
+      FROM cum JOIN gn ON gn.g = cum.g
+      WHERE cum.cm >= (gn.ng + 1) // 2
+      GROUP BY cum.g
+    ),
+    z AS (
+      SELECT cnt.g, abs(cnt.vc - med.med) AS zv, cnt.c
+      FROM cnt JOIN med ON med.g = cnt.g
+    ),
+    gr AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_i,
+             CAST(sum(zv * c) AS BIGINT) AS s_i,
+             CAST(sum(zv * zv * c) AS BIGINT) AS ss_i
+      FROM z GROUP BY g
+    ),
+    tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(sum(s_i) AS BIGINT) AS s FROM gr),
+    terms AS (
+      SELECT gr.g, gr.n_i,
+             {_BF_BETWEEN} AS bt_q,
+             {_BF_WITHIN} AS wt_q
+      FROM gr, tot
+    ),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(bt_q) AS BIGINT) AS between_q,
+             CAST(sum(wt_q) AS BIGINT) AS within_q
+      FROM terms
+    )
+    SELECT h.n_groups, tot.n AS n_total, h.between_q, h.within_q,
+           {_BF_F} AS f4
+    FROM h, tot
+"""
+
+
+@query("q_stats_levene", _BF_ORACLE)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974; Levene's test with
+    the MEDIAN center — the robust variant every stats package defaults
+    to) for variance homogeneity across event types: the PREREQUISITE
+    check for q_stats_anova — ANOVA's F assumes equal group variances,
+    and this is the test that tells you whether that assumption holds
+    on heavy-tailed value data. One-way ANOVA F computed on the
+    absolute deviations z_ij = |x_ij − median(group j)|.
+
+    Exactness: group medians are the LOWER-median-by-rank over the
+    per-group cent census (q_ts_mad_outliers' integer recipe — no
+    midpoint averaging), so deviations are exact integers; per-group
+    Σz·c and Σz²·c are exact BIGINT. The between/within sums of squares
+    each need cross-group SUMs of double quantities, so each group's
+    term is ONE identical double expression floored ONCE at unit scale
+    (the q_stats_kruskal order-free-sum discipline; see _BF_BETWEEN for
+    why unit and not micro, and _BF_WITHIN for why S_i² must be doubles
+    — int64 dies past ~3e9 cent-units of group deviation mass; the
+    shared scale cancels out of F). F carries a nullif guard for
+    the all-groups-constant degenerate case (within SS = 0 -> uniform
+    NULL on both engines). between_q / within_q are emitted for the
+    invariant test to recompute F.
+
+    Scale shape: one event scan into a (type, cent) census (map-side
+    combined, bounded domain), per-group running-count windows over the
+    census (domain-sized) for medians, census-sized joins, k-row term
+    table, 1-row total — the q_ts_mad_outliers plan with an F collapse;
+    nothing past the first hash agg is corpus-sized."""
+    f = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), cents(F.col("value")).alias("vc")
+    )
+    cnt = f.groupBy("g", "vc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcm = Window.partitionBy("g").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.withColumn("cm", F.sum("c").over(wcm).cast("long"))
+    gn = cnt.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    med = (
+        cum.join(gn, "g")
+        .where(F.expr("cm >= (ng + 1) DIV 2"))
+        .groupBy("g")
+        .agg(F.min("vc").cast("long").alias("med"))
+    )
+    z = cnt.join(med, "g").select(
+        "g", F.abs(F.col("vc") - F.col("med")).alias("zv"), "c"
+    )
+    gr = z.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_i"),
+        F.sum(F.col("zv") * F.col("c")).cast("long").alias("s_i"),
+        F.sum(F.col("zv") * F.col("zv") * F.col("c")).cast("long").alias("ss_i"),
+    )
+    tot = gr.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+    )
+    # 1-row broadcast total: the allowlisted share-of-total shape.
+    terms = gr.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_i",
+        "n",
+        F.expr(_BF_BETWEEN).alias("bt_q"),
+        F.expr(_BF_WITHIN).alias("wt_q"),
+    )
+    h = terms.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("bt_q").cast("long").alias("between_q"),
+        F.sum("wt_q").cast("long").alias("within_q"),
+    )
+    return h.select(
+        "n_groups",
+        F.col("n").alias("n_total"),
+        "between_q",
+        "within_q",
+        F.expr(_BF_F).alias("f4"),
+    )

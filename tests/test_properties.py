@@ -1679,3 +1679,35 @@ def test_kruskal_invariants(spark):
     h_py *= 12.0 / (n_py * (n_py + 1.0))
     assert n_py == n
     assert abs(h_py - h) <= 1e-3  # micro-floor quantization bound
+
+
+def test_levene_invariants(spark):
+    """q_stats_levene (Brown-Forsythe): F recomputable from the emitted
+    exact micro-unit sums, and the whole statistic recomputable
+    end-to-end in pandas with the same lower-median convention."""
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    bf = get_query("q_stats_levene").fn(spark, sf).collect()[0]
+    assert bf.n_groups >= 2
+    k, n = bf.n_groups, bf.n_total
+    f_id = ((n - k) / (k - 1.0)) * (bf.between_q / float(bf.within_q))
+    assert abs(bf.f4 - round(f_id, 4)) <= 1e-9
+    assert bf.f4 >= 0 and bf.between_q >= 0 and bf.within_q > 0
+    # end-to-end pandas recompute (scipy-free)
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_type", "value").toPandas())
+    ev["vc"] = (ev.value * 100).round().astype("int64")
+    zs, n_py = [], 0
+    for _, g in ev.groupby("event_type"):
+        v = g.vc.sort_values().reset_index(drop=True)
+        med = int(v.iloc[(len(v) + 1) // 2 - 1])  # lower median by rank
+        zs.append((v - med).abs())
+        n_py += len(v)
+    assert n_py == n and len(zs) == k
+    grand = sum(z.sum() for z in zs) / n_py
+    between = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f_py = ((n_py - k) / (k - 1.0)) * (between / within)
+    assert abs(f_py - f_id) <= 1e-3  # unit-floor quantization bound

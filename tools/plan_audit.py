@@ -104,6 +104,9 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # k group-rank rows x 1-row broadcast (N, tie_term)
                      # total — the same share-of-total singleton shape.
                      "q_stats_kruskal",
+                     # k group-deviation rows x 1-row broadcast (N, S)
+                     # total — same singleton shape (Brown-Forsythe).
+                     "q_stats_levene",
                      # crossJoin of two single-row aggregate results
                      # (min/max pass x distinct pass) — 1x1 by construction.
                      "q_profile_columns",

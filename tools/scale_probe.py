@@ -212,9 +212,9 @@ PROBES = ["q_agg_q1", "q_join_multiway", "q_win_topk_group", "q_stream_session",
           "q_ts_mad_outliers",
           # round-11 additions: broadcast eval-gram semi-join
           # decontamination, content-hash-index incremental dedup,
-          # k-group rank-census test
+          # k-group rank-census test, Brown-Forsythe variance check
           "q_text_decontam_eval", "q_dedup_snapshot_delta",
-          "q_stats_kruskal"]
+          "q_stats_kruskal", "q_stats_levene"]
 
 KEYED = {  # table -> columns to shift per replica so keys stay distinct
     "lineitem": ["l_orderkey"],
