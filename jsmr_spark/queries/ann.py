@@ -20,7 +20,6 @@ baseline q_sim_cosine_topk measures the recall cost.
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

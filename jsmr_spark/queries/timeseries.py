@@ -3092,12 +3092,16 @@ _KW_H = (
     " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)), 4)"
 )
 
+# The tie-correction denominator 1 - tie_term/(N^3-N) hits exactly 0 in
+# the degenerate all-values-identical case (tie_term == N^3-N); nullif
+# makes that a uniform NULL on both engines instead of an
+# engine-dependent Inf/NaN canonicalization (ADVICE r11).
 _KW_HC = (
     "round((12.0 * CAST(sum_term_q AS DOUBLE) / 1000000.0"
     " / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)))"
-    " / (1.0 - CAST(tie_term AS DOUBLE)"
+    " / nullif(1.0 - CAST(tie_term AS DOUBLE)"
     " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-    " - CAST(n AS DOUBLE))), 4)"
+    " - CAST(n AS DOUBLE)), 0.0), 4)"
 )
 
 _KW_ORACLE = f"""
@@ -3196,11 +3200,16 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = r.crossJoin(F.broadcast(tot)).select(
         "g", "n_i", "r2_i", "n", "tie_term", F.expr(_KW_TERM).alias("term_q")
     )
-    h = terms.groupBy("n", "tie_term").agg(
+    # Group-less final agg + crossJoin (not groupBy(n, tie_term)): both
+    # engines then emit exactly ONE row even on an empty events table
+    # (n_groups=0, NULL sums), matching the oracle's group-less `h`
+    # CTE shape (ADVICE r11); on non-empty input the two forms are
+    # identical because (n, tie_term) is single-valued.
+    h = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("term_q").cast("long").alias("sum_term_q"),
     )
-    return h.select(
+    return h.crossJoin(F.broadcast(tot)).select(
         "n_groups",
         F.col("n").alias("n_total"),
         "tie_term",
@@ -3244,8 +3253,11 @@ _BF_WITHIN = (
     ") AS BIGINT)"
 )
 
+# k=1 (single group) makes the n_groups-1 divisor 0; nullif turns the
+# undefined F into a uniform NULL on both engines (ADVICE r11).
 _BF_F = (
-    "round((CAST(n - n_groups AS DOUBLE) / CAST(n_groups - 1 AS DOUBLE))"
+    "round((CAST(n - n_groups AS DOUBLE)"
+    " / nullif(CAST(n_groups - 1 AS DOUBLE), 0.0))"
     " * (CAST(between_q AS DOUBLE) / nullif(CAST(within_q AS DOUBLE), 0.0)), 4)"
 )
 
@@ -3364,12 +3376,14 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BF_BETWEEN).alias("bt_q"),
         F.expr(_BF_WITHIN).alias("wt_q"),
     )
-    h = terms.groupBy("n").agg(
+    # Group-less final agg + crossJoin (see q_stats_kruskal): one row on
+    # both engines even for empty input, identical otherwise.
+    h = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("bt_q").cast("long").alias("between_q"),
         F.sum("wt_q").cast("long").alias("within_q"),
     )
-    return h.select(
+    return h.crossJoin(F.broadcast(tot)).select(
         "n_groups",
         F.col("n").alias("n_total"),
         "between_q",

@@ -16,6 +16,10 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 os.environ.setdefault("TZ", "UTC")
 
 SF_DIR = os.environ.get("JSMR_TEST_SF_DIR", "/root/testdata/sf0.001")
+# The duplicate-bearing scale for de-vacuosity tests (ADVICE r11):
+# derived from the configured fixture root, not a hardcoded absolute
+# path, so relocating the fixtures keeps every test routed together.
+SF01_DIR = os.path.join(os.path.dirname(SF_DIR), "sf0.1")
 
 TABLES = (
     "region",

@@ -294,7 +294,9 @@ def test_round4_late_key_invariants(spark):
     # NO duplicate binary blobs, so the census is legitimately empty and
     # the per-row loop would be vacuous (VERDICT r10 #5) — run the
     # invariants at the duplicate-bearing scale and REQUIRE rows there.
-    mm_rows = get_query("q_multimodal_dedup").fn(spark, "/root/testdata/sf0.1").collect()
+    from tests.conftest import SF01_DIR
+
+    mm_rows = get_query("q_multimodal_dedup").fn(spark, SF01_DIR).collect()
     assert mm_rows, "sf0.1 must contain duplicate blobs (8 groups expected)"
     for r in mm_rows:
         assert r.n_copies >= 2
@@ -1261,7 +1263,9 @@ def test_round9_batch_key_invariants(spark):
     # groups exist there — CHECKS_r11.md batch-2 note), which would make
     # the loop vacuous (VERDICT r10 #5) — so run at the group-bearing
     # sf0.1 scale and require rows.
-    sfx_rows = get_query("q_dedup_suffix").fn(spark, "/root/testdata/sf0.1").collect()
+    from tests.conftest import SF01_DIR
+
+    sfx_rows = get_query("q_dedup_suffix").fn(spark, SF01_DIR).collect()
     assert sfx_rows, "sf0.1 must contain shared-suffix groups (8 expected)"
     for r in sfx_rows:
         assert r.n_docs >= 2
