@@ -20,7 +20,7 @@ similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jsmr_spark.compat import r4
@@ -792,4 +792,143 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").cast("long").alias("total_chars"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# --- ExactSubstr cross-document substring dedup (round 12) ------------------
+
+EXSUB_W = 50  # Lee et al. 2022's duplicated-span token threshold
+
+_EXSUB_GV_DUCK = hex12_sql(
+    f"md5(array_to_string(tk[i:i+{EXSUB_W}-1], ' '))"
+)
+
+_EXSUB_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, i AS pos, {_EXSUB_GV_DUCK} AS gv
+      FROM toks, unnest(generate_series(1, len(tk) - {EXSUB_W} + 1)) AS u(i)
+      WHERE len(tk) >= {EXSUB_W}
+    ),
+    dup AS (SELECT gv FROM grams GROUP BY gv HAVING count(*) >= 2),
+    m AS (SELECT g.doc_id, g.source, g.pos FROM grams g JOIN dup USING (gv)),
+    cov AS (
+      SELECT doc_id, source, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM m
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(sum(CASE WHEN prev IS NULL THEN {EXSUB_W}
+                           ELSE least({EXSUB_W}, pos - prev) END) AS BIGINT)
+               AS cover
+      FROM cov GROUP BY doc_id, source
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(tk)) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    ),
+    hit AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_hit,
+             CAST(sum(cover) AS BIGINT) AS dup_token_cover
+      FROM per_doc GROUP BY source
+    )
+    SELECT tot.source, tot.n_docs,
+           CAST(coalesce(hit.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+           tot.total_tokens,
+           CAST(coalesce(hit.dup_token_cover, 0) AS BIGINT) AS dup_token_cover,
+           CAST(coalesce(hit.dup_token_cover, 0) * 1000000
+                // nullif(tot.total_tokens, 0) AS BIGINT) AS cover_ppm
+    FROM tot LEFT JOIN hit ON hit.source = tot.source
+"""
+
+
+@query("q_dedup_exact_substr", _EXSUB_ORACLE)
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span census (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1's
+    second half — the suffix-array pass, which q_text_line_dedup's
+    line-chunk census does NOT cover: arbitrary-offset duplicated
+    spans, VERDICT r11 #8's named gap): per source, how many tokens sit
+    inside a duplicated run of >= {EXSUB_W} tokens appearing more than
+    once in the corpus (any offset, any document, including intra-doc
+    repeats — the paper's criterion).
+
+    Equivalence, exactly: a duplicated substring of length >= W exists
+    at a position iff some sliding W-token window covering that
+    position is duplicated — so marking every token covered by a
+    duplicated W-gram reproduces the suffix-array union EXACTLY at the
+    fixed threshold W (the suffix array generalizes to all lengths at
+    once; the census fixes length = the paper's 50-token threshold).
+    Coverage per doc is the interval union of the [pos, pos+W) marks,
+    computed order-free as W for the first sorted start plus
+    min(W, gap) per successive start — equal-length intervals only ever
+    overlap their immediate predecessor.
+
+    Exactness: gram identity is the portable 48-bit md5 key
+    (dedup.hex12_sql — a collision merging two distinct grams is
+    ~2^-48 per pair and identical on both engines); counts and the
+    interval union are exact BIGINT; ppm is one exact floor.
+
+    Scale shape (100 TB): tokenize + slide is a narrow map (W-gram
+    rows ~ token count; each row is an 8-byte key + position, NOT the
+    gram text); ONE wide exchange groups by gram key (map-side
+    combined counts); the duplicated-key set joins back keyed on the
+    same 8-byte key (AQE picks the strategy — the dup set is the
+    candidate tier, corpus-scale in the worst case, so never
+    broadcast); the interval union is a per-doc window (partitioned,
+    no global sort); the census collapse is a bounded per-source agg.
+    This is the minhash shuffle discipline with positions in place of
+    signatures — no suffix array, no driver state, no all-pairs."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("tk")
+    )
+    gv_expr = (
+        f"transform(sequence(1, size(tk) - {EXSUB_W} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(tk, i, {EXSUB_W}))), 1, 12), 16, 10) as bigint))"
+    )
+    grams = (
+        toks.filter(F.size("tk") >= EXSUB_W)
+        .select("doc_id", "source", F.posexplode(F.expr(gv_expr)).alias("p0", "gv"))
+        .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "gv")
+    )
+    dup = (
+        grams.groupBy("gv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gv")
+    )
+    m = grams.join(dup, "gv").select("doc_id", "source", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    cov = m.withColumn("prev", F.lag("pos").over(wd))
+    per_doc = cov.groupBy("doc_id", "source").agg(
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(EXSUB_W)).otherwise(
+                F.least(F.lit(EXSUB_W), F.col("pos") - F.col("prev"))
+            )
+        )
+        .cast("long")
+        .alias("cover")
+    )
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("tk")).cast("long").alias("total_tokens"),
+    )
+    hit = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_hit"),
+        F.sum("cover").cast("long").alias("dup_token_cover"),
+    )
+    return tot.join(hit, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+        "total_tokens",
+        F.coalesce("dup_token_cover", F.lit(0)).cast("long").alias("dup_token_cover"),
+        F.expr(
+            "CAST(coalesce(dup_token_cover, 0) * 1000000"
+            " DIV nullif(total_tokens, 0) AS BIGINT)"
+        ).alias("cover_ppm"),
     )

@@ -3200,16 +3200,21 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = r.crossJoin(F.broadcast(tot)).select(
         "g", "n_i", "r2_i", "n", "tie_term", F.expr(_KW_TERM).alias("term_q")
     )
-    # Group-less final agg + crossJoin (not groupBy(n, tie_term)): both
-    # engines then emit exactly ONE row even on an empty events table
-    # (n_groups=0, NULL sums), matching the oracle's group-less `h`
-    # CTE shape (ADVICE r11); on non-empty input the two forms are
-    # identical because (n, tie_term) is single-valued.
+    # Group-less final agg (not groupBy(n, tie_term)): both engines then
+    # emit exactly ONE row even on an empty events table (n_groups=0,
+    # NULL n/tie_term/sums), matching the oracle's group-less `h` x
+    # `tot` shape (ADVICE r11). n and tie_term ride along as min() —
+    # single-valued on any non-empty input (every terms row carries the
+    # same broadcast total), NULL on empty, and deterministic either
+    # way; re-crossJoining tot here instead would replay the whole
+    # census subtree a second time (+10 exchanges at plan audit).
     h = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").alias("n"),
+        F.min("tie_term").alias("tie_term"),
         F.sum("term_q").cast("long").alias("sum_term_q"),
     )
-    return h.crossJoin(F.broadcast(tot)).select(
+    return h.select(
         "n_groups",
         F.col("n").alias("n_total"),
         "tie_term",
@@ -3376,14 +3381,16 @@ def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BF_BETWEEN).alias("bt_q"),
         F.expr(_BF_WITHIN).alias("wt_q"),
     )
-    # Group-less final agg + crossJoin (see q_stats_kruskal): one row on
-    # both engines even for empty input, identical otherwise.
+    # Group-less final agg with n riding along as min() (see
+    # q_stats_kruskal): one row on both engines even for empty input,
+    # identical otherwise, no replayed census subtree.
     h = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n").alias("n"),
         F.sum("bt_q").cast("long").alias("between_q"),
         F.sum("wt_q").cast("long").alias("within_q"),
     )
-    return h.crossJoin(F.broadcast(tot)).select(
+    return h.select(
         "n_groups",
         F.col("n").alias("n_total"),
         "between_q",

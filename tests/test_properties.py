@@ -1715,3 +1715,94 @@ def test_levene_invariants(spark):
     within = sum(((z - z.mean()) ** 2).sum() for z in zs)
     f_py = ((n_py - k) / (k - 1.0)) * (between / within)
     assert abs(f_py - f_id) <= 1e-3  # unit-floor quantization bound
+
+
+def test_round12_key_invariants(spark):
+    """Algebraic + end-to-end invariants for the round-12 additions
+    (ExactSubstr duplicated-span census, cross-snapshot MinHash)."""
+    import duckdb
+
+    from jsmr_spark.registry import get_query
+
+    from tests.conftest import SF_DIR as sf
+
+    # --- q_dedup_exact_substr: pure-Python end-to-end recompute -------
+    # Tokenize, slide W-grams (raw strings — STRICTER than the engines'
+    # 48-bit keys: a hash collision would surface as a diff here),
+    # mark grams occurring >= 2 times corpus-wide, union the
+    # equal-length intervals per doc, and require the per-source census
+    # to match Spark EXACTLY.
+    from jsmr_spark.queries.dedup_extra import EXSUB_W
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, coalesce(source, '') AS source, text FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    counts: dict = {}
+    doc_grams = {}
+    tot = {}
+    for doc_id, source, text in docs:
+        tk = text.split(" ")
+        nd, tt = tot.get(source, (0, 0))
+        tot[source] = (nd + 1, tt + len(tk))
+        grams = [
+            " ".join(tk[i : i + EXSUB_W])
+            for i in range(len(tk) - EXSUB_W + 1)
+        ]
+        doc_grams[(doc_id, source)] = grams
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    exp = {}
+    for (doc_id, source), grams in doc_grams.items():
+        starts = [i for i, g in enumerate(grams) if counts[g] >= 2]
+        if not starts:
+            continue
+        cover = EXSUB_W + sum(
+            min(EXSUB_W, b - a) for a, b in zip(starts, starts[1:])
+        )
+        h, c = exp.get(source, (0, 0))
+        exp[source] = (h + 1, c + cover)
+    rows = get_query("q_dedup_exact_substr").fn(spark, sf).collect()
+    assert rows and any(r.n_docs_hit > 0 for r in rows)
+    for r in rows:
+        src = r.source or ""
+        nd, tt = tot[src]
+        h, c = exp.get(src, (0, 0))
+        assert (r.n_docs, r.total_tokens) == (nd, tt)
+        assert (r.n_docs_hit, r.dup_token_cover) == (h, c), src
+        assert r.cover_ppm == c * 1_000_000 // tt
+        # every hit doc's union contains at least one full window
+        assert c >= EXSUB_W * h and c <= tt
+
+    # --- q_dedup_snapshot_minhash: counts identity + lower bounds -----
+    # Verbatim re-ingests (bucket >= 95) have IDENTICAL signatures to
+    # their carried original -> every band collides -> always a
+    # candidate, and exact Jaccard is 1.0: they MUST all be flagged
+    # near-dups. Exact-content dups (snapshot_delta's n_dup_prior) are
+    # a subset of near-dups for the same reason.
+    from jsmr_spark.queries.dedup import _SD_BUCKET_DUCK
+
+    mh_rows = {
+        (r.source or ""): r
+        for r in get_query("q_dedup_snapshot_minhash").fn(spark, sf).collect()
+    }
+    assert mh_rows and sum(r.n_near_prior for r in mh_rows.values()) > 0
+    verbatim = {
+        (s or ""): int(nv)
+        for s, nv in con.execute(
+            f"SELECT source, sum(CASE WHEN {_SD_BUCKET_DUCK} >= 95 "
+            f"THEN 1 ELSE 0 END) FROM read_parquet('{sf}/documents.parquet') "
+            f"GROUP BY source"
+        ).fetchall()
+    }
+    for src, r in mh_rows.items():
+        assert r.n_added == r.n_near_prior + r.n_fresh
+        assert r.near_ppm == r.n_near_prior * 1_000_000 // r.n_added
+        assert r.n_near_prior >= verbatim.get(src, 0), src
+    delta_rows = {
+        (r.source or ""): r
+        for r in get_query("q_dedup_snapshot_delta").fn(spark, sf).collect()
+    }
+    for src, r in mh_rows.items():
+        assert r.n_near_prior >= delta_rows[src].n_dup_prior, src
