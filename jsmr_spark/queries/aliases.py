@@ -1,43 +1,39 @@
-"""Driver-window coverage aliases — round-11 rotation (VERDICT r10 #1).
+"""Driver-window coverage aliases — round-12 rotation (VERDICT r11 #1/#2).
 
 The driver's per-round correctness sweep verifies the FIRST 50 registry
 keys alphabetically. Key naming is the only lever the builder controls
-over that window, so this module registers never-driver-verified keys a
-second time under `a0_`-prefixed names that sort into the window. Each
-alias is the SAME function object and the SAME oracle SQL as its
-canonical key (asserted by tests/test_differential.py::test_alias_identity);
-nothing is reimplemented, so a driver PASS on `a0_x` is a driver PASS on
-the canonical implementation of `x`.
+over that window, so this module registers keys a second time under
+`a0_`-prefixed names that sort into the window. Each alias is the SAME
+function object and the SAME oracle SQL as its canonical key (asserted
+by tests/test_differential.py::test_alias_identity); nothing is
+reimplemented, so a driver PASS on `a0_x` is a driver PASS on the
+canonical implementation of `x`.
 
-Round-11 rotation:
-  * RETIRED: all 50 round-10 aliases — CORRECTNESS_r10 was 50/50
-    hash-green (0 failures, no rows-only keys in that window), so every
-    one of their canonical keys joined the ever-verified union
-    (318/374 after r10, reconstructed independently by the r10 judge).
-    Canonical keys stay registered and locally verified; the union
-    only grows.
-  * ADDED, the EXACT window prepared at round-9/10 close and
-    pre-verified through the local driver protocol at BOTH sf0.01 and
-    sf0.1 (CHECKS_r11.md: 48/48 oracle MATCH + 2 rows-only by declared
-    design with stable row counts): the ENTIRE remaining
-    never-driver-verified pre-round-10 canonical surface — the
-    original 38-key tranche, the 9 round-9 additions (q_dedup_suffix,
-    q_text_fertility, q_text_top_ngram_cover, q_graph_concomp,
-    q_sim_ann_tune, q_sim_ann_multiprobe, q_sample_neyman,
-    q_dedup_band_tune, q_ml_roc_curve), and the first 3 round-10
-    additions (q_sample_dsir, q_pack_sequences,
-    q_text_watermark_detect; those three also pre-verified at
-    sf0.001). The window is at the 50-key cap.
-
-Round 11 COMPLETES the driver signal over the pre-round-10 canonical
-surface: once CORRECTNESS_r11 lands green, the ever-verified union is
-368/378 and the only never-verified keys are the 10 in the
-CHECKS_r12.md queue — the round-10 batch-2/3 additions (q_embed_gram,
-q_mix_kl_divergence, q_stats_mannwhitney, q_graph_assortativity,
-q_ml_average_precision, q_ts_mad_outliers) and the round-11 additions
-(q_text_decontam_eval, q_dedup_snapshot_delta, q_stats_kruskal,
-q_stats_levene) — each pre-verified at all three scales. See
-CHECKS_r11.md / CHECKS_r12.md.
+Round-12 rotation (selection rule in CHECKS_r12.md):
+  * RETIRED: all 50 round-11 aliases — CORRECTNESS_r11 was 48 hash-green
+    + 2 rows-only by declared design (0 failures), so every canonical
+    key in that window joined the ever-verified union (368/378 after
+    r11, reconstructed by tools/union_report.py).
+  * ADDED, three tiers filling the 50-key cap:
+    (a) the 12 never-driver-verified keys — the 10-key CHECKS_r12.md
+        queue (6 round-10 batch-2/3 + 4 round-11 additions) plus the 2
+        round-12 additions (q_dedup_exact_substr,
+        q_dedup_snapshot_minhash), every one pre-verified through the
+        driver protocol at sf0.001 AND sf0.01 AND sf0.1. A green
+        CORRECTNESS_r12 on these closes the union at 380/380 — the
+        first round in which EVERY canonical key has carried the
+        driver's own signal.
+    (b) the changed-since-last-driver-signal re-slate (VERDICT r11 #2):
+        q_sim_ann_lsh, q_sim_ann_ivf, q_sim_cosine_topk (last driver
+        signal r5) and q_sim_maxsim (r10) — the four keys whose
+        engine expressions the round-11 `_norm` probe-kernel sweep
+        changed AFTER their most recent driver signal (the other five
+        norm-touched keys re-carried signal inside the r11 window).
+    (c) 34 oldest-signal re-verification slots: the oracle-carrying
+        canonical keys whose most recent driver signal is OLDEST
+        (r1: 9 join keys; r3: 16 filter/setop/join keys; r5: the first
+        9 alphabetically), refreshing driver signal that predates five
+        rounds of shared-helper evolution.
 """
 
 from __future__ import annotations
@@ -45,75 +41,68 @@ from __future__ import annotations
 from jsmr_spark.registry import register_alias
 
 _ALIASED = (
-    # ---- aggregates / sketches (5) ----
-    "q_agg_geomean",
-    "q_agg_winsorized",
-    "q_sketch_bitmap_distinct",
-    "q_sketch_kmv_intersect",
-    "q_sketch_quantile_check",
-    # ---- dedup (6) ----
-    "q_dedup_bag_of_words",
-    "q_dedup_band_tune",
-    "q_dedup_prefix",
-    "q_dedup_rate_by_source",
-    "q_dedup_suffix",
-    "q_sample_dsir",
-    # ---- scans / sources / sinks (8) ----
-    "q_scan_metadata",
-    "q_source_csv_malformed",
-    "source_jsonl",
-    "source_schema_evolution",
-    "sink_bucketed",
-    "sink_codecs",
-    "sink_python_datasource",
-    "sink_vacuum",
-    # ---- windows (3) ----
-    "q_win_cume_dist",
-    "q_win_ntile",
-    "q_win_streaks",
-    # ---- joins / pivot / shape (5) ----
-    "q_join_dpp",
-    "q_join_null_safe",
-    "q_pivot",
-    "q_unpivot",
-    "q_flatten_nested",
-    # ---- ml / sampling / geo (9) ----
-    "q_ml_learning_curve",
-    "q_ml_naive_bayes",
-    "q_ml_roc_curve",
-    "q_sample_neyman",
-    "q_sample_reservoir",
-    "q_geo_gridjoin",
-    "q_geo_knn",
-    "q_mix_overlap",
-    "q_quality_gopher_rules",
-    # ---- similarity / ANN (4) ----
-    "q_sim_ann_multiprobe",
-    "q_sim_ann_pq",
-    "q_sim_ann_tune",
-    "q_sim_recall_report",
-    # ---- text (4) ----
-    "q_text_fertility",
-    "q_text_length_hist",
-    "q_text_top_ngram_cover",
-    "q_text_watermark_detect",
-    # ---- graph / pipeline (2) ----
-    "q_graph_concomp",
-    "q_pack_sequences",
-    # ---- udf/arrow (1) ----
-    "q_grouped_arrow",
-    # ---- streaming (3; stream_join_static and stream_stream_join_outer
-    #      are rows-only by declared design — append-mode emission
-    #      boundaries, covered by golden pins) ----
-    "stream_python_sink",
-    "stream_join_static",
-    "stream_stream_join_outer",
+    # ---- (a) never-driver-verified: the CHECKS_r12 queue (10) ----
+    "q_embed_gram",
+    "q_mix_kl_divergence",
+    "q_stats_mannwhitney",
+    "q_graph_assortativity",
+    "q_ml_average_precision",
+    "q_ts_mad_outliers",
+    "q_text_decontam_eval",
+    "q_dedup_snapshot_delta",
+    "q_stats_kruskal",
+    "q_stats_levene",
+    # ---- (a) never-driver-verified: round-12 additions (2) ----
+    "q_dedup_exact_substr",
+    "q_dedup_snapshot_minhash",
+    # ---- (b) changed-since-signal re-slate (4) ----
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_sim_maxsim",
+    "q_sim_cosine_topk",
+    # ---- (c) oldest-signal re-verification, r1 tier (9) ----
+    "q_join_cross",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_shuffle_hash",
+    # ---- (c) oldest-signal re-verification, r3 tier (16) ----
+    "q_except",
+    "q_except_all",
+    "q_exists_corr",
+    "q_filter_between",
+    "q_filter_compound",
+    "q_filter_eq",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_null",
+    "q_gap_fill",
+    "q_grouped_map",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    # ---- (c) oldest-signal re-verification, r5 tier (9) ----
+    "mr_api",
+    "q_agg_bool",
+    "q_agg_collect",
+    "q_agg_count_distinct",
+    "q_agg_cube",
+    "q_agg_decimal",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_histogram",
 )
 
 assert len(_ALIASED) == 50, len(_ALIASED)
 
 for _canonical in _ALIASED:
-    # strip the q_ prefix so e.g. q_pivot -> a0_pivot;
-    # non-q keys keep their full name (a0_source_jsonl).
+    # strip the q_ prefix so e.g. q_join_inner -> a0_join_inner;
+    # non-q keys keep their full name (a0_mr_api).
     _short = _canonical[2:] if _canonical.startswith("q_") else _canonical
     register_alias(f"a0_{_short}", _canonical)
