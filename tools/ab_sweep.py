@@ -10,11 +10,32 @@ prices the side effect, not the engine), measured A/B/A:
 
   phase A1: every oracle once through DuckDB      -> duck_total_1
   phase B : every query once through Spark (wall) -> spark_total
+  phase B2: every query re-executed on its PRE-BUILT DataFrame
+            (bench.py's exec-tier discipline)     -> spark_total_steady
   phase A2: every oracle once through DuckDB      -> duck_total_2
 
 |A1 - A2| brackets the within-run environment noise on the
-denominator; the published ratio uses mean(A1, A2). One warm pass of
+denominator; the published ratios use mean(A1, A2). One warm pass of
 both engines runs first (untimed), so the totals are steady-state.
+
+Phase B rebuilds each DataFrame from scratch, so Python plan
+construction + Catalyst analysis are INCLUDED — comparable with every
+round's published runs, but dominated at local scale by a ~0.5 s/key
+fixed cost that says nothing about data throughput (the r11 A/B/A
+diagnosis). Phase B2 re-executes the same DataFrame objects, so the
+timed quantity is scan+shuffle+agg+Arrow transfer — the component
+that grows with data size and the one a 100 TB projection should
+extrapolate from (VERDICT r11 #3). Both ratios are published.
+
+os.getloadavg() is recorded at every phase boundary and published as
+the `load` column, and per-phase CPU STEAL percentage (hypervisor
+time taken from this VM — /proc/stat field 8, pure external
+contention, unlike loadavg which mixes in this process's own threads)
+as the `steal_pct` column — so a breached run carries its own
+evidence of whether the slowdown was exogenous (VERDICT r11 #3's
+load-normalized protocol). The denominator spread is the third
+witness: DuckDB re-running byte-identical SQL in the same process
+wanders only when the box does.
 
 Usage: python tools/ab_sweep.py  -> prints one JSON line and a
 markdown block to splice into BENCH.md.
@@ -104,6 +125,36 @@ def main() -> None:
         specs[n].fn(spark, SF_DIR).toPandas()
     print("warm pass done", flush=True)
 
+    # Pre-built DataFrames for the steady pass: same objects
+    # re-executed, so analysis/optimization happen once (outside any
+    # timed phase) and B2 measures execution + transfer only.
+    dfs = {n: specs[n].fn(spark, SF_DIR) for n in names}
+    for n in names:
+        dfs[n].toPandas()
+    print("steady-pass DataFrames built", flush=True)
+
+    loads: dict[str, float] = {"start": round(os.getloadavg()[0], 2)}
+
+    def _stat() -> tuple[int, int]:
+        """(steal jiffies, total jiffies) from /proc/stat."""
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
+    steal_pct: dict[str, float] = {}
+    _last_stat = _stat()
+
+    def _phase_steal(name: str) -> None:
+        nonlocal _last_stat
+        now = _stat()
+        dt = now[1] - _last_stat[1]
+        steal_pct[name] = round(
+            100.0 * (now[0] - _last_stat[0]) / dt, 2
+        ) if dt else 0.0
+        _last_stat = now
+
     def duck_pass() -> float:
         t0 = time.perf_counter()
         for n in names:
@@ -116,12 +167,32 @@ def main() -> None:
             specs[n].fn(spark, SF_DIR).toPandas()
         return time.perf_counter() - t0
 
+    def spark_steady_pass() -> float:
+        t0 = time.perf_counter()
+        for n in names:
+            dfs[n].toPandas()
+        return time.perf_counter() - t0
+
     a1 = duck_pass()
-    print(f"A1 duck_total  {a1:8.2f}s", flush=True)
+    loads["a1"] = round(os.getloadavg()[0], 2)
+    _phase_steal("a1")
+    print(f"A1 duck_total  {a1:8.2f}s  load {loads['a1']}"
+          f"  steal {steal_pct['a1']}%", flush=True)
     b = spark_pass()
-    print(f"B  spark_total {b:8.2f}s", flush=True)
+    loads["b"] = round(os.getloadavg()[0], 2)
+    _phase_steal("b")
+    print(f"B  spark_total {b:8.2f}s  load {loads['b']}"
+          f"  steal {steal_pct['b']}%", flush=True)
+    b2 = spark_steady_pass()
+    loads["b2"] = round(os.getloadavg()[0], 2)
+    _phase_steal("b2")
+    print(f"B2 spark_steady {b2:7.2f}s  load {loads['b2']}"
+          f"  steal {steal_pct['b2']}%", flush=True)
     a2 = duck_pass()
-    print(f"A2 duck_total  {a2:8.2f}s", flush=True)
+    loads["a2"] = round(os.getloadavg()[0], 2)
+    _phase_steal("a2")
+    print(f"A2 duck_total  {a2:8.2f}s  load {loads['a2']}"
+          f"  steal {steal_pct['a2']}%", flush=True)
 
     duck_mean = (a1 + a2) / 2
     out = {
@@ -130,8 +201,12 @@ def main() -> None:
         "duck_total_a1": round(a1, 2),
         "duck_total_a2": round(a2, 2),
         "spark_total": round(b, 2),
+        "spark_total_steady": round(b2, 2),
         "ratio_vs_mean": round(b / duck_mean, 2),
+        "ratio_steady_vs_mean": round(b2 / duck_mean, 2),
         "denominator_spread_pct": round(abs(a1 - a2) / duck_mean * 100, 1),
+        "load": loads,
+        "steal_pct": steal_pct,
     }
     print(json.dumps(out))
 
