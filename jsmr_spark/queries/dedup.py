@@ -134,11 +134,17 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_set_cols():
     """Per-permutation minimum over the hvs array — a NARROW map over
     the collect_set rows (no shuffle; the old per-row agg form needed
-    its own groupBy exchange)."""
+    its own groupBy exchange).
+
+    r12: built as parsed SQL strings instead of python-lambda
+    `F.transform` columns — the 16 lambda conversions cost ~0.2 s of
+    py4j round trips per DataFrame build (measured, guide §1), while
+    one `F.expr` per column parses to the IDENTICAL Catalyst
+    expression (same transform/array_min tree, same literals)."""
     return [
-        F.array_min(
-            F.transform(F.col("hvs"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))
-        ).alias(f"m{k}")
+        F.expr(f"array_min(transform(hvs, x -> ({a}L * x + {b}L) % {P}L))").alias(
+            f"m{k}"
+        )
         for k, (a, b) in enumerate(SEEDS)
     ]
 

@@ -306,19 +306,25 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction: one from_json parse per row feeding every output
-    column (missing paths yield NULL on both engines). Parsing once into
-    a struct and projecting fields replaced per-column get_json_object
-    calls — each was a separate full JSON parse (measured 1.6x at
-    sf0.1, and the gap widens with document size)."""
-    parsed = F.from_json(F.col("props"), "k STRING, missing STRING")
-    d = t(spark, sf_dir, "events").select("event_id", parsed.alias("p"))
+    """JSON extraction: ONE parse per row feeding every output column
+    (missing paths yield NULL on both engines). History of the timed
+    alternatives (sf0.1 steady exec, best-of-5, guide §1.4 noop-
+    confirmed compute-bound): per-column get_json_object 0.48 s (one
+    full text parse per column), from_json struct 0.39 s (one parse),
+    parse_json VARIANT + try_variant_get 0.35 s — the r12 form. The
+    binary variant is parsed once and each path extraction walks the
+    encoded value; at 100 TB the variant column is also the
+    shreddable/pushable representation (see q_json_variant)."""
+    d = t(spark, sf_dir, "events").select(
+        "event_id", F.parse_json(F.col("props")).alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "string")
     return d.select(
         "event_id",
-        F.col("p.k").alias("k_str"),
-        F.col("p.k").cast("int").alias("k_typed"),
-        F.col("p.missing").alias("absent"),
-        (F.col("p.k").cast("int") * 2).alias("k_doubled"),
+        k.alias("k_str"),
+        k.cast("int").alias("k_typed"),
+        F.try_variant_get(F.col("v"), "$.missing", "string").alias("absent"),
+        (k.cast("int") * 2).alias("k_doubled"),
     )
 
 

@@ -89,20 +89,29 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the *rounded* score (plus token tiebreak) so that
     sub-ulp libm differences between engines cannot reorder ties.
 
-    The document-frequency side of the tf-x-df join carries NO pinned
-    broadcast hint (VERDICT r9 #7): df is vocabulary-sized — Heaps' law
-    keeps it sublinear in the corpus but not bounded, so at 100x it may
-    outgrow the broadcast threshold. AQE decides from runtime stats
-    (broadcasts while it fits, shuffles when it doesn't). n_docs is a
-    literal 1-row aggregate — that broadcast is bounded by construction
-    and stays pinned.
+    Optimization r12 (guide §2.4 — share the exchange, don't re-derive
+    the input): df (document frequency) = the number of tf rows per
+    token, so it is computed as COUNT OVER (PARTITION BY token) on tf
+    instead of a second groupBy + self-join. The old tf-x-df join made
+    Catalyst duplicate the whole scan→explode→agg subtree for the df
+    branch (documents scanned and exploded twice, 1 extra shuffle +
+    1 broadcast exchange, 1 join); the window form scans the corpus
+    once and reuses the one tf aggregate. Plan diff: 5 shuffle
+    Exchange → 4, 2 BroadcastExchange → 1, 3 parquet scans → 2, the
+    BroadcastHashJoin(token) of the duplicated df subtree gone
+    (plans/r12/q_text_tfidf_{before,after}.txt).
+    At 100 TB the token window partitions by the same vocabulary key
+    the old df aggregate shuffled by — same bytes moved once, no
+    broadcast-threshold question left (VERDICT r9 #7 still satisfied:
+    nothing vocabulary-sized is ever broadcast). n_docs is a literal
+    1-row aggregate — that broadcast is bounded by construction and
+    stays pinned.
     """
     docs = t(spark, sf_dir, "documents")
     tf = tokens(docs).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", r4(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))))
     )
