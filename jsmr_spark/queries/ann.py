@@ -449,28 +449,41 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical codes and the result stays hash-checked; a production
     codebook would be trained per-corpus, changing constants, not the
     plan."""
-    row = (
+    # Probe as a lazy pre-normed 1-row broadcast (r12, guide §5: no
+    # driver collect in the query path — the old .head() form launched
+    # a Spark job per DataFrame build and left _norm(<64-literal
+    # array>) re-folding per candidate row; HOFs are not constant-
+    # folded). The probe norm still routes through the shared
+    # engine-side sequential-fold kernel (VERDICT r10 #3), computed
+    # ONCE on the 1-row side — same doubles, bit-identical sims. The
+    # probe is joined twice (qsim pass, re-rank) so the TakeOrdered
+    # between them stays narrow — both joins are 1-row broadcasts.
+    probe = F.broadcast(
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == PROBE_ID)
-        .select("embedding")
-        .head()
+        .select(
+            F.col("embedding").alias("p_emb"),
+            _norm(F.col("embedding")).alias("p_nrm"),
+        )
     )
-    emb_p = [float(x) for x in row[0]]
-    plit = F.array(*[F.lit(x) for x in emb_p])
-
-    # probe norm via the shared engine-side sequential-fold kernel
-    # (VERDICT r10 #3 — same fix as q_sim_ann_multiprobe: _norm folds
-    # left-to-right exactly like the oracle's list_aggregate 'sum').
     recon = _sq_recon_col(F.col("embedding"))
-    qsim = r4(_dot(recon, plit) / (_norm(recon) * _norm(plit)))
+    qsim = r4(_dot(recon, F.col("p_emb")) / (_norm(recon) * F.col("p_nrm")))
     cand = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != PROBE_ID)
+        .crossJoin(probe)
         .select("vec_id", "label", "embedding", qsim.alias("qsim"))
     )
     topc = cand.orderBy(F.desc("qsim"), F.asc("vec_id")).limit(CAND_K)
-    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * _norm(plit)))
-    rer = topc.withColumn("sim", sim).drop("embedding")
+    sim = r4(
+        _dot(F.col("embedding"), F.col("p_emb"))
+        / (_norm(F.col("embedding")) * F.col("p_nrm"))
+    )
+    rer = (
+        topc.crossJoin(probe)
+        .withColumn("sim", sim)
+        .drop("embedding", "p_emb", "p_nrm")
+    )
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = rer.orderBy(*keys).limit(TOP_K)
     ranked = top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
@@ -762,28 +775,43 @@ def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge test AND the hash).
 
     Scale shape: each truncated ranking is the exact-cosine narrow-map
-    path (probe inlined, TakeOrdered top-10 — no joins over the
-    corpus); the overlap join compares 10-row lists. Sub-vector norms
-    are recomputed per truncation on both engines with the identical
-    formula, so sims hash-match bit-for-bit."""
-    full_keys = None
+    path (probe attached as a 1-row broadcast, TakeOrdered top-10 — no
+    shuffle over the corpus); the overlap join compares 10-row lists.
+    Sub-vector norms are recomputed per truncation on both engines
+    with the identical formula, so sims hash-match bit-for-bit.
+
+    r12: the per-dim probe slice used to be collected with .head() and
+    inlined as literals — THREE driver-side Spark jobs per DataFrame
+    build (one per truncation; guide §5: no collect in query paths),
+    plus a non-constant-folded _norm(<literal array>) re-folded per
+    corpus row. Now one lazy 1-row probe relation carries the sliced
+    embedding and its pre-folded norm per dim; same sequential-fold
+    kernel, same doubles, bit-identical sims."""
+    probe = F.broadcast(
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == PROBE_ID)
+        .select(
+            *[
+                c
+                for d in MRL_DIMS
+                for c in (
+                    F.slice("embedding", 1, d).alias(f"p{d}"),
+                    _norm(F.slice("embedding", 1, d)).alias(f"pn{d}"),
+                )
+            ]
+        )
+    )
     lists = {}
     for d in MRL_DIMS:
-        row = (
-            t(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") == PROBE_ID)
-            .select(F.slice("embedding", 1, d).alias("e"))
-            .head()
-        )
-        emb_p = [float(x) for x in row[0]]
-        plit = F.array(*[F.lit(x) for x in emb_p])
         sub = F.slice("embedding", 1, d)
-        # probe norm engine-side (VERDICT r10 #3 kernel sweep)
-        sim = r4(_dot(plit, sub) / (_norm(plit) * _norm(sub)))
+        # probe norm engine-side (VERDICT r10 #3 kernel sweep),
+        # pre-folded once on the 1-row side
+        sim = r4(_dot(F.col(f"p{d}"), sub) / (F.col(f"pn{d}") * _norm(sub)))
         keys = [F.desc("sim"), F.asc("vec_b")]
         lists[d] = (
             t(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") != PROBE_ID)
+            .crossJoin(probe)
             .select(F.col("vec_id").alias("vec_b"), sim.alias("sim"))
             .orderBy(*keys)
             .limit(TOP_K)

@@ -85,37 +85,52 @@ def _norm(a: Column) -> Column:
 
 
 def _probe_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_b, label_b, sim) for probe x corpus, with the probe embedding
-    and its norm collected ONCE and inlined as literals.
+    """(vec_b, label_b, sim) for probe x corpus via a pre-normed 1-row
+    broadcast cross join.
 
-    The r2 form built the probe side as a second normed scan +
-    1-row-broadcast nested-loop join; the join stage plus the doubled
-    HOF expression tree dominated the query's per-run cost at bench
-    scale (plan-build + compile, measured ~2x the data work), and at
-    100 TB a 1-row broadcast join is still strictly worse than the
-    narrow map this form compiles to (scan -> project -> TakeOrdered,
-    no join, no exchange). The probe collect is a 1-row pushed-down
-    parquet read at plan-build time.
+    History: the r2 form was a second normed scan + 1-row-broadcast
+    join whose sim expression recomputed BOTH norms per pair (doubled
+    HOF tree — measured ~2x the data work); rounds 3-11 collected the
+    probe with .head() at build time and inlined it as 64 literals.
+    That removed the join but (a) launched a driver-side Spark job +
+    collect on EVERY DataFrame construction (~0.3-0.5 s of bench wall
+    per build, guide §5: no collect in query paths) and (b) left
+    _norm(<64-literal array>) in the per-row projection — higher-order
+    functions are not constant-folded, so the probe norm was re-folded
+    for every corpus row.
+
+    The r12 form keeps the single-HOF-per-side discipline but computes
+    the probe norm ONCE on the 1-row side BEFORE the broadcast: the
+    per-row work is one dot fold + one corpus-norm fold (strictly less
+    than the literal form), the build does zero driver work, and the
+    plan is scan -> 1-row BroadcastNestedLoopJoin -> project ->
+    TakeOrdered — the broadcast is bounded at exactly one row by
+    construction, so the 100 TB shape is unchanged (narrow map over
+    the corpus; plans/r12/q_sim_cosine_topk_after.txt).
 
     Parity: the probe norm routes through the same engine-side
-    sequential-fold kernel (_norm over the literal array) as the corpus
-    norms and the DuckDB oracle's list_aggregate 'sum' — identical
-    left-to-right IEEE double fold on both engines, no driver-side
-    float arithmetic in the expression at all (VERDICT r10 #3)."""
-    row = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == PROBE_ID)
-        .select("embedding")
-        .head()
+    sequential-fold kernel (_norm) as the corpus norms and the DuckDB
+    oracle's list_aggregate 'sum' — identical left-to-right IEEE
+    double fold on both engines; float32->double widening is exact, so
+    the probe values are the same doubles the literal form inlined
+    (VERDICT r10 #3 discipline kept)."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = (
+        emb.filter(F.col("vec_id") == PROBE_ID)
+        .select(
+            F.col("embedding").alias("p_emb"),
+            _norm(F.col("embedding")).alias("p_nrm"),
+        )
     )
-    emb_p = [float(x) for x in row[0]]
-    plit = F.array(*[F.lit(x) for x in emb_p])
     # Same operand order as the joined form: dot(probe, corpus) /
     # (probe_norm * corpus_norm).
-    sim = r4(_dot(plit, F.col("embedding")) / (_norm(plit) * _norm(F.col("embedding"))))
+    sim = r4(
+        _dot(F.col("p_emb"), F.col("embedding"))
+        / (F.col("p_nrm") * _norm(F.col("embedding")))
+    )
     return (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") != PROBE_ID)
+        emb.filter(F.col("vec_id") != PROBE_ID)
+        .crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("vec_b"),
             F.col("label").alias("label_b"),
@@ -323,45 +338,70 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an average.
 
     Plan shape (the q_sim_cosine_topk lesson applied): the
-    {MV_TOKENS} query vectors + norms are collected once at plan-build
-    time and inlined as literals, so the corpus side is a pure NARROW
-    map (each token row computes {MV_TOKENS} sims), followed by ONE
+    {MV_TOKENS} query vectors + pre-folded norms form ONE lazy 1-row
+    broadcast (a 4-row pushed-down scan pivoted by a groupless agg),
+    so the corpus side is a pure NARROW map (each token row computes
+    {MV_TOKENS} sims against the broadcast row), followed by ONE
     keyed max-aggregate per document and a TakeOrdered top-{MAXSIM_TOP_K}
-    — no join, no exchange except the per-doc aggregate. At 100 TB the
-    aggregate is map-side-combined (max is algebraic) and token rows of
-    one document need not be co-located.
+    — no shuffle except the per-doc aggregate, no driver collect in
+    the build path. At 100 TB the aggregate is map-side-combined (max
+    is algebraic) and token rows of one document need not be
+    co-located.
 
     Determinism: per-pair sims use the same sequential-sum kernel and
     operand order as the oracle (see _probe_sims parity note); the
     4-way score sum is written in fixed textual order m0+m1+m2+m3 on
     both engines — never a float sum over an unordered group."""
     emb = t(spark, sf_dir, "embeddings")
-    qrows = (
+    # Query tokens as ONE lazy 1-row broadcast (r12): the old form
+    # collected the {MV_TOKENS} query rows with .collect() at build
+    # time (a driver-side Spark job per DataFrame construction, guide
+    # §5) and inlined them as literal arrays whose _norm(<literals>)
+    # re-folded per corpus row (HOFs are not constant-folded). The
+    # 4-row filter pivots to one row of q0..q3 via max() — arrays are
+    # orderable and each token slot has exactly one non-null value, so
+    # max() is pure selection — and the token norms pre-fold ONCE on
+    # the 1-row side through the same sequential kernel.
+    toks = list(range(MV_TOKENS))
+    qrow = (
         emb.filter(F.col("vec_id") < MV_TOKENS)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("vec_id") == tok, F.col("embedding"))).alias(
+                    f"q{tok}"
+                )
+                for tok in toks
+            ]
+        )
+        .select(
+            *[F.col(f"q{tok}") for tok in toks],
+            *[_norm(F.col(f"q{tok}")).alias(f"qn{tok}") for tok in toks],
+        )
     )
-    qlits = []
-    for r in qrows:
-        vals = [float(x) for x in r.embedding]
-        qlits.append((int(r.vec_id), F.array(*[F.lit(x) for x in vals])))
 
-    c = emb.filter(F.expr(f"vec_id div {MV_TOKENS}") != 0).select(
-        F.expr(f"vec_id div {MV_TOKENS}").alias("mv_doc"),
-        "embedding",
-        _norm(F.col("embedding")).alias("cnrm"),
+    c = (
+        emb.filter(F.expr(f"vec_id div {MV_TOKENS}") != 0)
+        .select(
+            F.expr(f"vec_id div {MV_TOKENS}").alias("mv_doc"),
+            "embedding",
+            _norm(F.col("embedding")).alias("cnrm"),
+        )
+        .crossJoin(F.broadcast(qrow))
     )
     # query-token norms via the shared engine-side sequential-fold
     # kernel, like every other probe norm (VERDICT r10 #3 sweep)
     sim_cols = [
-        (_dot(ql, F.col("embedding")) / (_norm(ql) * F.col("cnrm"))).alias(f"s{tok}")
-        for tok, ql in qlits
+        (
+            _dot(F.col(f"q{tok}"), F.col("embedding"))
+            / (F.col(f"qn{tok}") * F.col("cnrm"))
+        ).alias(f"s{tok}")
+        for tok in toks
     ]
     m = (
         c.select("mv_doc", *sim_cols)
         .groupBy("mv_doc")
-        .agg(*[F.max(f"s{tok}").alias(f"m{tok}") for tok, _ in qlits])
+        .agg(*[F.max(f"s{tok}").alias(f"m{tok}") for tok in toks])
     )
     score = r4(F.col("m0") + F.col("m1") + F.col("m2") + F.col("m3"))
     scored = m.select("mv_doc", score.alias("maxsim_score"))

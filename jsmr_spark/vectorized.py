@@ -31,19 +31,14 @@ space itself must be cut FIRST with the LSH/MinHash prefilters
 from __future__ import annotations
 
 import math
-from collections.abc import Iterable
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PREFILTER_MARGIN = 1e-6
-
-
-def _mat(vecs: Iterable) -> np.ndarray:
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
 
 
 def block_cosine_pairs(
@@ -108,21 +103,38 @@ def block_cosine_pairs(
             F.col("blk").alias("bb"),
         )
 
-    def tile_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["role"] == 0]
-        b = pdf[pdf["role"] == 1]
-        if a.empty or b.empty:
-            return pd.DataFrame(
+    def tile_gemm(tbl: "pa.Table") -> "pa.Table":
+        # applyInArrow + flat-buffer decode (r12, guide §4.2): the old
+        # applyInPandas form materialized every vector as a pandas
+        # object cell and rebuilt the matrix with one np.asarray PER
+        # ROW (~18k interpreter-loop conversions per execution at
+        # sf0.1). An Arrow list<float> column is one contiguous values
+        # buffer + offsets, so the whole tile decodes as a single
+        # zero-loop reshape; float32->float64 widening is exact, so
+        # the GEMM consumes the identical doubles.
+        role = tbl.column("role").to_numpy(zero_copy_only=False)
+        vids = tbl.column("vid").to_numpy(zero_copy_only=False)
+        vec = tbl.column("vec").combine_chunks()
+        n = len(vec)
+        mat = (
+            vec.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        a_mask = role == 0
+        a_ids = vids[a_mask]
+        b_ids = vids[~a_mask]
+        if a_ids.size == 0 or b_ids.size == 0:
+            return pa.table(
                 {
-                    "vec_a": np.array([], dtype=np.int64),
-                    "vec_b": np.array([], dtype=np.int64),
-                    "sim_raw": np.array([], dtype=np.float64),
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "sim_raw": pa.array([], type=pa.float64()),
                 }
             )
-        a_ids = a["vid"].to_numpy()
-        b_ids = b["vid"].to_numpy()
-        a_mat = _mat(a["vec"])
-        b_mat = _mat(b["vec"])
+        a_mat = mat[a_mask]
+        b_mat = mat[~a_mask]
         a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
         sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
@@ -134,7 +146,7 @@ def block_cosine_pairs(
             # each unordered pair appears exactly once, in whichever
             # orientation the blocks dictate — keep all, normalize to
             # (min, max) on output.
-            if pdf["ba"].iat[0] == pdf["bb"].iat[0]:
+            if tbl.column("ba")[0].as_py() == tbl.column("bb")[0].as_py():
                 mask &= a_ids[:, None] < b_ids[None, :]
                 ai, bi = np.nonzero(mask)
                 va, vb = a_ids[ai], b_ids[bi]
@@ -145,9 +157,15 @@ def block_cosine_pairs(
         else:
             ai, bi = np.nonzero(mask)
             va, vb = a_ids[ai], b_ids[bi]
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "sim_raw": sims[ai, bi]})
+        return pa.table(
+            {
+                "vec_a": pa.array(va, type=pa.int64()),
+                "vec_b": pa.array(vb, type=pa.int64()),
+                "sim_raw": pa.array(sims[ai, bi], type=pa.float64()),
+            }
+        )
 
-    raw = a_side.unionByName(b_side).groupBy("ba", "bb").applyInPandas(
+    raw = a_side.unionByName(b_side).groupBy("ba", "bb").applyInArrow(
         tile_gemm, "vec_a long, vec_b long, sim_raw double"
     )
     return raw.select(
