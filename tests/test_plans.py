@@ -64,13 +64,17 @@ def test_flagship_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
-def test_similarity_probe_is_inlined(spark):
-    """The probe is collected once and inlined as literals, so the plan
-    must be a pure narrow map + TakeOrdered — no join of any kind (the
-    r2 broadcast-probe form paid a join stage for a 1-row side)."""
+def test_similarity_probe_is_lazy_broadcast(spark):
+    """The probe side is a lazy pre-normed 1-row broadcast (r12: no
+    driver-side .head() job at DataFrame build time), attached by a
+    bounded BroadcastNestedLoopJoin — the corpus side must stay a pure
+    narrow map into TakeOrdered with ZERO shuffle Exchanges."""
     plan = _plan(spark, "q_sim_cosine_topk")
-    assert "Join" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+    # broadcast exchanges only — a shuffle would mean the corpus moved
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
 
 
 def test_theta_join_is_banded_equi_join(spark):
