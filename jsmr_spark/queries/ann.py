@@ -20,6 +20,7 @@ baseline q_sim_cosine_topk measures the recall cost.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -318,9 +319,16 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
-    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    # Raw sims staged before r4 (r12): r4 references its argument twice
+    # and HOF folds are interpreted, so inlining doubled the corpus x
+    # K_CENT assignment folds (the dominant data work of this key).
+    csim_raw = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
     scored = base.crossJoin(cent).select(
-        "vec_id", "label", "embedding", "nrm", "cid", csim.alias("csim")
+        "vec_id", "label", "embedding", "nrm", "cid", csim_raw.alias("csim_raw")
+    ).select(
+        "vec_id", "label", "embedding", "nrm", "cid", r4(F.col("csim_raw")).alias("csim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crn", F.row_number().over(w))
@@ -333,12 +341,15 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("p_emb"), F.col("nrm").alias("p_nrm")
         )
     )
-    sim = r4(_dot(F.col("embedding"), F.col("p_emb")) / (F.col("nrm") * F.col("p_nrm")))
+    sim_raw = _dot(F.col("embedding"), F.col("p_emb")) / (
+        F.col("nrm") * F.col("p_nrm")
+    )
     cand = (
         assigned.join(plists, "cid")
         .crossJoin(probe)
         .filter(F.col("vec_id") != PROBE_ID)
-        .select("vec_id", "label", F.col("cid").alias("list_id"), sim.alias("sim"))
+        .select("vec_id", "label", F.col("cid").alias("list_id"), sim_raw.alias("sim_raw"))
+        .select("vec_id", "label", "list_id", r4(F.col("sim_raw")).alias("sim"))
     )
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = cand.orderBy(*keys).limit(TOP_K)
@@ -466,23 +477,43 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _norm(F.col("embedding")).alias("p_nrm"),
         )
     )
-    recon = _sq_recon_col(F.col("embedding"))
-    qsim = r4(_dot(recon, F.col("p_emb")) / (_norm(recon) * F.col("p_nrm")))
+    # recon (a transform HOF) and the raw qsim are staged through
+    # columns (r12): inlined, recon was re-evaluated inside BOTH the
+    # dot and the norm folds, and r4's double reference doubled all of
+    # it — up to 4 recon passes + 2 dot + 2 norm folds per row. Staged:
+    # one recon, one dot, one norm. Same doubles, same hash.
     cand = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != PROBE_ID)
         .crossJoin(probe)
-        .select("vec_id", "label", "embedding", qsim.alias("qsim"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "p_emb",
+            "p_nrm",
+            _sq_recon_col(F.col("embedding")).alias("recon"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            (
+                _dot(F.col("recon"), F.col("p_emb"))
+                / (_norm(F.col("recon")) * F.col("p_nrm"))
+            ).alias("qsim_raw"),
+        )
+        .select("vec_id", "label", "embedding", r4(F.col("qsim_raw")).alias("qsim"))
     )
     topc = cand.orderBy(F.desc("qsim"), F.asc("vec_id")).limit(CAND_K)
-    sim = r4(
-        _dot(F.col("embedding"), F.col("p_emb"))
-        / (_norm(F.col("embedding")) * F.col("p_nrm"))
+    sim_raw = _dot(F.col("embedding"), F.col("p_emb")) / (
+        _norm(F.col("embedding")) * F.col("p_nrm")
     )
     rer = (
         topc.crossJoin(probe)
-        .withColumn("sim", sim)
-        .drop("embedding", "p_emb", "p_nrm")
+        .withColumn("sim_raw", sim_raw)
+        .withColumn("sim", r4(F.col("sim_raw")))
+        .drop("embedding", "p_emb", "p_nrm", "sim_raw")
     )
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = rer.orderBy(*keys).limit(TOP_K)
@@ -525,14 +556,28 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_bucket = _bucket_py(emb_p)
     plit = F.array(*[F.lit(x) for x in emb_p])
 
+    # Probe norm computed ONCE in Python with the same sequential
+    # left-fold as _norm (acc += x*x, then sqrt — IEEE-identical to the
+    # engine fold over the same widened doubles; the _bucket_py parity
+    # argument). Inlined as _norm(plit) it was an interpreted 64-term
+    # fold re-run per candidate row, doubled again by r4's two
+    # references. sim_raw staged before r4 (r12): one dot + one
+    # corpus-norm fold per row.
+    p_acc = 0.0
+    for _x in emb_p:
+        p_acc += _x * _x
+    p_nrm = math.sqrt(p_acc)
+
     emb = t(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col(F.col("embedding")))
     # Same operand order as the oracle: dot(corpus, probe) /
-    # (norm_corpus * norm_probe). Probe norm via the shared engine-side
-    # sequential-fold kernel (VERDICT r10 #3, the multiprobe fix).
-    sim = r4(_dot(F.col("embedding"), plit) / (_norm(F.col("embedding")) * _norm(plit)))
+    # (norm_corpus * norm_probe).
+    sim_raw = _dot(F.col("embedding"), plit) / (
+        _norm(F.col("embedding")) * F.lit(p_nrm)
+    )
     cand = (
         emb.filter((F.col("bucket") == F.lit(p_bucket)) & (F.col("vec_id") != PROBE_ID))
-        .select("vec_id", "label", "bucket", sim.alias("sim"))
+        .select("vec_id", "label", "bucket", sim_raw.alias("sim_raw"))
+        .select("vec_id", "label", "bucket", r4(F.col("sim_raw")).alias("sim"))
     )
     keys = [F.desc("sim"), F.asc("vec_id")]
     # TakeOrderedAndProject over the bucket's candidates; the rank
@@ -664,9 +709,16 @@ def recall_report_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFram
             F.col("nrm").alias("c_nrm"),
         )
     )
-    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    # Raw sim staged before r4 (r12): r4 references its argument twice
+    # and HOF folds are interpreted, so inlining doubled the corpus x
+    # K_CENT assignment folds.
+    csim_raw = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
     scored = base.crossJoin(cent).select(
-        "vec_id", "embedding", "nrm", "cid", csim.alias("csim")
+        "vec_id", "embedding", "nrm", "cid", csim_raw.alias("csim_raw")
+    ).select(
+        "vec_id", "embedding", "nrm", "cid", r4(F.col("csim_raw")).alias("csim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crn", F.row_number().over(w))
@@ -684,12 +736,15 @@ def recall_report_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFram
             F.col("vec_id").alias("qid"), "cid"
         )
     )
-    sim = r4(_dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")))
+    sim_raw = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.col("nrm") * F.col("q_nrm")
+    )
     cand = (
         assigned.join(qlists, "cid")
         .join(queries, "qid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", sim.alias("sim"))
+        .select("qid", "vec_id", sim_raw.alias("sim_raw"))
+        .select("qid", "vec_id", r4(F.col("sim_raw")).alias("sim"))
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     ivf_top = cand.withColumn("rnk", F.row_number().over(wq)).filter(
@@ -699,7 +754,8 @@ def recall_report_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFram
     allsims = (
         base.crossJoin(queries)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", sim.alias("sim"))
+        .select("qid", "vec_id", sim_raw.alias("sim_raw"))
+        .select("qid", "vec_id", r4(F.col("sim_raw")).alias("sim"))
     )
     exact_top = (
         allsims.withColumn("rnk", F.row_number().over(wq))
@@ -803,16 +859,27 @@ def q_ann_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lists = {}
     for d in MRL_DIMS:
-        sub = F.slice("embedding", 1, d)
         # probe norm engine-side (VERDICT r10 #3 kernel sweep),
-        # pre-folded once on the 1-row side
-        sim = r4(_dot(F.col(f"p{d}"), sub) / (F.col(f"pn{d}") * _norm(sub)))
+        # pre-folded once on the 1-row side. The corpus-side slice and
+        # the raw sim are staged through columns (r12): inlined, the
+        # slice ran 4x and the folds 2x per row under r4's two
+        # references.
+        sim_raw = _dot(F.col(f"p{d}"), F.col("sub")) / (
+            F.col(f"pn{d}") * _norm(F.col("sub"))
+        )
         keys = [F.desc("sim"), F.asc("vec_b")]
         lists[d] = (
             t(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") != PROBE_ID)
             .crossJoin(probe)
-            .select(F.col("vec_id").alias("vec_b"), sim.alias("sim"))
+            .select(
+                F.col("vec_id").alias("vec_b"),
+                F.slice("embedding", 1, d).alias("sub"),
+                f"p{d}",
+                f"pn{d}",
+            )
+            .select(F.col("vec_b"), sim_raw.alias("sim_raw"))
+            .select("vec_b", r4(F.col("sim_raw")).alias("sim"))
             .orderBy(*keys)
             .limit(TOP_K)
             .select("vec_b")
@@ -974,9 +1041,16 @@ def ann_tune_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
             F.col("nrm").alias("c_nrm"),
         )
     )
-    csim = r4(_dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")))
+    # Raw sim staged before r4 (r12): r4 references its argument twice
+    # and HOF folds are interpreted, so inlining doubled the corpus x
+    # K_CENT assignment folds.
+    csim_raw = _dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
     scored = base.crossJoin(cent).select(
-        "vec_id", "embedding", "nrm", "cid", csim.alias("csim")
+        "vec_id", "embedding", "nrm", "cid", csim_raw.alias("csim_raw")
+    ).select(
+        "vec_id", "embedding", "nrm", "cid", r4(F.col("csim_raw")).alias("csim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crn", F.row_number().over(w))
@@ -996,12 +1070,15 @@ def ann_tune_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
             F.col("vec_id").alias("qid"), "cid", "crn"
         )
     )
-    sim = r4(_dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")))
+    sim_raw = _dot(F.col("embedding"), F.col("q_emb")) / (
+        F.col("nrm") * F.col("q_nrm")
+    )
     cand0 = (
         assigned.join(qlists, "cid")
         .join(queries, "qid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "crn", sim.alias("sim"))
+        .select("qid", "vec_id", "crn", sim_raw.alias("sim_raw"))
+        .select("qid", "vec_id", "crn", r4(F.col("sim_raw")).alias("sim"))
     )
     probes = F.broadcast(
         spark.createDataFrame([(p,) for p in TUNE_PROBES], "p int")
@@ -1016,7 +1093,8 @@ def ann_tune_frame(spark: SparkSession, sf_dir: str, qmod: int) -> DataFrame:
     allsims = (
         base.crossJoin(queries)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", sim.alias("sim"))
+        .select("qid", "vec_id", sim_raw.alias("sim_raw"))
+        .select("qid", "vec_id", r4(F.col("sim_raw")).alias("sim"))
     )
     wq1 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     exact_top = (
@@ -1136,18 +1214,26 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
-    # probe norm via the shared engine-side sequential-fold kernel
-    # (ADVICE r9: a driver-side Python accumulation could differ from
-    # DuckDB's list_aggregate 'sum' by a last ulp and flip the 4-dp
-    # rounding at a .00005 boundary; _norm folds left-to-right exactly
-    # like the oracle does)
-    sim = r4(
-        _dot(F.col("embedding"), plit)
-        / (_norm(F.col("embedding")) * _norm(plit))
+    # Probe norm computed once in Python with the same sequential
+    # left-fold as _norm (r12). The ADVICE r9 ulp concern was about
+    # REORDERED accumulation (numpy pairwise summation); a plain Python
+    # loop is strictly sequential IEEE binary64 — the identical op
+    # sequence the engine fold runs, so the staged literal is the same
+    # double _norm(plit) produced (re-verified MATCH at sf0.01 and
+    # sf0.1). Inlined, _norm(plit) re-folded 64 literals per candidate
+    # row and r4 doubled it; sim_raw staged before r4.
+    p_acc = 0.0
+    for _x in emb_p:
+        p_acc += _x * _x
+    p_nrm = math.sqrt(p_acc)
+    sim_raw = _dot(F.col("embedding"), plit) / (
+        _norm(F.col("embedding")) * F.lit(p_nrm)
     )
-    cand = emb.filter(
-        F.col("bucket").isin(probed) & (F.col("vec_id") != PROBE_ID)
-    ).select("vec_id", "label", "bucket", sim.alias("sim"))
+    cand = (
+        emb.filter(F.col("bucket").isin(probed) & (F.col("vec_id") != PROBE_ID))
+        .select("vec_id", "label", "bucket", sim_raw.alias("sim_raw"))
+        .select("vec_id", "label", "bucket", r4(F.col("sim_raw")).alias("sim"))
+    )
     nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     keys = [F.desc("sim"), F.asc("vec_id")]
     top = cand.orderBy(*keys).limit(TOP_K)

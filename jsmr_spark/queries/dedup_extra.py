@@ -561,38 +561,58 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings stay tiny; an adversarial corpus would cap shingle df
     (drop non-discriminative postings) exactly like the LSH keys cap
     band width."""
-    toks = F.split(F.col("text"), " ")
+    # r12 rewrite, two independent fixes (guide §1.2 step 1 + §2.4):
+    # (1) the old transform lambda captured the RAW split(text)
+    # expression — interpreted HOFs re-evaluate captured subexpressions
+    # PER ARRAY ELEMENT, so every row re-split its full text ~n_tokens
+    # times; the token array is now staged as a column first.
+    # (2) the shingle relation was referenced three times (both join
+    # sides + the per-doc size), so Catalyst re-derived the whole
+    # scan→shingle→distinct subtree three times. The self-join keyed on
+    # the shingle IS a posting-list join, so build the posting list
+    # explicitly instead: per-doc size via a window on the single
+    # shingle relation, group by shingle, explode ordered pairs. One
+    # corpus scan; pair counts (shared DISTINCT shingles) are
+    # identical, so the result hashes the same.
     sh = (
         t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - CONT_SHINGLE),
-                    lambda i: F.array_join(F.slice(toks, i + 1, CONT_SHINGLE), " "),
+                F.expr(
+                    f"transform(sequence(0, size(tk) - {CONT_SHINGLE}),"
+                    f" i -> array_join(slice(tk, i + 1, {CONT_SHINGLE}), ' '))"
                 )
             ).alias("s"),
         )
         .distinct()
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    shn = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    return (
-        inter.join(sz.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .filter(CONT_DEN * F.col("i") >= CONT_NUM * F.col("n"))
+    posts = shn.groupBy("s").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("ds")
+    )
+    pairs = (
+        posts.select(F.explode("ds").alias("a"), "ds")
         .select(
-            "doc_a",
-            "doc_b",
-            F.col("i").alias("n_shared"),
-            F.col("n").alias("n_a"),
-            r4(F.col("i") / F.col("n").cast("double")).alias("containment"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n").alias("n_a"),
+            F.explode("ds").alias("b"),
         )
+        .filter(F.col("b.doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("b.doc_id").alias("doc_b"), "n_a")
+    )
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a").agg(
+        F.count(F.lit(1)).alias("i")
+    )
+    return inter.filter(CONT_DEN * F.col("i") >= CONT_NUM * F.col("n_a")).select(
+        "doc_a",
+        "doc_b",
+        F.col("i").alias("n_shared"),
+        F.col("n_a").alias("n_a"),
+        r4(F.col("i") / F.col("n_a").cast("double")).alias("containment"),
     )
 
 

@@ -2032,31 +2032,47 @@ def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = bg.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    # sources x buckets control-plane spine (zero buckets carry their
-    # smoothed mass); everything below sb is alphabet-sized
-    spine = (
-        sb.select("source")
-        .distinct()
-        .crossJoin(
-            spark.range(KL_BUCKETS).select(F.col("id").cast("long").alias("bucket"))
-        )
+    # r12 (guide §2.4 — share the exchange, don't re-derive the input):
+    # the old form referenced sb FIVE times (spine sources, the left
+    # join, the per-bucket marginal, the per-source total, the corpus
+    # total), so Catalyst duplicated the whole scan→tokenize→explode→
+    # md5 subtree five times (10 parquet scans in the physical plan).
+    # Everything downstream of sb is sources×{KL_BUCKETS} control
+    # plane, so instead: collapse sb to ONE row per source (bucket→n
+    # map + total), explode the dense bucket grid from a sequence(), and
+    # read the corpus marginals off the grid itself with two chained
+    # windows (cc per bucket, tc global — the global window is over the
+    # bounded grid, never the corpus). Identical cs/cc/ts/tc values ->
+    # identical lam -> identical hash; one corpus scan instead of five.
+    src = sb.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("n")))
+        ).alias("m"),
+        F.sum("n").cast("long").alias("ts"),
     )
-    cb = sb.groupBy("bucket").agg(F.sum("n").cast("long").alias("cc"))
-    st = sb.groupBy("source").agg(F.sum("n").cast("long").alias("ts"))
-    tot = sb.agg(F.sum("n").cast("long").alias("tc"))
+    grid = (
+        src.select(
+            "source",
+            "ts",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(KL_BUCKETS - 1).cast("long"))
+            ).alias("bucket"),
+            "m",
+        )
+        .select(
+            "source",
+            "ts",
+            "bucket",
+            F.coalesce(F.element_at("m", F.col("bucket")), F.lit(0)).alias("cs"),
+        )
+        .withColumn("cc", F.sum("cs").over(Window.partitionBy("bucket")))
+        .withColumn("tc", F.sum("cs").over(Window.partitionBy()))
+    )
     lam = (
         f"{_kl_lnq('cs + 1')} - {_kl_lnq('ts + ' + str(KL_BUCKETS))}"
         f" - {_kl_lnq('cc + 1')} + {_kl_lnq('tc + ' + str(KL_BUCKETS))}"
     )
-    terms = (
-        spine.join(sb, ["source", "bucket"], "left")
-        .select("source", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("cs"))
-        .join(F.broadcast(cb), "bucket", "left")
-        .select("source", "cs", F.coalesce(F.col("cc"), F.lit(0)).alias("cc"))
-        .join(F.broadcast(st), "source")
-        .crossJoin(F.broadcast(tot))
-    )
-    return terms.groupBy("source").agg(
+    return grid.groupBy("source").agg(
         F.max("ts").cast("long").alias("n_grams"),
         F.expr(
             f"CAST(greatest(sum((cs + 1) * ({lam})), 0)"

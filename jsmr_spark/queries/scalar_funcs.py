@@ -238,13 +238,27 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsum = lambda arr: F.aggregate(  # noqa: E731
         F.transform(arr, lambda x: x.cast("double")), F.lit(0.0), lambda a, x: a + x
     )
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.size(emb).cast("long").alias("dim"),
-        r4(F.element_at(emb, 1).cast("double")).alias("first_elem"),
-        r4(dsum(emb)).alias("vec_sum"),
-        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
-        r4(dsum(F.slice(emb, 1, 8))).alias("head_sum"),
+    # Raw folds staged before r4 (r12): r4 references its argument
+    # twice and HOF folds are interpreted, so the two sums ran twice
+    # per row inlined. Same doubles.
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.size(emb).cast("long").alias("dim"),
+            F.element_at(emb, 1).cast("double").alias("first_raw"),
+            dsum(emb).alias("sum_raw"),
+            F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+            dsum(F.slice(emb, 1, 8)).alias("head_raw"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            r4(F.col("first_raw")).alias("first_elem"),
+            r4(F.col("sum_raw")).alias("vec_sum"),
+            "n_pos",
+            r4(F.col("head_raw")).alias("head_sum"),
+        )
     )
 
 

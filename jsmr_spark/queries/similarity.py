@@ -123,10 +123,15 @@ def _probe_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Same operand order as the joined form: dot(probe, corpus) /
-    # (probe_norm * corpus_norm).
-    sim = r4(
-        _dot(F.col("p_emb"), F.col("embedding"))
-        / (F.col("p_nrm") * _norm(F.col("embedding")))
+    # (probe_norm * corpus_norm). The raw sim is staged through its own
+    # projection BEFORE r4 (r12, guide §1.2 step 2): r4 references its
+    # argument twice (floor/abs path and signum path), and higher-order
+    # functions are CodegenFallback — interpreted, no subexpression
+    # elimination — so inlining would fold the dot+norm ONCE PER
+    # REFERENCE per corpus row. CollapseProject keeps the multi-
+    # referenced non-cheap alias staged; same doubles, half the folds.
+    sim_raw = _dot(F.col("p_emb"), F.col("embedding")) / (
+        F.col("p_nrm") * _norm(F.col("embedding"))
     )
     return (
         emb.filter(F.col("vec_id") != PROBE_ID)
@@ -134,8 +139,9 @@ def _probe_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("vec_b"),
             F.col("label").alias("label_b"),
-            sim.alias("sim"),
+            sim_raw.alias("sim_raw"),
         )
+        .select("vec_b", "label_b", r4(F.col("sim_raw")).alias("sim"))
     )
 
 
@@ -281,14 +287,27 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries (DuckDB's float32 list intrinsics are not parity-safe —
     module docstring). A narrow map over the scan: no shuffle, no UDF,
     scales linearly with rows."""
-    nrm = _norm(F.col("embedding"))
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.size("embedding").cast("long").alias("dim"),
-        r4(nrm).alias("l2_norm"),
-        r4(F.element_at("embedding", 1).cast("double") / nrm).alias("u0"),
-        r4(F.element_at("embedding", 64).cast("double") / nrm).alias("u_last"),
+    # Stage the norm fold once per row (r12): inlined, the interpreted
+    # HOF fold ran up to 6x per row (3 output columns x r4's two
+    # references). Same doubles, one fold.
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("e0"),
+            F.element_at("embedding", 64).cast("double").alias("e_last"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            r4(F.col("nrm")).alias("l2_norm"),
+            r4(F.col("e0") / F.col("nrm")).alias("u0"),
+            r4(F.col("e_last") / F.col("nrm")).alias("u_last"),
+        )
     )
 
 
@@ -862,13 +881,21 @@ def q_rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    sim = r4(
-        _dot(F.col("q_emb"), F.col("embedding"))
-        / (F.col("q_nrm") * F.col("nrm"))
+    # sim_raw staged before r4 (r12): r4 references its argument twice
+    # and the interpreted dot fold would run twice per (query,
+    # candidate) pair — this is the heaviest exact-sim kernel in the
+    # repo (2% queries x corpus). Same doubles, half the folds.
+    sim_raw = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
     )
     ranked = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_label", "label", "vec_id", sim.alias("sim"))
+        .select(
+            "q_id", "q_label", "label", "vec_id", sim_raw.alias("sim_raw")
+        )
+        .select(
+            "q_id", "q_label", "label", "vec_id", r4(F.col("sim_raw")).alias("sim")
+        )
         .withColumn(
             "rnk",
             F.row_number().over(

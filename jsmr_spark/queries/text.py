@@ -244,15 +244,19 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25) for the fixed query, bm25 already round(,4) —
     the Spark mirror of BM25_CTE_DD (one corpus scan + a 1-row
     broadcast stats crossJoin; no shuffle of documents)."""
-    toks = F.split(F.col("text"), " ")
+    # Token array staged as a column first (r12, guide §1.2 step 2):
+    # inlined, split(text) was evaluated 4x per row (dl + one per
+    # term-frequency filter); staged it runs once. Same counts.
     def tf_of(term: str):
         # single-arg lambda: a 2-arg HOF lambda would receive the array
         # INDEX as its second argument, not a closure default
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        return F.size(F.filter(F.col("tk"), lambda x: x == F.lit(term)))
 
     tf_cols = [tf_of(term).alias(f"tf{i + 1}") for i, term in enumerate(BM25_TERMS)]
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+        .select("doc_id", F.size("tk").alias("dl"), *tf_cols)
     )
     stats = d.agg(
         F.count(F.lit(1)).alias("nd"),

@@ -381,25 +381,32 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one filtered map-side-combined aggregate to two
     rows; everything after is driver-free scalar algebra in the plan."""
+    # r12 restructure (guide §2.4 + §1.2 step 2), two parts, values
+    # bit-identical: (1) the per-group moments came from TWO filtered
+    # references to the same aggregate (the events scan+agg subtree ran
+    # twice, joined by a crossJoin) — now ONE groupless conditional
+    # aggregate (exact BIGINT sums are order-independent, so the
+    # conditional form reduces to the same six integers). (2) the
+    # scalar tree inlined t_raw into z, u into the 5-term erfc series,
+    # and r4 doubled each output — the 1-row projection compiled a
+    # multi-thousand-node expression. The intermediates are now staged
+    # columns (same ops, same association order, evaluated once).
     vc = cents(F.col("value"))
-    m = (
+    is_v = F.col("event_type") == "view"
+    is_c = F.col("event_type") == "click"
+    j = (
         t(spark, sf_dir, "events")
         .where(F.col("event_type").isin("view", "click"))
         .select("event_type", vc.alias("vc"))
-        .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("vc").alias("s1"),
-            F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+            F.count(F.when(is_v, 1)).alias("n1"),
+            F.sum(F.when(is_v, F.col("vc"))).alias("a1"),
+            F.sum(F.when(is_v, F.col("vc") * F.col("vc"))).alias("a2"),
+            F.count(F.when(is_c, 1)).alias("n2"),
+            F.sum(F.when(is_c, F.col("vc"))).alias("b1"),
+            F.sum(F.when(is_c, F.col("vc") * F.col("vc"))).alias("b2"),
         )
     )
-    a = m.where(F.col("event_type") == "view").select(
-        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
-    )
-    b = m.where(F.col("event_type") == "click").select(
-        F.col("n").alias("n2"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
-    )
-    j = a.crossJoin(b)
     m1 = F.col("a1").cast("double") / F.col("n1").cast("double")
     m2 = F.col("b1").cast("double") / F.col("n2").cast("double")
     v1 = (
@@ -410,11 +417,21 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b2").cast("double")
         - F.col("b1").cast("double") * F.col("b1").cast("double") / F.col("n2").cast("double")
     ) / (F.col("n2") - 1).cast("double")
-    se1 = v1 / F.col("n1").cast("double")
-    se2 = v2 / F.col("n2").cast("double")
-    t_raw = (m1 - m2) / F.sqrt(se1 + se2)
-    z = F.abs(t_raw) / F.sqrt(F.lit(2.0))
-    u = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * z)
+    staged = (
+        j.withColumn("m1", m1)
+        .withColumn("m2", m2)
+        .withColumn("se1", v1 / F.col("n1").cast("double"))
+        .withColumn("se2", v2 / F.col("n2").cast("double"))
+        .withColumn(
+            "t_raw",
+            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")),
+        )
+        .withColumn("z", F.abs(F.col("t_raw")) / F.sqrt(F.lit(2.0)))
+        .withColumn(
+            "u", F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * F.col("z"))
+        )
+    )
+    u = F.col("u")
     # A&S 7.1.26 erfc series — term order and association mirror the
     # oracle SQL exactly (left-assoc products, left-assoc sum).
     erfc = (
@@ -423,17 +440,17 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1.421413741) * u * u * u
         - F.lit(1.453152027) * u * u * u * u
         + F.lit(1.061405429) * u * u * u * u * u
-    ) * F.exp(-(z * z))
-    return j.select(
+    ) * F.exp(-(F.col("z") * F.col("z")))
+    return staged.select(
         "n1",
         "n2",
-        r4((m1 - m2) / F.lit(100.0)).alias("mean_diff"),
-        r4(t_raw).alias("t_stat"),
+        r4((F.col("m1") - F.col("m2")) / F.lit(100.0)).alias("mean_diff"),
+        r4(F.col("t_raw")).alias("t_stat"),
         r4(
-            (se1 + se2) * (se1 + se2)
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
             / (
-                se1 * se1 / (F.col("n1") - 1).cast("double")
-                + se2 * se2 / (F.col("n2") - 1).cast("double")
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1).cast("double")
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1).cast("double")
             )
         ).alias("welch_df"),
         r4(erfc).alias("p_value_approx"),
@@ -957,6 +974,11 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-3, 3)
     )
+    # r12 (guide §1.2 step 2): the three windowed quantiles ran as
+    # three separate Percentile aggregates, each buffering and sorting
+    # the same 7-row frame. percentile(col, array(...)) computes all
+    # three from ONE buffer per frame — identical interpolation,
+    # identical values, one third the window work.
     d = (
         t(spark, sf_dir, "events")
         .withColumn("series_bucket", bucket)
@@ -965,11 +987,11 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "series_bucket",
             vc.alias("value_cents"),
-            F.percentile(vc, F.lit(0.5)).over(w).alias("med_cents"),
-            (
-                F.percentile(vc, F.lit(0.75)).over(w)
-                - F.percentile(vc, F.lit(0.25)).over(w)
-            ).alias("iqr_cents"),
+            F.percentile(
+                vc, F.array(F.lit(0.5), F.lit(0.75), F.lit(0.25))
+            )
+            .over(w)
+            .alias("pcts"),
         )
     )
     return d.select(
@@ -977,11 +999,11 @@ def q_ts_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "series_bucket",
         "value_cents",
-        "med_cents",
-        "iqr_cents",
+        F.element_at("pcts", 1).alias("med_cents"),
+        (F.element_at("pcts", 2) - F.element_at("pcts", 3)).alias("iqr_cents"),
         (
-            F.abs(F.col("value_cents") - F.col("med_cents"))
-            > 1.5 * F.col("iqr_cents")
+            F.abs(F.col("value_cents") - F.element_at("pcts", 1))
+            > 1.5 * (F.element_at("pcts", 2) - F.element_at("pcts", 3))
         ).alias("is_outlier"),
     )
 
@@ -1935,12 +1957,19 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = spark.range(BOOT_B).select(F.col("id").cast("int").alias("r"))
     seed = "concat(CAST(event_id AS STRING), '|', CAST(r AS STRING))"
-    u = f"({hex12_sql(f'md5({seed})')} % {BOOT_U_DOM})"
-    rep = f.crossJoin(F.broadcast(reps)).select(
-        "event_type",
-        "vc",
-        "r",
-        F.expr(_BOOT_W_CASE.replace("u <", f"{u} <")).alias("w"),
+    # Stage md5 -> hex12 -> u through named columns (r12, guide §1.2
+    # step 2): inlining u into every CASE branch put ~96 textual copies
+    # of the md5 tree in one projection — conditional branches defeat
+    # subexpression elimination, so each row-replicate hashed up to 8x
+    # and the generated code was enormous (cold wall 7.4 s at sf0.01).
+    # CollapseProject keeps multi-referenced non-cheap aliases staged,
+    # so each link is now evaluated once per row. Same values, same
+    # hash — only the evaluation count changes.
+    rep = (
+        f.crossJoin(F.broadcast(reps))
+        .withColumn("h12", F.expr(f"md5({seed})"))
+        .withColumn("u", F.expr(f"({hex12_sql('h12')} % {BOOT_U_DOM})"))
+        .select("event_type", "vc", "r", F.expr(_BOOT_W_CASE).alias("w"))
     )
     means = rep.groupBy("event_type", "r").agg(
         F.expr(
