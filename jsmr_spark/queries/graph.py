@@ -1280,10 +1280,12 @@ def q_graph_concomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         changed = l2.filter(F.col("new_lbl") != F.col("old_lbl")).count()
+        # l2 is already localCheckpoint'ed; labels is a narrow select
+        # over it, so a second checkpoint here only re-materialized the
+        # same rows (one extra job per round — removed in r12).
         labels = l2.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
-        labels = labels.localCheckpoint()
 
     ec = (
         e0.join(labels, e0["user_a"] == labels["node"])

@@ -48,6 +48,13 @@ def RUNTIME_CONFS() -> dict[str, str]:
         "spark.sql.adaptive.enabled": _aqe_default(),
         "spark.sql.adaptive.coalescePartitions.enabled": _aqe_default(),
         "spark.sql.adaptive.skewJoin.enabled": _aqe_default(),
+        # r12 (guide §4 — the Python boundary): PySpark 4 wraps every
+        # DataFrame/Column API call with a call-site capture for error
+        # context (a Python stack walk + 2 extra py4j round trips + a
+        # conf read PER CALL). Measured on this box: F.col alone drops
+        # 7.3 -> 2.2 ms with it off. Pure client-side debug metadata —
+        # no effect on plans or results.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
     }
 
 # Applied alongside RUNTIME_CONFS when the session is driver-owned: a
@@ -131,6 +138,15 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             # Immutable in this deployment; reads must cope (io.py has a
             # fallback path for events if nanosAsLong can't be set).
             pass
+    # The dataFrameDebugging check is cached client-side on first use;
+    # on a driver-owned session some Column calls may precede this
+    # function, so drop the cache to make the conf above take effect.
+    try:
+        import pyspark.errors.utils as _peu
+
+        _peu._enable_debugging_cache = None
+    except Exception:
+        pass
     for k, fv in _ADAPTIVE_CONFS.items():
         try:
             spark.conf.set(k, fv())
