@@ -417,18 +417,26 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b2").cast("double")
         - F.col("b1").cast("double") * F.col("b1").cast("double") / F.col("n2").cast("double")
     ) / (F.col("n2") - 1).cast("double")
+    # Dependency-leveled selects, not a withColumn chain: each chained
+    # withColumn is its own eagerly-analyzed Dataset (~8 ms/op, §11).
     staged = (
-        j.withColumn("m1", m1)
-        .withColumn("m2", m2)
-        .withColumn("se1", v1 / F.col("n1").cast("double"))
-        .withColumn("se2", v2 / F.col("n2").cast("double"))
-        .withColumn(
-            "t_raw",
-            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2")),
+        j.select(
+            "*",
+            m1.alias("m1"),
+            m2.alias("m2"),
+            (v1 / F.col("n1").cast("double")).alias("se1"),
+            (v2 / F.col("n2").cast("double")).alias("se2"),
         )
-        .withColumn("z", F.abs(F.col("t_raw")) / F.sqrt(F.lit(2.0)))
-        .withColumn(
-            "u", F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * F.col("z"))
+        .select(
+            "*",
+            (
+                (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2"))
+            ).alias("t_raw"),
+        )
+        .select("*", (F.abs(F.col("t_raw")) / F.sqrt(F.lit(2.0))).alias("z"))
+        .select(
+            "*",
+            (F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * F.col("z"))).alias("u"),
         )
     )
     u = F.col("u")
@@ -1109,36 +1117,56 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    parts = []
-    for k in ACF_LAGS:
-        nk = F.col(f"nk{k}")
-        valid = nk.isNotNull() & (
-            F.col(f"bk{k}") == F.col("bucket") - F.expr(f"INTERVAL {k} HOUR")
+    # r12 (guide §2.4): the per-lag loop referenced `lagged` three
+    # times, so the scan → hourly agg → window subtree was derived once
+    # per lag (3 scans, 9 exchanges). The lag columns are now unpivoted
+    # with one explode and aggregated by (event_type, lag_h) in a
+    # single pass — per-(type, lag) groups and their moment sums are
+    # identical, so the unioned-vs-grouped results hash the same.
+    stacked = (
+        lagged.select(
+            "event_type",
+            "bucket",
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("int").alias("lag_h"),
+                            F.col(f"nk{k}").alias("nk"),
+                            F.col(f"bk{k}").alias("bk"),
+                        )
+                        for k in ACF_LAGS
+                    ]
+                )
+            ).alias("s"),
         )
-        d = lagged.filter(valid)
-        npd = F.count(F.lit(1)).cast("double")
-        sx, sy = F.sum("n").cast("double"), F.sum(nk).cast("double")
-        sxx = F.sum(F.col("n") * F.col("n")).cast("double")
-        syy = F.sum(nk * nk).cast("double")
-        sxy = F.sum(F.col("n") * nk)
-        densq = (npd * sxx - sx * sx) * (npd * syy - sy * sy)
-        parts.append(
-            d.groupBy("event_type").agg(
-                F.lit(k).cast("int").alias("lag_h"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                sxy.cast("long").alias("sxy"),
-                r4(
-                    F.when(
-                        densq > 0,
-                        (npd * sxy.cast("double") - sx * sy) / F.sqrt(densq),
-                    )  # zero-variance series: r undefined -> NULL
-                ).alias("acf"),
+        .select("event_type", "bucket", "n", "s.lag_h", "s.nk", "s.bk")
+        .filter(
+            F.col("nk").isNotNull()
+            & (
+                F.col("bk")
+                == F.col("bucket") - F.expr("make_interval(0, 0, 0, 0, lag_h, 0, 0)")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    nk = F.col("nk")
+    npd = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("n").cast("double"), F.sum(nk).cast("double")
+    sxx = F.sum(F.col("n") * F.col("n")).cast("double")
+    syy = F.sum(nk * nk).cast("double")
+    sxy = F.sum(F.col("n") * nk)
+    densq = (npd * sxx - sx * sx) * (npd * syy - sy * sy)
+    return stacked.groupBy("event_type", "lag_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        sxy.cast("long").alias("sxy"),
+        r4(
+            F.when(
+                densq > 0,
+                (npd * sxy.cast("double") - sx * sy) / F.sqrt(densq),
+            )  # zero-variance series: r undefined -> NULL
+        ).alias("acf"),
+    ).select("event_type", "lag_h", "n_pairs", "sxy", "acf")
 
 
 CAL_BINS = 10
