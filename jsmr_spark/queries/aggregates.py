@@ -200,9 +200,17 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            r4(F.percentile("l_quantity", F.lit(0.5))).alias("med_qty"),
-            r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
-            r4(F.percentile("l_quantity", F.lit(0.90))).alias("p90_qty"),
+            # one buffer+sort for all three quantiles (r12; identical
+            # interpolation, identical values)
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.90))
+            ).alias("px")
+        )
+        .select(
+            "l_returnflag",
+            r4(F.element_at("px", 1)).alias("med_qty"),
+            r4(F.element_at("px", 2)).alias("p25_qty"),
+            r4(F.element_at("px", 3)).alias("p90_qty"),
         )
     )
 
@@ -298,8 +306,19 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_percentile(cents(F.col("l_extendedprice")), F.lit(0.5), F.lit(1000)).alias("p50_cents"),
-            F.approx_percentile(cents(F.col("l_extendedprice")), F.lit(0.99), F.lit(1000)).alias("p99_cents"),
+            # one GK sketch queried at both quantiles (r12; the sketch
+            # state depends only on the input sequence, so the
+            # estimates are identical to the two-sketch form)
+            F.approx_percentile(
+                cents(F.col("l_extendedprice")),
+                F.array(F.lit(0.5), F.lit(0.99)),
+                F.lit(1000),
+            ).alias("ap")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("ap", 1).alias("p50_cents"),
+            F.element_at("ap", 2).alias("p99_cents"),
         )
     )
 
@@ -894,22 +913,33 @@ def q_sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact side sorts per group (the thing the sketch
     exists to avoid) — this key is the CI-sized accuracy gate you run
     on a sample, not the 100 TB path; the sketch is."""
+    # r12 (guide §1.2 step 2): percentile(col, array(...)) — the two
+    # exact quantiles previously ran as two separate Percentile
+    # aggregates, each buffering and sorting the full group; ditto the
+    # two GK sketches. One buffer each now; identical interpolation and
+    # sketch config, identical values.
     pc = cents(F.col("l_extendedprice"))
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            r4(F.percentile(pc, F.lit(0.5))).alias("p50_exact"),
-            r4(F.percentile(pc, F.lit(0.99))).alias("p99_exact"),
-            F.approx_percentile(pc, F.lit(0.5), F.lit(1000)).alias("a50"),
-            F.approx_percentile(pc, F.lit(0.99), F.lit(1000)).alias("a99"),
+            F.percentile(pc, F.array(F.lit(0.5), F.lit(0.99))).alias("ex"),
+            F.approx_percentile(
+                pc, F.array(F.lit(0.5), F.lit(0.99)), F.lit(1000)
+            ).alias("ap"),
         )
         .select(
             "l_returnflag",
-            "p50_exact",
-            "p99_exact",
-            (F.abs(F.col("a50") - F.col("p50_exact")) <= 0.01 * F.col("p50_exact")).alias("ok_p50"),
-            (F.abs(F.col("a99") - F.col("p99_exact")) <= 0.01 * F.col("p99_exact")).alias("ok_p99"),
+            r4(F.element_at("ex", 1)).alias("p50_exact"),
+            r4(F.element_at("ex", 2)).alias("p99_exact"),
+            (
+                F.abs(F.element_at("ap", 1) - r4(F.element_at("ex", 1)))
+                <= 0.01 * r4(F.element_at("ex", 1))
+            ).alias("ok_p50"),
+            (
+                F.abs(F.element_at("ap", 2) - r4(F.element_at("ex", 2)))
+                <= 0.01 * r4(F.element_at("ex", 2))
+            ).alias("ok_p99"),
         )
     )
 
@@ -1154,9 +1184,19 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_mad plan family. Exact percentiles sort within groups; at
     100 TB swap approx_percentile gated by q_sketch_quantile_check."""
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    p = li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit(0.05)).alias("p05"),
-        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    p = (
+        li.groupBy("l_returnflag")
+        .agg(
+            # one buffer+sort for both cutpoints (r12)
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("px")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("px", 1).alias("p05"),
+            F.element_at("px", 2).alias("p95"),
+        )
     )
     j = li.join(F.broadcast(p), "l_returnflag")
     low = F.when(F.col("l_quantity") < F.col("p05"), 1).otherwise(0)

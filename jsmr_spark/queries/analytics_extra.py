@@ -229,9 +229,14 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "orders").select(pc.alias("pc"))
     cuts = F.broadcast(
         d.agg(
-            F.percentile("pc", F.lit(0.25)).alias("c25"),
-            F.percentile("pc", F.lit(0.50)).alias("c50"),
-            F.percentile("pc", F.lit(0.75)).alias("c75"),
+            # one buffer+sort for all three cutpoints (r12)
+            F.percentile(
+                "pc", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+            ).alias("px")
+        ).select(
+            F.element_at("px", 1).alias("c25"),
+            F.element_at("px", 2).alias("c50"),
+            F.element_at("px", 3).alias("c75"),
         )
     )
     bin_col = (
