@@ -925,30 +925,25 @@ def q_dedup_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = sets_all.join(F.broadcast(panel), "doc_id").cache()
     mh = sets.select("doc_id", *_minhash_set_cols())
 
-    def bands_for(nb: int, rpb: int) -> DataFrame:
-        return mh.select(
-            "doc_id",
+    # r12 (guide §2.4): all three configs' band keys come from the SAME
+    # 16 minhash columns, so they explode in ONE pass over mh — the old
+    # per-config union re-derived the mh projection three times and
+    # tripled the analysis/codegen surface. Rows (doc_id, nb, band,
+    # bkey) are identical; downstream joins/groupBys are order-free.
+    entries = [
+        F.struct(
             F.lit(nb).alias("nb"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{band * rpb + r}")
-                                for r in range(rpb)
-                            ],
-                        )
-                        for band in range(nb)
-                    ]
-                )
-            ).alias("band", "bkey"),
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{band * rpb + r}") for r in range(rpb)]
+            ).alias("bkey"),
         )
-
-    bands = None
-    for nb, rpb in BAND_TUNE_CONFIGS:
-        frame = bands_for(nb, rpb)
-        bands = frame if bands is None else bands.unionByName(frame)
+        for nb, rpb in BAND_TUNE_CONFIGS
+        for band in range(nb)
+    ]
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.nb", "e.band", "e.bkey")
     b2 = bands.select(
         F.col("nb").alias("nb_b"),
         F.col("doc_id").alias("doc_b"),
