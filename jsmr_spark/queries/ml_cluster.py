@@ -735,27 +735,33 @@ def q_ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = b.groupBy("lang", "len_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    rx = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nx"))
-    ry = c.groupBy("len_bucket").agg(F.sum("n").cast("long").alias("ny"))
-    tot = c.agg(F.sum("n").cast("long").alias("nt"))
-    nl = rx.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
-    nb = ry.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    # r12 (guide §2.4, the q_mix_kl_divergence recipe): the marginals,
+    # total, and cardinalities all referenced c separately, so the
+    # corpus scan + contingency aggregate was derived ~6x. c is
+    # bounded (langs x len-buckets), so read every rollup off c itself
+    # with chained windows — identical nx/ny/nt/cardinality values,
+    # one corpus scan.
+    wg = Window.partitionBy()
+    g = (
+        c.withColumn("nx", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("ny", F.sum("n").over(Window.partitionBy("len_bucket")))
+        .withColumn("nt", F.sum("n").over(wg))
+        .withColumn("n_langs", F.size(F.collect_set("lang").over(wg)).cast("long"))
+        .withColumn(
+            "n_buckets", F.size(F.collect_set("len_bucket").over(wg)).cast("long")
+        )
+    )
     term = (
         f"n * ({_mi_lnq('n')} + {_mi_lnq('nt')}"
         f" - {_mi_lnq('nx')} - {_mi_lnq('ny')})"
     )
     return (
-        c.join(F.broadcast(rx), "lang")
-        .join(F.broadcast(ry), "len_bucket")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("nt")
+        g.groupBy("n_langs", "n_buckets", "nt")
         .agg(
             F.expr(
                 f"CAST((sum({term}) + 4 * nt) DIV nt - 4 AS BIGINT)"
             ).alias("mi_micro")
         )
-        .crossJoin(F.broadcast(nl))
-        .crossJoin(F.broadcast(nb))
         .select(
             "n_langs",
             "n_buckets",
@@ -889,13 +895,18 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(fr))
         .where(F.col("bucket") < F.col("f"))
         .groupBy("f", "label", "dim")
-        .agg(F.sum("xq").cast("long").alias("sx"))
+        .agg(
+            F.sum("xq").cast("long").alias("sx"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
     )
-    nl = (
-        v.crossJoin(F.broadcast(fr))
-        .where(F.col("bucket") < F.col("f"))
-        .groupBy("f", "label")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r12 (guide §2.4): the per-(f,label) training count used to come
+    # from a SECOND corpus pass (v x fractions -> agg). Every vector
+    # contributes exactly one row per dim, so the count is already in
+    # s — read it at dim 0. The extra s reference reuses s's exchange
+    # (identical subtree), so no new corpus work.
+    nl = s.where(F.col("dim") == 0).select(
+        "f", "label", F.col("cnt").alias("n")
     )
     ss = s.groupBy("f", "label").agg(
         F.sum(F.col("sx") * F.col("sx")).cast("long").alias("ss2")
