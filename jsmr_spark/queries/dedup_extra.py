@@ -915,13 +915,19 @@ def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.posexplode(F.expr(gv_expr)).alias("p0", "gv"))
         .select("doc_id", "source", (F.col("p0") + 1).alias("pos"), "gv")
     )
-    dup = (
-        grams.groupBy("gv")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Duplicated-gram membership as COUNT(*) OVER (PARTITION BY gv) on
+    # the ONE gram relation (r12, guide §2.4): the groupBy+join-back form
+    # made Catalyst derive the scan->tokenize->md5-per-position Generate
+    # subtree TWICE (the dominant compute), and the planner broadcast the
+    # dup set — corpus-scale in the worst case, exactly what the scale
+    # docstring forbids. The window keys the same gv exchange the join
+    # needed anyway and keeps gram generation single-pass at any scale.
+    wg = Window.partitionBy("gv")
+    m = (
+        grams.withColumn("c", F.count(F.lit(1)).over(wg))
         .filter(F.col("c") >= 2)
-        .select("gv")
+        .select("doc_id", "source", "pos")
     )
-    m = grams.join(dup, "gv").select("doc_id", "source", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     cov = m.withColumn("prev", F.lag("pos").over(wd))
     per_doc = cov.groupBy("doc_id", "source").agg(

@@ -40,36 +40,63 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
     the final chunk replays the OLDEST rows again (severely late data);
     otherwise it is just the last time-slice.
     """
+    import glob as _glob
+    import time as _time
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
     base = os.path.join(tempfile.gettempdir(), f"jsmr_stream_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
     n_main = n_chunks - 1 if late_tail else n_chunks
-    # Chunk assignment stays executor-side: a single-partition window at
-    # replay scale (bounded harness) beats round-tripping every row
-    # through the driver (collect + per-chunk createDataFrame measured
-    # ~6x slower). Sequential per-chunk writes off one cached pass give
-    # strictly increasing mtimes — the file source's arrival order.
+    # ONE Spark job (r12, guide §1.2 step 1): the old form ran
+    # window+cache+count plus one filtered write job PER CHUNK (~9 jobs
+    # per streaming key, the dominant fixed cost of the replay tier).
+    # Chunk assignment is the same single-partition ntile window (the
+    # replay is a bounded local harness by construction); the sorted
+    # 1-partition write preserves rn order, and the per-chunk split is
+    # driver-local pyarrow over that one small file — byte-identical
+    # rows and ntile boundaries, zero extra Spark jobs. Arrival order is
+    # pinned with EXPLICIT strictly-increasing mtimes (the file source
+    # orders by modification time), which the sequential writes only
+    # guaranteed implicitly.
     w = Window.orderBy("ts", "event_id")
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("chunk", F.ntile(n_main).over(w) - 1)
-        .cache()
     )
-    n_rows = ev.count()
+    stage = os.path.join(base, "stage")
+    # TIMESTAMP_MICROS so the pyarrow round trip is exact: the INT96
+    # default reads back as ns and would re-write as TIMESTAMP(NANOS),
+    # which the nanosAsLong session conf then scans as bigint.
+    old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        ev.coalesce(1).write.parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+    part = _glob.glob(os.path.join(stage, "part-*.parquet"))
+    assert len(part) == 1, part
+    tbl = _pq.read_table(part[0])
+    n_rows = tbl.num_rows
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    t0 = _time.time() - 2 * (n_chunks + 2)
     for i in range(n_main):
-        ev.filter(F.col("chunk") == i).select(*cols).coalesce(1).write.parquet(
-            os.path.join(src_dir, f"chunk_{i:03d}")
-        )
+        p = os.path.join(src_dir, f"chunk_{i:03d}")
+        _pq.write_table(tbl.filter(_pc.equal(tbl["chunk"], i)).select(cols), p)
+        os.utime(p, (t0 + 2 * i, t0 + 2 * i))
     if late_tail:
         # Replay the oldest 50 rows after the watermark has advanced far
         # beyond them -> guaranteed drop.
-        ev.filter(F.col("rn") <= 50).select(*cols).coalesce(1).write.parquet(
-            os.path.join(src_dir, f"chunk_{n_main:03d}")
+        p = os.path.join(src_dir, f"chunk_{n_main:03d}")
+        _pq.write_table(
+            tbl.filter(_pc.less_equal(tbl["rn"], 50)).select(cols), p
         )
-    ev.unpersist()
+        os.utime(p, (t0 + 2 * n_main, t0 + 2 * n_main))
+    shutil.rmtree(stage, ignore_errors=True)
     return base, src_dir, n_rows
 
 
@@ -87,12 +114,16 @@ class _replay_shuffle_clamp:
     capped the number of parallel Python workers for the stateful
     pandas lane, so the 10x probe saw wall ~ rows/8 instead of
     rows/cores. When the caller knows the staged row count, partitions
-    scale ~rows/20k (bounded 8..32) — exactly the once-per-stream
+    scale ~rows/20k (bounded 4..32; r12 lowered the floor 8 -> 4: every
+    stateful operator commits one state-store delta file PER PARTITION
+    PER MICRO-BATCH, so the floor is pure per-batch commit overhead at
+    fixture scale, while the probe scales — 1M rows still sizes to 32,
+    the r6 input-aware fix unchanged) — exactly the once-per-stream
     sizing a real deployment does."""
 
     def __init__(self, spark: SparkSession, n_rows: int | None = None):
         self.spark = spark
-        self.n = "8" if n_rows is None else str(min(32, max(8, n_rows // 20_000)))
+        self.n = "4" if n_rows is None else str(min(32, max(4, n_rows // 20_000)))
 
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -182,9 +213,15 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a replay where every chunk is delivered twice (at-least-once)."""
     base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
     try:
-        # duplicate each chunk to simulate redelivery
+        # duplicate each chunk to simulate redelivery; the explicit
+        # mtime (+1s, between chunk i at +0 and chunk i+1 at +2s) pins
+        # the redelivered copy ADJACENT to its original in the file
+        # source's arrival order.
         for d in sorted(os.listdir(src)):
-            shutil.copytree(os.path.join(src, d), os.path.join(src, d + "_redeliver"))
+            sp, dp = os.path.join(src, d), os.path.join(src, d + "_redeliver")
+            shutil.copy2(sp, dp)
+            mt = os.stat(sp).st_mtime + 1
+            os.utime(dp, (mt, mt))
 
         def transform(stream: DataFrame) -> DataFrame:
             return stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
@@ -214,8 +251,12 @@ def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     while state stays bounded by the delay instead of the key space."""
     base, src, n_rows = _stage_chunks(spark, sf_dir, n_chunks=4, late_tail=False)
     try:
+        # redelivered copy adjacent in arrival order (see run_dedup_stream)
         for d in sorted(os.listdir(src)):
-            shutil.copytree(os.path.join(src, d), os.path.join(src, d + "_redeliver"))
+            sp, dp = os.path.join(src, d), os.path.join(src, d + "_redeliver")
+            shutil.copy2(sp, dp)
+            mt = os.stat(sp).st_mtime + 1
+            os.utime(dp, (mt, mt))
 
         def transform(stream: DataFrame) -> DataFrame:
             return (
