@@ -103,6 +103,16 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    # Scaling-probe note (VERDICT r12 #2, additions-only): per-query WALL
+    # at sf0.1 is dominated by serial driver-side fixed cost (py4j build
+    # + Catalyst + codegen, ~0.1-0.5 s/key) and therefore barely moves
+    # with the core count; the scaling-sensitive signal is the exec tier
+    # (`queries_exec` — steady re-execution of the same plan: scan +
+    # shuffle + agg + Arrow transfer). `cpus` records which core count
+    # this run actually used (master local[cpus], from $SPARK_GRAFT_CPUS)
+    # so cross-core-count runs are attributable.
+    from jsmr_spark.session import default_parallelism
+
     print(
         json.dumps(
             {
@@ -114,6 +124,7 @@ def main() -> None:
                 "exec_total": round(sum(exec_timings.values()), 4),
                 "sf": sf,
                 "n_queries": len(timings),
+                "cpus": default_parallelism(),
             }
         )
     )

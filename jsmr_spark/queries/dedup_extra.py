@@ -895,14 +895,14 @@ def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): tokenize + slide is a narrow map (W-gram
     rows ~ token count; each row is an 8-byte key + position, NOT the
-    gram text); ONE wide exchange groups by gram key (map-side
-    combined counts); the duplicated-key set joins back keyed on the
-    same 8-byte key (AQE picks the strategy — the dup set is the
-    candidate tier, corpus-scale in the worst case, so never
-    broadcast); the interval union is a per-doc window (partitioned,
-    no global sort); the census collapse is a bounded per-source agg.
-    This is the minhash shuffle discipline with positions in place of
-    signatures — no suffix array, no driver state, no all-pairs."""
+    gram text); duplicated-gram membership is COUNT(*) OVER
+    (PARTITION BY gv) on that ONE gram relation — a single gv-keyed
+    exchange, one gram derivation at any scale, no join-back and no
+    broadcast (the dup set is corpus-scale in the worst case); the
+    interval union is a per-doc window (partitioned, no global sort);
+    the census collapse is a bounded per-source agg. This is the
+    minhash shuffle discipline with positions in place of signatures —
+    no suffix array, no driver state, no all-pairs."""
     toks = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("tk")
     )

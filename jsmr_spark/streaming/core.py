@@ -79,7 +79,11 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
     part = _glob.glob(os.path.join(stage, "part-*.parquet"))
-    assert len(part) == 1, part
+    if len(part) != 1:
+        # coalesce(1) guarantees a single part file; anything else would
+        # silently stage a subset of rows below. Not an assert: those are
+        # stripped under `python -O` (ADVICE r12).
+        raise RuntimeError(f"expected exactly one staged part file, got {part}")
     tbl = _pq.read_table(part[0])
     n_rows = tbl.num_rows
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
