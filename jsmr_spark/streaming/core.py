@@ -33,6 +33,29 @@ from pyspark.sql import functions as F
 from jsmr_spark.io import load_table
 
 
+def _replay_tmp_root() -> str:
+    """Root for replay staging files and ephemeral checkpoints.
+
+    Everything the replay harness writes is throwaway by construction
+    (each runner rmtree's it in a finally), so it defaults to the
+    RAM-backed tmpdir when one exists: the HDFS-backed state store
+    commits one fsync'd delta file PER PARTITION PER STORE PER
+    MICRO-BATCH (a stream-stream join carries 4 stores/partition), and
+    on a disk-backed /tmp that fsync chain is the dominant cost of the
+    replay tier — measured r13: commitTimeMs 600-800 ms summed per
+    micro-batch on ext4 for the outer interval join. A real deployment
+    checkpoints to durable storage ON PURPOSE; this is placement of a
+    simulation's scratch space, not an engine setting, and
+    $SPARK_GRAFT_STREAM_TMP overrides it."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_TMP")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bool) -> tuple[str, str, int]:
     """Write events as ordered parquet chunks simulating arrival order.
 
@@ -46,7 +69,7 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int, late_tail: bo
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
-    base = os.path.join(tempfile.gettempdir(), f"jsmr_stream_{uuid.uuid4().hex[:8]}")
+    base = os.path.join(_replay_tmp_root(), f"jsmr_stream_{uuid.uuid4().hex[:8]}")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
     n_main = n_chunks - 1 if late_tail else n_chunks
@@ -132,9 +155,32 @@ class _replay_shuffle_clamp:
     def __enter__(self):
         self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        # Ephemeral checkpoint root for the replay's queries (r13): a
+        # memory-sink query otherwise checkpoints to a temp dir under
+        # java.io.tmpdir, which on a disk-backed /tmp pays the state
+        # store's per-partition-per-store fsync chain every micro-batch
+        # (see _replay_tmp_root). Runners that pass an explicit
+        # checkpointLocation option (restart/CDC — their checkpoints
+        # must live with the staged chunks) override this conf, which
+        # is exactly Spark's precedence. Deleted on exit; queries
+        # started inside the clamp are stopped inside it.
+        self.ckpt = os.path.join(
+            _replay_tmp_root(), f"jsmr_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+        self.old_ckpt = self.spark.conf.get(
+            "spark.sql.streaming.checkpointLocation", None
+        )
+        self.spark.conf.set("spark.sql.streaming.checkpointLocation", self.ckpt)
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        if self.old_ckpt is None:
+            self.spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            self.spark.conf.set(
+                "spark.sql.streaming.checkpointLocation", self.old_ckpt
+            )
+        shutil.rmtree(self.ckpt, ignore_errors=True)
 
 
 def _run_stream(spark: SparkSession, src_dir: str, transform, query_name: str, n_rows: int | None = None) -> DataFrame:
