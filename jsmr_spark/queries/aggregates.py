@@ -337,7 +337,19 @@ _GSETS_AGGS_SQL = f"sum({_PRICE_C}) / 100.0::DOUBLE AS sum_price, count(*) AS n"
     """,
 )
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS with grouping() markers (Expand-based plan)."""
+    """GROUPING SETS with grouping() markers (Expand-based plan).
+
+    r13 (guide §2.3 — aggregate before you expand): the grouping sets
+    run over a plain (rf, ls) pre-aggregate instead of the raw scan.
+    Expand multiplies its input 4x (one copy per grouping set), so the
+    old plan pushed 4x the corpus rows — and 4 evaluations/row of the
+    cents cast — through the partial aggregate; pre-aggregating first
+    shrinks Expand's input to the distinct group combinations (~6 rows
+    here; bounded by |rf| x |ls| at any scale). Exact by construction:
+    BIGINT cent sums and counts re-associate losslessly, data-NULL vs
+    Expand-NULL keys are disambiguated by the internal grouping id
+    either way. Measured (noop sink, sf0.1, best-of-4, twice): 0.64 /
+    0.77 s -> 0.30 / 0.38 s; result + dtypes identical."""
     return sql(
         spark,
         sf_dir,
@@ -345,8 +357,10 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_rf,
                CAST(grouping(l_linestatus) AS INT) AS g_ls,
-               {_GSETS_AGGS_SQL}
-        FROM lineitem
+               sum(price_c) / 100.0::DOUBLE AS sum_price, sum(n) AS n
+        FROM (SELECT l_returnflag, l_linestatus,
+                     sum({_PRICE_C}) AS price_c, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus)
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         """,
     )
@@ -360,12 +374,19 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals."""
+    """ROLLUP hierarchy totals.
+
+    r13: rollup over the (rf, ls) pre-aggregate (guide §2.3 — Expand
+    multiplied the corpus 3x before; now it multiplies ~6 rows). Exact:
+    BIGINT sums/counts re-associate losslessly. See
+    q_agg_grouping_sets for the measured A/B on the same shape."""
     return (
         t(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("price_c"))
+        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("pc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("pc").alias("price_c"), F.count(F.lit(1)).alias("pn"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.sum("pn").alias("n"))
     )
 
 
@@ -377,12 +398,19 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions."""
+    """CUBE over two dimensions.
+
+    r13: cube over the (rf, ls) pre-aggregate (guide §2.3 — Expand
+    multiplied the corpus 4x before; now ~6 rows). Exact: BIGINT
+    sums/counts re-associate losslessly. See q_agg_grouping_sets for
+    the measured A/B on the same shape."""
     return (
         t(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("price_c"))
+        .select("l_returnflag", "l_linestatus", cents(F.col("l_extendedprice")).alias("pc"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("pc").alias("price_c"), F.count(F.lit(1)).alias("pn"))
         .cube("l_returnflag", "l_linestatus")
-        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .agg((F.sum("price_c") / 100.0).alias("sum_price"), F.sum("pn").alias("n"))
     )
 
 

@@ -69,13 +69,18 @@ _ADAPTIVE_CONFS = {
     "spark.sql.shuffle.partitions": lambda: str(min(default_parallelism(), 16)),
 }
 
-# Local-mode-only sizing: bench fixtures are ~10-60MB files, so the
-# 128MB maxPartitionBytes default makes every scan a 1-2 task stage and
-# the other cores idle until the first exchange. Only applied when the
-# master is local[*] — on a real cluster the default (or larger) is
-# correct and this must NOT fire.
+# Local-mode-only sizing, env-overridable. r13 correction: every
+# fixture parquet file is ONE row group (verified with pyarrow), and
+# Spark's parquet reader is row-group granular — a task whose byte
+# range contains the row-group start decodes the whole group, so
+# sub-file splits can never parallelize these scans; the old 8m
+# default only manufactured empty tasks (lineitem sf0.1: 11 tasks, 10
+# of them no-ops) and their scheduling overhead. 128m (= the engine
+# default) removes them: bench A/B interleaved, exec total 0.98/0.98
+# -> 0.90/0.87 s. Only applied when the master is local[*]; real
+# clusters keep their own sizing.
 _LOCAL_SCAN_CONFS = {
-    "spark.sql.files.maxPartitionBytes": lambda: os.environ.get("SPARK_GRAFT_SPLIT", "8m"),
+    "spark.sql.files.maxPartitionBytes": lambda: os.environ.get("SPARK_GRAFT_SPLIT", "128m"),
     "spark.sql.files.openCostInBytes": lambda: "1m",
 }
 
@@ -101,11 +106,10 @@ def get_spark(app_name: str = "jsmr_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Bench-scale files are ~10-60MB: at the 128MB default every scan
-        # is a single task and 31 cores idle until the first exchange.
-        # 8MB splits parallelize the scan; on a production cluster the
-        # default (or larger) is correct — this is local-mode sizing.
-        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "8m"))
+        # r13: fixture files are single-row-group parquet, so sub-file
+        # splits cannot parallelize the scan (row-group granularity) —
+        # they only add empty tasks. See _LOCAL_SCAN_CONFS.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT", "128m"))
         .config("spark.sql.files.openCostInBytes", "1m")
     )
     for k, v in RUNTIME_CONFS().items():
