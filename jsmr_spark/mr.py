@@ -173,6 +173,7 @@ def mr_join(
     join_fn: Callable[[Any, Row, Row], Iterable[tuple]],
     output_schema: str,
     num_reducers: int | None = None,
+    num_mappers: int | None = None,
 ) -> DataFrame:
     """The third canonical MR job: a reduce-side equi-join, the way the
     JsMr model expresses joins — both inputs map to TAGGED (key,
@@ -191,6 +192,12 @@ def mr_join(
     single reducers. The fast path for every real query is the Tier-B
     DataFrame join (q_join_inner et al.) where Catalyst picks
     broadcast/SMJ/shuffle-hash and AQE splits skew."""
+    # num_mappers: the same A2 chunk-size knob job() has (r13) — both
+    # map phases are per-row user Python, so a single-file input
+    # otherwise serializes them through one Python worker each.
+    if num_mappers is not None:
+        left = left.repartition(num_mappers)
+        right = right.repartition(num_mappers)
     keyed_l = left.rdd.map(lambda row: (key_fn_l(row), ("L", row)))
     keyed_r = right.rdd.map(lambda row: (key_fn_r(row), ("R", row)))
     grouped = keyed_l.union(keyed_r).groupByKey(num_reducers)

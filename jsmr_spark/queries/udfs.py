@@ -368,6 +368,10 @@ def q_mr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = mr_join(
         orders,
         cust,
+        # num_mappers=8: the A2 chunk-size knob (see mr_api) — the
+        # per-row Python map phases otherwise serialize on the
+        # single-file fixture input (r13).
+        num_mappers=8,
         key_fn_l=lambda r: r.o_custkey,
         key_fn_r=lambda r: r.c_custkey,
         # o_totalprice has 2dp, so *100 is integer up to fp noise and
