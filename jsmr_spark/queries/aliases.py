@@ -1,4 +1,4 @@
-"""Driver-window coverage aliases — round-12 rotation (VERDICT r11 #1/#2).
+"""Driver-window coverage aliases — round-13 rotation (VERDICT r12 #4).
 
 The driver's per-round correctness sweep verifies the FIRST 50 registry
 keys alphabetically. Key naming is the only lever the builder controls
@@ -9,31 +9,28 @@ by tests/test_differential.py::test_alias_identity); nothing is
 reimplemented, so a driver PASS on `a0_x` is a driver PASS on the
 canonical implementation of `x`.
 
-Round-12 rotation (selection rule in CHECKS_r12.md):
-  * RETIRED: all 50 round-11 aliases — CORRECTNESS_r11 was 48 hash-green
-    + 2 rows-only by declared design (0 failures), so every canonical
-    key in that window joined the ever-verified union (368/378 after
-    r11, reconstructed by tools/union_report.py).
-  * ADDED, three tiers filling the 50-key cap:
-    (a) the 12 never-driver-verified keys — the 10-key CHECKS_r12.md
-        queue (6 round-10 batch-2/3 + 4 round-11 additions) plus the 2
-        round-12 additions (q_dedup_exact_substr,
-        q_dedup_snapshot_minhash), every one pre-verified through the
-        driver protocol at sf0.001 AND sf0.01 AND sf0.1. A green
-        CORRECTNESS_r12 on these closes the union at 380/380 — the
-        first round in which EVERY canonical key has carried the
-        driver's own signal.
-    (b) the changed-since-last-driver-signal re-slate (VERDICT r11 #2):
-        q_sim_ann_lsh, q_sim_ann_ivf, q_sim_cosine_topk (last driver
-        signal r5) and q_sim_maxsim (r10) — the four keys whose
-        engine expressions the round-11 `_norm` probe-kernel sweep
-        changed AFTER their most recent driver signal (the other five
-        norm-touched keys re-carried signal inside the r11 window).
-    (c) 34 oldest-signal re-verification slots: the oracle-carrying
-        canonical keys whose most recent driver signal is OLDEST
-        (r1: 9 join keys; r3: 16 filter/setop/join keys; r5: the first
-        9 alphabetically), refreshing driver signal that predates five
-        rounds of shared-helper evolution.
+Round-13 rotation (selection rule in CHECKS_r13.md):
+  * RETIRED: all 50 round-12 aliases — CORRECTNESS_r12 was 50/50
+    hash-green, closing the ever-driver-verified union at 380/380
+    (tools/union_report.py).
+  * ADDED, touched-since-last-driver-signal first (oracle-carrying
+    keys only — rows-only keys cannot hash-match by design and are
+    covered by golden pins + tests; stated per VERDICT r12 #6):
+    (a) 9 streaming keys whose replay machinery was rewritten in r12
+        (§19 one-job staging + clamp floor) and re-staged in r13
+        (RAM-backed scratch/checkpoints) with NO driver signal since —
+        VERDICT r12 #4's explicit must;
+    (b) 4 keys restructured in r13 (grouping-sets family pre-Expand
+        aggregate; mr_join's parallel map phases);
+    (c) 28 keys whose result expressions r12 restructured AFTER their
+        most recent driver signal (staged r4/HOF folds, multi-quantile
+        buffers, unpivoted subtrees, applyInArrow kernel, VARIANT
+        parse, window-instead-of-join rewrites);
+    (d) 4 keys with r12 plan-structure-only changes (node-identical
+        parsed-expr trees, loop-job removal) + the r13 explicit
+        StorageLevel pin on their shared shingle cache;
+    (e) 5 oldest-signal slots continuing CHECKS_r12's rotation plan
+        down the r5 alphabet (q_agg_minmax onward).
 """
 
 from __future__ import annotations
@@ -41,68 +38,67 @@ from __future__ import annotations
 from jsmr_spark.registry import register_alias
 
 _ALIASED = (
-    # ---- (a) never-driver-verified: the CHECKS_r12 queue (10) ----
-    "q_embed_gram",
-    "q_mix_kl_divergence",
-    "q_stats_mannwhitney",
-    "q_graph_assortativity",
-    "q_ml_average_precision",
-    "q_ts_mad_outliers",
-    "q_text_decontam_eval",
-    "q_dedup_snapshot_delta",
-    "q_stats_kruskal",
-    "q_stats_levene",
-    # ---- (a) never-driver-verified: round-12 additions (2) ----
-    "q_dedup_exact_substr",
-    "q_dedup_snapshot_minhash",
-    # ---- (b) changed-since-signal re-slate (4) ----
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_sim_maxsim",
-    "q_sim_cosine_topk",
-    # ---- (c) oldest-signal re-verification, r1 tier (9) ----
-    "q_join_cross",
-    "q_join_full",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_multiway",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_join_shuffle_hash",
-    # ---- (c) oldest-signal re-verification, r3 tier (16) ----
-    "q_except",
-    "q_except_all",
-    "q_exists_corr",
-    "q_filter_between",
-    "q_filter_compound",
-    "q_filter_eq",
-    "q_filter_in",
-    "q_filter_like",
-    "q_filter_null",
-    "q_gap_fill",
-    "q_grouped_map",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    # ---- (c) oldest-signal re-verification, r5 tier (9) ----
-    "mr_api",
-    "q_agg_bool",
-    "q_agg_collect",
-    "q_agg_count_distinct",
-    "q_agg_cube",
-    "q_agg_decimal",
+    # ---- (a) streaming replay tier, rewritten r12 §19 + r13 scratch (9) ----
+    "stream_cdc_apply",
+    "stream_dedup_within_wm",
+    "stream_ewma",
+    "stream_exactly_once_sink",
+    "stream_python_sink",
+    "stream_python_source",
+    "stream_rate_source",
+    "stream_stateful_counter",
+    "stream_stream_join",
+    # ---- (b) r13 restructures (4) ----
     "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_histogram",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_mr_join",
+    # ---- (c) r12 expression restructures after last signal (28) ----
+    "q_json_funcs",
+    "q_text_tfidf",
+    "q_knn_label",
+    "q_rank_fusion",
+    "q_rank_mrr",
+    "q_embed_normalize",
+    "q_sim_ann_multiprobe",
+    "q_sim_ann_tune",
+    "q_sim_recall_report",
+    "q_ann_mrl",
+    "q_sim_ann_pq",
+    "q_sim_threshold_pairs",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_stats_bootstrap",
+    "q_text_containment",
+    "q_text_bm25",
+    "q_ts_hampel",
+    "q_agg_percentile",
+    "q_sketch_quantile_check",
+    "q_agg_winsorized",
+    "q_quantile_bins",
+    "q_stats_ttest",
+    "q_array_funcs",
+    "q_ts_acf",
+    "q_dedup_band_tune",
+    "q_ml_mutual_info",
+    "q_ml_learning_curve",
+    # ---- (d) r12 plan-structure changes + r13 StorageLevel pin (4) ----
+    "q_graph_concomp",
+    "q_dedup_minhash",
+    "q_merge_dedup",
+    "q_dedup_recall_report",
+    # ---- (e) oldest-signal slots, r5 alphabet continuation (5) ----
+    "q_agg_minmax",
+    "q_agg_mode",
+    "q_agg_multi_distinct",
+    "q_agg_regr",
+    "q_agg_skew_salted",
 )
 
 assert len(_ALIASED) == 50, len(_ALIASED)
 
 for _canonical in _ALIASED:
     # strip the q_ prefix so e.g. q_join_inner -> a0_join_inner;
-    # non-q keys keep their full name (a0_mr_api).
+    # non-q keys keep their full name (a0_stream_cdc_apply).
     _short = _canonical[2:] if _canonical.startswith("q_") else _canonical
     register_alias(f"a0_{_short}", _canonical)
