@@ -142,13 +142,26 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             # Immutable in this deployment; reads must cope (io.py has a
             # fallback path for events if nanosAsLong can't be set).
             pass
-    # The dataFrameDebugging check is cached client-side on first use;
-    # on a driver-owned session some Column calls may precede this
-    # function, so drop the cache to make the conf above take effect.
+    # r13 correction: spark.python.sql.dataFrameDebugging.enabled is a
+    # STATIC conf — on a driver-owned session the conf.set above throws
+    # CANNOT_MODIFY_STATIC_CONFIG (swallowed) and the builder-time
+    # default (true) stands, so r12's cache drop made pyspark re-read
+    # "true" and the per-call capture stayed ON for vanilla sessions
+    # (measured: ~5 ms of Python stack walk + extra py4j round trips
+    # per DataFrame/Column call). The flag is client-side-only error-
+    # context capture with zero effect on plans or results, so apply
+    # the intent at the client: pin pyspark's cached check to the
+    # session's effective conf — False unless the caller explicitly
+    # built the session with it enabled.
     try:
         import pyspark.errors.utils as _peu
 
-        _peu._enable_debugging_cache = None
+        _peu._enable_debugging_cache = (
+            spark.conf.get(
+                "spark.python.sql.dataFrameDebugging.enabled", "false"
+            ).lower()
+            == "true"
+        )
     except Exception:
         pass
     for k, fv in _ADAPTIVE_CONFS.items():
