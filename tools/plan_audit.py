@@ -148,6 +148,16 @@ ALLOW_NESTED_LOOP = {"q_join_cross", "q_join_theta", "q_sim_cosine_topk", "q_knn
                      # broadcast hit-count (same shape as the LSH/IVF
                      # siblings above).
                      "q_sim_ann_pq",
+                     # r13 (stale-allowlist fix): the r12 §3a probe
+                     # redesign attaches the probe as a lazy 1-row
+                     # broadcast (pushed vec_id=0 filter) instead of a
+                     # build-time .head() collect — corpus x 1-row BNLJ
+                     # per truncation dim, the exact LSH/IVF sibling
+                     # shape already allowed above; mrl and maxsim were
+                     # simply missed when the family converted (maxsim's
+                     # probe side is the bounded 4-row token pivot).
+                     "q_ann_mrl",
+                     "q_sim_maxsim",
                      # customers x 1-row broadcast (sum, count) global
                      # threshold aggregate — the Q22 above-average
                      # filter shape (q_tpch_q15's max-filter variant
