@@ -331,3 +331,19 @@ def test_lateral_join_decorrelates(spark):
     plan = _plan(spark, "q_join_lateral")
     assert "Join" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_family_expands_preaggregate(spark):
+    """r13 (guide §2.3): GROUPING SETS / ROLLUP / CUBE must run their
+    Expand over the (rf, ls) PRE-AGGREGATE, not the raw corpus —
+    Expand multiplies its input once per grouping set, so raw corpus
+    columns reaching it mean the whole table (and the cents cast) flow
+    3-4x through the partial aggregate."""
+    for name in ("q_agg_grouping_sets", "q_agg_rollup", "q_agg_cube"):
+        plan = _plan(spark, name)
+        assert "Expand" in plan, f"{name}: no Expand node"
+        # The Expand node's projection lists must carry only
+        # pre-aggregated columns — the raw price column may appear
+        # below it (in the pre-aggregate) but never as Expand input.
+        expand_line = next(ln for ln in plan.splitlines() if "Expand [[" in ln)
+        assert "l_extendedprice" not in expand_line, f"{name}: {expand_line}"

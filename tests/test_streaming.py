@@ -370,3 +370,23 @@ def test_stream_stream_outer_join_null_semantics(spark):
     missing = provable - nulls
     assert not missing, f"{len(missing)} provably clickless views never emitted"
     assert nulls, "no null-extended rows emitted at all"
+
+
+def test_replay_tmp_root_override(monkeypatch):
+    """r13: the replay scratch/checkpoint root honors
+    SPARK_GRAFT_STREAM_TMP and otherwise prefers the RAM-backed tmpdir
+    when one exists (falling back to the standard tempdir)."""
+    import os
+    import tempfile
+
+    from jsmr_spark.streaming.core import _replay_tmp_root
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TMP", "/tmp/jsmr_custom_root")
+    assert _replay_tmp_root() == "/tmp/jsmr_custom_root"
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TMP")
+    expected = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else tempfile.gettempdir()
+    )
+    assert _replay_tmp_root() == expected
