@@ -568,10 +568,20 @@ def run_rate_source_stream(spark: SparkSession) -> DataFrame:
             done = None  # defined even if the poll loop never runs
             deadline = _time.time() + 120
             while _time.time() < deadline:
-                done = spark.table(name).agg(F.sum("n")).collect()[0][0]
-                if done == n_rows:
-                    break
-                _time.sleep(0.2)
+                # r13: cheap driver-local gate first — recentProgress
+                # entries are appended after a batch (and its complete-
+                # mode sink rewrite) commits, and the rate source emits
+                # values sequentially, so >= n_rows cumulative input
+                # implies every counted value has landed in the sink.
+                # The old loop ran the confirming collect as a Spark
+                # job every 0.2 s, competing with the micro-batches it
+                # was waiting on; now the job runs only to confirm.
+                ingested = sum(p.numInputRows for p in q.recentProgress)
+                if ingested >= n_rows:
+                    done = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                    if done == n_rows:
+                        break
+                _time.sleep(0.05)
             else:
                 raise TimeoutError(
                     f"rate stream ingested {done} of {n_rows} rows in 120s"
@@ -1029,10 +1039,16 @@ def run_python_stream_source(spark: SparkSession) -> DataFrame:
             done = None
             deadline = _time.time() + 120
             while _time.time() < deadline:
-                done = spark.table(name).agg(F.sum("n")).collect()[0][0]
-                if done == PY_STREAM_TOTAL:
-                    break
-                _time.sleep(0.2)
+                # r13: same driver-local recentProgress gate as the
+                # rate-source replay — the counter source emits a fixed
+                # sequential total, so the confirming Spark query runs
+                # only once enough source rows are in.
+                ingested = sum(p.numInputRows for p in q.recentProgress)
+                if ingested >= PY_STREAM_TOTAL:
+                    done = spark.table(name).agg(F.sum("n")).collect()[0][0]
+                    if done == PY_STREAM_TOTAL:
+                        break
+                _time.sleep(0.05)
             else:
                 raise TimeoutError(
                     f"python stream source ingested {done} of {PY_STREAM_TOTAL} rows in 120s"
